@@ -1,0 +1,104 @@
+"""Portable deterministic hashing — identical in Spark and DuckDB.
+
+Spark's ``xxhash64``/``hash`` and DuckDB's ``hash`` are different
+functions, so oracle-checkable hash-based operators (MinHash, SimHash,
+LSH bucketing) need a hash both engines compute bit-identically.  We
+derive a 60-bit integer from md5 (same algorithm everywhere):
+
+* Spark:  ``conv(substr(md5(x), 1, 15), 16, 10)`` cast to BIGINT
+* DuckDB: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``
+
+15 hex digits < 2^60 always fits a signed 64-bit integer, and md5 is
+uniform enough for sketching.  On the Spark side this is still
+JVM-side, codegen-able expression work (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def portable_hash64(col: Column, seed: int = 0) -> Column:
+    """Deterministic 60-bit hash of a string column, seedable."""
+    salted = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash64_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB SQL producing the identical value as ``portable_hash64``."""
+    return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` min-hash values over a string-array column.
+
+    min over the shingle set of the seeded portable hash — the classic
+    MinHash estimator.  Pure higher-order-function expressions: the
+    per-row work stays in the JVM.
+    """
+    sigs = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s, i=i: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
+                ).cast("bigint"),
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 over each band's slice of the signature.
+
+    A pair of documents collides on a band iff that band's
+    ``rows_per_band`` minhash values all match.
+    """
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                F.concat_ws(
+                    ",", F.slice(signature, b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def simhash(tokens: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over a (distinct) token array.
+
+    For each bit position b, sum +1/-1 votes over tokens according to
+    bit b of the token's portable hash; the fingerprint sets bit b iff
+    the vote is positive.  ``bits`` ≤ 32 keeps the oracle SQL sane.
+    """
+    toks = F.array_distinct(tokens)
+    fingerprint = F.lit(0).cast("bigint")
+    for b in range(bits):
+        # bit b via integer shift — float division would lose precision
+        # at 60 bits; DuckDB's `>>` matches this exactly.
+        vote = F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t, b=b: acc
+            + F.when(
+                F.shiftright(
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit("sh:"), t)), 1, 15), 16, 10
+                    ).cast("bigint"),
+                    b,
+                )
+                % 2
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        fingerprint = fingerprint + F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return fingerprint

@@ -1,0 +1,84 @@
+"""Text-analysis expressions for training-data pipelines.
+
+Whitespace tokenization, word-shingling, quality features, a
+deterministic language-ID heuristic, and document fingerprinting —
+all as native Column expressions (higher-order functions), so the hot
+path never crosses into Python.  Each has an exactly-equivalent DuckDB
+formulation used by the correctness oracle (see queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Deterministic mini stopword list for quality scoring.
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty string → empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles joined with single spaces."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def stopword_count(text: Column) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(STOPWORDS)))
+
+
+def char_class_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_chars, n_alpha, n_punct) — cheap quality signals."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return n_chars, n_alpha, n_punct
+
+
+def quality_ok(text: Column, min_tokens: int = 10, max_tokens: int = 10_000) -> Column:
+    """Keep-document predicate: length band + at least one stopword —
+    the standard cheap-heuristic pre-filter for web corpora."""
+    n = token_count(text)
+    return (n >= min_tokens) & (n <= max_tokens) & (stopword_count(text) > 0)
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Deterministic n-gram-flavored language guess.
+
+    Real language ID needs character-ngram models; the engine's
+    deterministic stand-in scores the two strongest English function
+    words and falls back to 'unk'.  (Exactly reproducible in SQL for
+    the oracle; swap in a Pandas-UDF model for production.)
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    the_n = F.size(F.filter(toks, lambda t: t == "the"))
+    a_n = F.size(F.filter(toks, lambda t: t == "a"))
+    return (
+        F.when(n == 0, F.lit("unk"))
+        .when((the_n + a_n) * 20 >= n, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — stable across engines, usable as an exact-dedup key."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(norm)

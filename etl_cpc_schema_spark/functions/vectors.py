@@ -1,0 +1,52 @@
+"""Vector (embedding) expressions with cross-engine determinism.
+
+Float summation order differs between engines, so cosine similarity on
+raw floats is not oracle-stable.  The engine therefore quantizes each
+embedding to integers (``round(x * SCALE)``); integer dot products and
+squared norms are exact in 64-bit, and a double computed as
+``dot / (sqrt(n1) * sqrt(n2))`` from exact integers is bit-identical
+everywhere (IEEE ops on exact inputs are correctly rounded).
+
+All of this is higher-order-function expression work — JVM-side, no
+Python in the hot path.  At 100 TB the brute-force variants pair with
+LSH bucketing (operators.similarity) to cut the candidate space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCALE = 1000
+
+
+def quantize(vec: Column, scale: int = SCALE) -> Column:
+    """array<float> → array<long> by element-wise floor(x*scale + 0.5).
+
+    floor(+0.5) instead of round(): engines disagree on round()'s
+    half-way rule, while floor/+/* are correctly-rounded IEEE ops —
+    identical everywhere.  The float is widened to double first so
+    both engines do the multiply at the same precision.
+    """
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint"),
+    )
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def cosine_q(dot: Column, n1: Column, n2: Column) -> Column:
+    """Deterministic cosine from exact integer dot/norms."""
+    return dot / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))

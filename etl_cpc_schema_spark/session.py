@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+configuration knobs are the ones that matter on a real cluster:
+
+* AQE on (runtime coalesce / skew-join handling at scale),
+* shuffle partitions sized to the parallelism at hand (not the 200
+  default — on a 1000-executor cluster this would be set to a small
+  multiple of total cores),
+* UTC session timezone so timestamp semantics match the DuckDB oracle
+  and are stable across clusters,
+* Arrow enabled for the few Pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "etl_cpc_schema_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = cpus or default_cpus()
+    shuffle_partitions = shuffle_partitions or min(
+        DEFAULT_SHUFFLE_PARTITIONS, max(cpus, 4)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

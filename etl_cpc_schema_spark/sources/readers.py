@@ -1,0 +1,156 @@
+"""File-format readers with explicit schema contracts.
+
+Spark-first mappings of the reference's hand-rolled scans
+(SURVEY.md §2.1):
+
+* S4/S5 fixed-format text in zips → ``binaryFile`` scan + per-file
+  member extraction in ``mapInPandas`` (the one genuinely imperative
+  step), or plain ``spark.read.text`` for already-extracted trees.
+* S6/S7 CSV/TSV with the reference's quirks (last-column status only
+  when >6 fields; whitespace-stripped symbols) → line-level
+  expressions, not Python loops.
+* S9-S11 parquet/CSV read/write.
+
+Zip extraction notes for scale: one zip archive = one task (zip is not
+splittable).  For 100 TB the landing zone should decompress to plain
+text/parquet once; these readers exist for parity with the reference's
+raw-zone layout (reference parser.py:78-93, validator.py:77-157).
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.validation import normalize_symbol, symbol_list_status, validity_status
+
+_LINES_SCHEMA = "file_name string, line string"
+
+
+def read_text_lines(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S5 — line records with their source file name.
+
+    ``pathGlobFilter`` reproduces the reference's member-name filter
+    (``cpc-section-*``, parser.py:81) as partition/path pruning.
+    """
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.text(path)
+    return df.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name"),
+        F.col("value").alias("line"),
+    )
+
+
+def read_zip_members(
+    spark: SparkSession,
+    zip_path: str,
+    member_prefix: str = "",
+    member_suffix: str = "",
+) -> DataFrame:
+    """S4 — (file_name, line) rows from members of zip archives.
+
+    ``binaryFile`` scan → ``mapInPandas`` unzip.  Member-name filtering
+    happens inside the extractor (cheap), path filtering at the scan.
+    """
+    bin_df = spark.read.format("binaryFile").load(zip_path)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_names: list[str] = []
+            out_lines: list[str] = []
+            for content in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for member in zf.namelist():
+                        name = member.split("/")[-1]
+                        if member_prefix and not name.startswith(member_prefix):
+                            continue
+                        if member_suffix and not name.endswith(member_suffix):
+                            continue
+                        with zf.open(member) as f:
+                            for raw in f:
+                                out_names.append(name)
+                                out_lines.append(
+                                    raw.decode("utf-8", errors="replace").strip()
+                                )
+            yield pd.DataFrame({"file_name": out_names, "line": out_lines})
+
+    return bin_df.select("content").mapInPandas(extract, _LINES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Reference-quirk lookup-table parsers (from line DataFrames)
+# ---------------------------------------------------------------------------
+
+
+def parse_symbol_list_lines(lines: DataFrame) -> DataFrame:
+    """S6 — CPCSymbolList CSV semantics (reference validator.py:82-98).
+
+    Header skipped by the caller or detected as the first line per
+    file; here we drop rows whose first field is empty after
+    normalization and reproduce: status = last column only when the
+    row has >6 fields, else UNKNOWN; 'published' → ACTIVE.
+    """
+    parts = F.split(F.col("line"), ",")
+    raw_status = F.when(F.size(parts) > 6, F.element_at(parts, -1)).otherwise(
+        F.lit("UNKNOWN")
+    )
+    return (
+        lines.select(
+            normalize_symbol(F.element_at(parts, 1)).alias("symbol"),
+            symbol_list_status(raw_status).alias("status"),
+        )
+        .filter(F.col("symbol") != "")
+    )
+
+
+def parse_validity_lines(lines: DataFrame) -> DataFrame:
+    """S7 — CPCValidityFile TSV semantics (reference validator.py:115-131)."""
+    parts = F.split(F.col("line"), "\t")
+    return (
+        lines.filter(F.size(parts) >= 2)
+        .select(
+            normalize_symbol(F.element_at(parts, 1)).alias("symbol"),
+            F.trim(F.element_at(parts, 2)).alias("valid_from"),
+            F.when(F.size(parts) > 2, F.trim(F.element_at(parts, 3)))
+            .otherwise(F.lit(""))
+            .alias("valid_to"),
+        )
+        .withColumn(
+            "status", validity_status(F.col("valid_from"), F.col("valid_to"))
+        )
+    )
+
+
+def drop_header_per_file(lines: DataFrame) -> DataFrame:
+    """Skip the first line of each file (reference validator.py:86, 119).
+
+    Implemented with a monotonically-increasing id + min-per-file
+    broadcast join rather than a window over the whole 100 TB input.
+    """
+    with_id = lines.withColumn("__id", F.monotonically_increasing_id())
+    firsts = with_id.groupBy("file_name").agg(F.min("__id").alias("__first"))
+    return (
+        with_id.join(F.broadcast(firsts), "file_name")
+        .filter(F.col("__id") != F.col("__first"))
+        .drop("__id", "__first")
+    )
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S10 — overwrite parquet sink (reference parser.py:118, main.py:119)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S11 — CSV sidecar (reference main.py:120)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
