@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (count + collect of the final result)
+so the timing covers scan → shuffle → result, not just plan building.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from etl_cpc_schema_spark import queries as Q  # noqa: E402
+from etl_cpc_schema_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q14_pipeline_composite",
+    "q16_dedup_last_wins",
+    "q17_pricing_summary",
+    "q18_join_agg",
+    "q21_running_window",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "text_stats",
+    "text_token_freq",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch classloading.
+    Q.SPARK_QUERIES["q09_group_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

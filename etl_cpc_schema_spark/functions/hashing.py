@@ -30,6 +30,26 @@ def portable_hash64_sql(expr: str, seed: int = 0) -> str:
     return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
 
 
+#: Modulus for the affine MinHash family — largest 31-bit prime, so
+#: a*h0+b stays well inside int64 (a, h0 < 2^31 → product < 2^62).
+MINHASH_MOD = 2147483647
+
+
+def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash, derived from md5 so the DuckDB
+    oracle can embed the identical constants."""
+    import hashlib
+
+    out: list[tuple[int, int]] = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a:{i}".encode()).hexdigest()[:7], 16) % (
+            MINHASH_MOD - 1
+        ) + 1
+        b = int(hashlib.md5(f"mh-b:{i}".encode()).hexdigest()[:7], 16) % MINHASH_MOD
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """Array of ``num_hashes`` min-hash values over a string-array column.
 
@@ -37,15 +57,16 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     MinHash estimator.  Pure higher-order-function expressions: the
     per-row work stays in the JVM.
     """
+    # NB: single-arg lambdas only — PySpark dispatches higher-order
+    # functions on lambda arity, so captured values must come from a
+    # closure factory, never extra default parameters.
+    def hash_with_seed(i: int):
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
+        ).cast("bigint")
+
     sigs = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda s, i=i: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
-                ).cast("bigint"),
-            )
-        )
+        F.array_min(F.transform(shingles, hash_with_seed(i)))
         for i in range(num_hashes)
     ]
     return F.array(*sigs)
@@ -80,25 +101,25 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
     the vote is positive.  ``bits`` ≤ 32 keeps the oracle SQL sane.
     """
     toks = F.array_distinct(tokens)
+
+    # bit b via integer shift — float division would lose precision at
+    # 60 bits; DuckDB's `>>` matches this exactly.  Closure factory
+    # keeps the merge lambda binary (see minhash_signature note).
+    def vote_merge(b: int):
+        return lambda acc, t: acc + F.when(
+            F.shiftright(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("sh:"), t)), 1, 15), 16, 10
+                ).cast("bigint"),
+                b,
+            )
+            % 2
+            == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+
     fingerprint = F.lit(0).cast("bigint")
     for b in range(bits):
-        # bit b via integer shift — float division would lose precision
-        # at 60 bits; DuckDB's `>>` matches this exactly.
-        vote = F.aggregate(
-            toks,
-            F.lit(0).cast("bigint"),
-            lambda acc, t, b=b: acc
-            + F.when(
-                F.shiftright(
-                    F.conv(
-                        F.substring(F.md5(F.concat(F.lit("sh:"), t)), 1, 15), 16, 10
-                    ).cast("bigint"),
-                    b,
-                )
-                % 2
-                == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
+        vote = F.aggregate(toks, F.lit(0).cast("bigint"), vote_merge(b))
         fingerprint = fingerprint + F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0))
     return fingerprint

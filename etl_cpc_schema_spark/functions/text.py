@@ -28,15 +28,27 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles joined with single spaces."""
-    toks = tokens(text)
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (single-space joined) from a token array.
+
+    O(len) construction: chain ``zip_with`` over shifted copies of the
+    token array, then slice off the ragged tail.  The naive
+    transform-over-indices + per-element ``slice`` form is O(len²)
+    per document because higher-order functions re-evaluate the sliced
+    operand per element — catastrophic on long documents.
+    """
+    shingle = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        shingle = F.zip_with(shingle, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+        F.slice(shingle, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column."""
+    return word_shingles_from_tokens(tokens(text), n)
 
 
 def stopword_count(text: Column) -> Column:

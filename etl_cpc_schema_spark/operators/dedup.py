@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import text as TX
-from ..functions import vectors as VE
 
 
 def exact_dedup(
@@ -86,7 +85,13 @@ def ngram_jaccard_pairs(
     boilerplate shingles would otherwise dominate the join fan-out.
     """
     sh = shingle_table(docs, id_col, text_col, n)
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    # join on a 64-bit shingle hash, not the shingle string: the
+    # self-join shuffles far fewer bytes and hash-compares instead of
+    # string-compares.  xxhash64 collisions across ~10^6 distinct
+    # shingles are ~1e-7-probability noise.
+    ex = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
+    ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s"))
     if max_doc_freq is not None:
         freq = ex.groupBy("s").agg(F.count("*").alias("df"))
         ex = (
@@ -126,18 +131,43 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash signatures + LSH banding.
 
-    Returns distinct (d1, d2) that collide on at least one band.  Per
-    doc the state is ``num_hashes`` longs; the only shuffle is the
-    band-key self-join whose keys are already well-distributed hashes.
+    Returns distinct (d1, d2) that collide on at least one band.
+
+    Shaped for codegen, not for elegance: shingles are hashed ONCE
+    (explode → one md5 per shingle), and the ``num_hashes`` minhashes
+    come from a single whole-stage-codegen'd ``groupBy(doc).agg(min(
+    (a_i·h0+b_i) mod P))`` — the classic affine MinHash family —
+    instead of N interpreted higher-order-function passes over the
+    shingle array.  Per doc the state is ``num_hashes`` longs; the only
+    shuffles are one agg on doc_id and the band-key self-join whose
+    keys are already well-distributed hashes.
     """
     rows_per_band = num_hashes // bands
+    params = H.minhash_affine_params(num_hashes)
     sh = shingle_table(docs, id_col, text_col, n)
-    sig = sh.select(
-        "doc_id", H.minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select(
+        "doc_id", (H.portable_hash64(F.col("s"), seed="mh") % H.MINHASH_MOD).alias("h0")
     )
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % H.MINHASH_MOD).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_exprs = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
-        "doc_id",
-        F.explode(H.band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -157,11 +187,43 @@ def minhash_lsh_pairs(
 def simhash_table(
     docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash) fingerprint table."""
-    return docs.select(
+    """(doc_id, simhash) fingerprint table.
+
+    Shaped for codegen: distinct tokens explode once, each token is
+    hashed once (md5 in the scan projection), and all ``bits`` vote
+    sums run in a single whole-stage-codegen'd aggregate — versus
+    ``bits`` interpreted higher-order passes re-hashing every token.
+    Semantics identical to ``functions.hashing.simhash``.
+    """
+    ex = docs.select(
         F.col(id_col).alias("doc_id"),
-        H.simhash(TX.tokens(F.col(text_col)), bits).alias("simhash"),
+        # explode_outer: a zero-token doc must still emit a (zero)
+        # fingerprint row, as the oracle does.
+        F.explode_outer(F.array_distinct(TX.tokens(F.col(text_col)))).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sh:"), F.col("tok"))), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
     )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b) % 2 == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fingerprint = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fingerprint = fingerprint + F.when(
+            F.col(f"v{b}") > 0, F.lit(2**b)
+        ).otherwise(F.lit(0))
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -225,25 +287,39 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with quantized-integer cosine ≥ threshold.
 
-    Brute force (for dimension-sized inputs and for verifying LSH
-    candidates); the quantized math makes the predicate deterministic
-    across engines.  At scale, feed candidates from
-    ``similarity.hyperplane_lsh_buckets`` instead of the cross join.
+    Broadcast nested-loop similarity join, BLAS-accelerated: the
+    corpus matrix is the (dimension-sized) build side, batches of
+    vectors stream through ``mapInPandas`` doing one matmul each.
+    Quantized-integer math keeps every cosine exactly representable in
+    float64, so results are bit-identical to the sequential SQL
+    formulation regardless of BLAS summation order.  At 100 TB, feed
+    LSH-bucketed blocks (``similarity.hyperplane_lsh_buckets``) in
+    place of the full corpus build side.
     """
-    q = embs.select(
-        F.col(id_col).alias("vid"),
-        VE.quantize(F.col(vec_col)).alias("qv"),
-    ).withColumn("nsq", VE.norm_sq_q(F.col("qv")))
-    a, b = q.alias("a"), q.alias("b")
-    dot = VE.dot_q(F.col("a.qv"), F.col("b.qv"))
-    cos = VE.cosine_q(dot, F.col("a.nsq"), F.col("b.nsq"))
-    return (
-        a.join(F.broadcast(b), F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("v1"),
-            F.col("b.vid").alias("v2"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold_num)
-        .select("v1", "v2")
-    )
+    from .similarity import _collect_matrix
+
+    c_ids, c_mat = _collect_matrix(embs, id_col, vec_col)
+    schema = "v1 long, v2 long"
+
+    def near(batches):
+        import numpy as np
+        import pandas as pd
+
+        cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * 1000 + 0.5
+            )
+            bn = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ c_mat.T) / (cn[None, :] * bn[:, None])
+            rows_i, cols_j = np.nonzero(
+                (cos >= threshold_num) & (ids[:, None] < c_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"v1": ids[rows_i], "v2": c_ids[cols_j]}
+            )
+
+    return embs.select(id_col, vec_col).mapInPandas(near, schema)

@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query
+  set against the full corpus; one pass, no shuffle of the corpus.
+  This is the correctness baseline.
+* ``hyperplane_lsh_buckets`` — random-hyperplane LSH: each vector gets
+  a ``planes``-bit bucket signature; vectors only compete within their
+  bucket.  The scale path for ANN at 100 TB: bucket assignment is a
+  narrow map-only pass, and the per-bucket top-k is a bounded
+  window/agg instead of an all-pairs join.
+* ``lsh_topk`` — top-k restricted to same-bucket candidates.
+
+Hyperplanes are pseudo-random but fully deterministic: plane weights
+derive from the portable md5 hash (functions.hashing), so the same
+buckets come out of Spark and the DuckDB oracle.  All math uses the
+quantized-integer scheme from functions.vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors as VE
+
+#: weights take values -3..3 — small ints keep dot products exact.
+PLANE_MOD = 7
+PLANE_SHIFT = 3
+
+#: quantization scale shared with functions.vectors.
+_SCALE = VE.SCALE
+
+
+def _np_quantize(mat):
+    """numpy twin of vectors.quantize: floor(x*scale + 0.5) in float64.
+
+    Quantized values and all dot products stay exactly representable
+    in float64 (|q| ≤ ~2^20, 64 dims → sums < 2^53), so BLAS matmul
+    results are EXACT integers — bit-identical to the sequential
+    integer arithmetic the SQL oracle performs, regardless of
+    summation order.
+    """
+    import numpy as np
+
+    return np.floor(mat.astype(np.float64) * _SCALE + 0.5)
+
+
+def _collect_matrix(embs: DataFrame, id_col: str, vec_col: str):
+    """Build-side collect of a dimension-sized embedding set (the
+    broadcast build of a nested-loop similarity join — same role as a
+    broadcast hash join's build side; never call on the streaming
+    fact side)."""
+    import numpy as np
+
+    pdf = embs.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = _np_quantize(np.vstack(pdf[vec_col].to_numpy()))
+    return ids, mat
+
+
+def plane_weight(plane: int, dim: int) -> int:
+    """Deterministic weight for (plane, dim): portable_hash % 7 - 3.
+
+    Computed driver-side with hashlib (bit-identical to the md5
+    expression the SQL oracle evaluates) so the per-row plan multiplies
+    by literals instead of re-hashing row-independent constants.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"pl:{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return h % PLANE_MOD - PLANE_SHIFT
+
+
+def quantized(embs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return embs.select(
+        F.col(id_col).alias("vid"), VE.quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("nsq", VE.norm_sq_q(F.col("qv")))
+
+
+def cosine_topk_bruteforce(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (cosine) of each query vector.
+
+    Returns (q_id, neighbor_id, rank), rank 1..k by (cos desc, id).
+
+    Physical shape: the query set is the build side (collected +
+    broadcast as a numpy matrix); the corpus STREAMS through an
+    Arrow-batched ``mapInPandas`` doing one BLAS matmul per batch and
+    pruning to per-batch top-k, then a tiny global window finishes the
+    ranking.  Quantized-integer math keeps every cosine bit-identical
+    to the sequential SQL formulation (see ``_np_quantize``).
+    """
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    schema = "q_id long, neighbor_id long, cos double"
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qn = np.sqrt((q_mat * q_mat).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * 1000 + 0.5
+            )
+            nsq = np.sqrt((mat * mat).sum(axis=1))
+            # cos[i, j] = dot / (sqrt(nq_j) * sqrt(nc_i)) — same op
+            # order as the Column/SQL formulation.
+            cos = (mat @ q_mat.T) / (qn[None, :] * nsq[:, None])
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                col = cos[:, j]
+                mask = ids != q_ids[j]
+                cand = np.flatnonzero(mask)
+                if len(cand) > k:
+                    # per-batch prune: keep k best (ties resolved later)
+                    order = np.lexsort((ids[cand], -col[cand]))[:k]
+                    cand = cand[order]
+                out_q.extend([q_ids[j]] * len(cand))
+                out_n.extend(ids[cand].tolist())
+                out_c.extend(col[cand].tolist())
+            yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+    scored = embs.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    embs: DataFrame,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """(vec_id, bucket): ``planes``-bit random-hyperplane signature.
+
+    bit p = 1 iff quantized_dot(vec, plane_p) > 0.  Map-only — at
+    100 TB this is a single narrow projection; the dot products are
+    flat codegen'd literal-multiply sums (zero-weight dims dropped),
+    no hashing and no interpreted higher-order functions at runtime.
+    """
+    if dims is None:
+        row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
+        dims = int(row["d"]) if row else 0
+    q = embs.select(
+        F.col(id_col).alias("vec_id"), VE.quantize(F.col(vec_col)).alias("qv")
+    )
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        terms = [
+            F.element_at(F.col("qv"), d + 1) * F.lit(w)
+            for d in range(dims)
+            if (w := plane_weight(p, d)) != 0
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
+        bucket = bucket + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return q.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_topk(
+    embs: DataFrame,
+    k: int,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the same LSH bucket.
+
+    One shuffle on bucket (well-distributed keys), bounded per-bucket
+    pairwise work, then the same deterministic ranking as brute force.
+    """
+    q = quantized(embs, id_col, vec_col)
+    buckets = hyperplane_lsh_buckets(embs, planes, id_col, vec_col)
+    side = q.join(buckets, q.vid == buckets.vec_id).select("vid", "qv", "nsq", "bucket")
+    a, b = side.alias("a"), side.alias("b")
+    dot = VE.dot_q(F.col("a.qv"), F.col("b.qv"))
+    cos = VE.cosine_q(dot, F.col("a.nsq"), F.col("b.nsq"))
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("q_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank")
+    )

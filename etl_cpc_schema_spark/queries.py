@@ -1,0 +1,945 @@
+"""Declared correctness queries (SURVEY.md §2.9 Q1-Q16 + scale extensions).
+
+Each entry pairs a Spark DataFrame implementation (exercising the
+engine's operator library) with an exactly-equivalent DuckDB SQL
+oracle over the same parquet tables.  Determinism rules (BASELINE.md):
+
+* every query ends in a total ORDER BY over its output columns,
+* no floating-point aggregation — integers, strings, decimals, and
+  doubles derived from *exact integer* inputs only (see
+  functions.vectors for why those are bit-stable),
+* dates/timestamps are emitted as formatted strings,
+* cross-engine hashing (MinHash/SimHash/LSH) uses the portable md5
+  hash (functions.hashing) that both engines compute identically.
+
+Aliases match between Spark and SQL on every computed column — the
+driver sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import text as TX
+from .functions import vectors as VE
+from .functions.hashing import portable_hash64_sql
+from .operators import dedup as DD
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .operators.lookups import (
+    anti_join,
+    last_write_wins,
+    lookup_with_default,
+    semi_join,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        from .sources.readers import read_events
+
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None):
+    def wrap(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q16 — reference-operator parity set (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_regex_parse",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS name_head,
+           regexp_extract(p_name, '(\\w+)$', 1) AS name_tail,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """P1/P2/P10 — regex field extraction (reference parser.py:43-61)."""
+    return (
+        _t(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("name_head"),
+            F.regexp_extract("p_name", r"(\w+)$", 1).alias("name_tail"),
+            F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q02_filter_predicates",
+    """
+    SELECT o_orderkey, o_orderpriority, o_orderstatus
+    FROM orders
+    WHERE o_orderpriority LIKE '1%' AND o_orderstatus IN ('O', 'F')
+    ORDER BY o_orderkey
+    """,
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """P3/P9 — prefix / membership predicates (reference downloader.py:48-118)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(
+            F.col("o_orderpriority").startswith("1")
+            & F.col("o_orderstatus").isin("O", "F")
+        )
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q03_project_cast_lit",
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           '202505' AS schema_date
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """P4/P5/P6 — project, cast, literal append (reference main.py:114-116)."""
+    return (
+        _t(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total_dec"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.lit("202505").alias("schema_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q04_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 — membership semi join (reference validator.py:189)."""
+    c = _t(spark, sf, "customer").withColumnRenamed("c_custkey", "key")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    return (
+        semi_join(c, o, "key")
+        .select(F.col("key").alias("c_custkey"), "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q05_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 — the invalid-symbols anti join (reference main.py:77-87)."""
+    c = _t(spark, sf, "customer").withColumnRenamed("c_custkey", "key")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    return (
+        anti_join(c, o, "key")
+        .select(F.col("key").alias("c_custkey"), "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q06_left_join_default",
+    """
+    SELECT o.o_orderkey, coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 — left join + default (reference validator.py:195 .get default)."""
+    o = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "key")
+    c = _t(spark, sf, "customer").withColumnRenamed("c_custkey", "key")
+    return (
+        lookup_with_default(o, c, "key", "c_mktsegment", "UNKNOWN", "segment")
+        .select("o_orderkey", "segment")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q07_distinct_sort",
+    "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """A2/A3 — distinct + sort (reference downloader.py:43-58)."""
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q08_max_per_group",
+    """
+    SELECT o_custkey, max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 — max aggregate (reference downloader.py:81-95 latest version)."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q09_group_count",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 — grouped count (reference main.py:74-91)."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q10_topn_rank",
+    """
+    WITH c AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders GROUP BY 1
+    )
+    SELECT custkey, n_orders, rn FROM (
+      SELECT custkey, n_orders,
+             row_number() OVER (ORDER BY n_orders DESC, custkey) AS rn
+      FROM c
+    ) t WHERE rn <= 10 ORDER BY rn
+    """,
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 + §2.6 — top-N with deterministic ranking (reference main.py:93-100)."""
+    counts = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("n_orders").desc(), F.col("custkey"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 10)
+        .orderBy("rn")
+    )
+
+
+@query(
+    "q11_conditional_status",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT'
+                ELSE o_orderpriority END AS priority_mapped,
+           CASE WHEN strftime(o_orderdate, '%Y-%m-%d') >= '1997-01-01'
+                     AND o_orderstatus = 'O'
+                THEN 'ACTIVE' ELSE 'INACTIVE' END AS status
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """P12/P13 — conditional mappings (reference validator.py:96-98, 126-131)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority_mapped"),
+        F.when(
+            (F.date_format("o_orderdate", "yyyy-MM-dd") >= "1997-01-01")
+            & (F.col("o_orderstatus") == "O"),
+            F.lit("ACTIVE"),
+        )
+        .otherwise(F.lit("INACTIVE"))
+        .alias("status"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q12_parent_lookup",
+    """
+    SELECT n.n_nationkey, n.n_name, coalesce(r.r_name, 'NONE') AS parent_name
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY n_nationkey
+    """,
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 — parent-edge lookup (reference validator.py:202-207)."""
+    n = _t(spark, sf, "nation").withColumnRenamed("n_regionkey", "key")
+    r = _t(spark, sf, "region").withColumnRenamed("r_regionkey", "key")
+    return (
+        lookup_with_default(n, r, "key", "r_name", "NONE", "parent_name")
+        .select("n_nationkey", "n_name", "parent_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "q13_normalize_split",
+    """
+    SELECT p_partkey,
+           regexp_replace(p_name, '\\s+', '', 'g') AS name_norm,
+           split_part(p_type, ' ', 1) AS type_first
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """P7/P8 — whitespace normalization + split (reference validator.py:91, 121)."""
+    return (
+        _t(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.regexp_replace("p_name", r"\s+", "").alias("name_norm"),
+            F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q14_pipeline_composite",
+    """
+    WITH cnt AS (
+      SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+           coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           n.n_name AS nation_name,
+           coalesce(cnt.n_orders, 0) AS n_orders,
+           CASE WHEN coalesce(cnt.n_orders, 0) > 0 THEN 'ACTIVE'
+                ELSE 'INACTIVE' END AS status,
+           concat_ws(',',
+             CASE WHEN coalesce(cnt.n_orders, 0) = 0 THEN 'no_orders' END,
+             CASE WHEN c.c_acctbal < 0 THEN 'neg_balance' END) AS warnings
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN cnt ON c.c_custkey = cnt.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end composite — the reference pipeline's shape (parse →
+    lookup joins → status mapping → warning accumulation → enrich)
+    over the TPC-H tables, as one lazy plan with broadcast dims."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    cnt = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(cnt), c.c_custkey == cnt.o_custkey, "left")
+        .withColumn("n_orders", F.coalesce(F.col("n_orders"), F.lit(0)))
+    )
+    return joined.select(
+        "c_custkey",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.col("n_name").alias("nation_name"),
+        "n_orders",
+        F.when(F.col("n_orders") > 0, F.lit("ACTIVE"))
+        .otherwise(F.lit("INACTIVE"))
+        .alias("status"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_orders") == 0, F.lit("no_orders")),
+            F.when(F.col("c_acctbal") < 0, F.lit("neg_balance")),
+        ).alias("warnings"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q15_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           count(*) AS n
+    FROM events GROUP BY 1 ORDER BY hour_start
+    """,
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 — tumbling-window counts, batch-checkable (engine's streaming
+    twin is ``stream_hourly_counts``)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            )
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("hour_start")
+    )
+
+
+@query(
+    "q16_dedup_last_wins",
+    """
+    SELECT user_id, event_id, event_type,
+           CAST(value AS DECIMAL(18,2)) AS value_dec
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """A7/J5 — last-write-wins dedup (reference validator.py:93-131
+    dict-overwrite semantics) via row_number window."""
+    e = _t(spark, sf, "events")
+    latest = last_write_wins(e, "user_id", "ts", tiebreak="event_id")
+    return latest.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation/bench extensions (ABSENT-in-reference classes, SURVEY §2.4-2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape — the scan+agg throughput headline (decimal sums)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q18_join_agg",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_lines,
+           sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape — fact-fact join + broadcast dim + agg (bench headline)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q19_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-sets class (ABSENT in reference, SURVEY §2.4) — rollup."""
+    return (
+        _t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "q20_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY c_custkey
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-operation class (SURVEY §2.5) — except/distinct."""
+    pos = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey")
+    )
+    closed = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return pos.exceptAll(closed).distinct().orderBy("c_custkey")
+
+
+@query(
+    "q21_running_window",
+    """
+    SELECT user_id, event_id,
+           sum(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function class (SURVEY §2.6) — running decimal sum."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication extensions (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS text_hash
+    FROM documents
+    GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    ORDER BY keep_id
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.exact_dedup(_t(spark, sf, "documents")).orderBy("keep_id")
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(t)-2, 0)),
+           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
+  FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
+         any_value(a.n) AS n1, any_value(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, shared, n1, n2 FROM pairs
+WHERE shared * 5 >= 4 * (n1 + n2 - shared)
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs with 3-gram shingle Jaccard ≥ 0.8 (integer-exact)."""
+    pairs = DD.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3)
+    return (
+        pairs.filter(
+            DD.jaccard_at_least(
+                F.col("shared"), F.col("n1"), F.col("n2"), num=4, den=5
+            )
+        )
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    from .functions.hashing import MINHASH_MOD, minhash_affine_params
+
+    rows = num_hashes // bands
+    params = minhash_affine_params(num_hashes)
+    sig_items = ", ".join(
+        f"min(({a} * h0 + {b}) % {MINHASH_MOD}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_items = ", ".join(
+        "md5('{b},' || {vals})".format(
+            b=b,
+            vals=" || ',' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(t)-2, 0)),
+           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+), h AS (
+  SELECT doc_id, {portable_hash64_sql('s', 'mh')} % {MINHASH_MOD} AS h0 FROM ex
+), sig_t AS (
+  SELECT doc_id, {sig_items} FROM h GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, unnest([{band_items}]) AS bk FROM sig_t
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs."""
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4
+    ).orderBy("d1", "d2")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    bit_terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(t,
+              tok -> CASE WHEN ({portable_hash64_sql('tok', 'sh')} >> {b}) % 2 = 1
+                          THEN 1 ELSE -1 END)) > 0
+             THEN {2 ** b} ELSE 0 END)"""
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+FROM toks ORDER BY doc_id
+"""
+
+
+@query("dedup_simhash", _simhash_oracle())
+def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash fingerprints (portable-hash votes)."""
+    return DD.simhash_table(_t(spark, sf, "documents"), bits=16).orderBy("doc_id")
+
+
+_QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+_EMB_COS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq
+  FROM q
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+      / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4
+ORDER BY v1, v2
+"""
+
+
+@query("dedup_embedding_cosine", _EMB_COS_ORACLE)
+def dedup_emb_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs at quantized cosine ≥ 0.4."""
+    return DD.embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold_num=0.4
+    ).orderBy("v1", "v2")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search extensions
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq
+  FROM q
+), scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+  FROM n a JOIN n b ON a.vec_id < 8 AND a.vec_id != b.vec_id
+)
+SELECT q_id, neighbor_id, rn AS rank FROM (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= 5 ORDER BY q_id, rank
+"""
+
+
+@query("ann_cosine_topk", _ANN_ORACLE)
+def ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for query vecs (id < 8)."""
+    embs = _t(spark, sf, "embeddings")
+    queries_df = embs.filter(F.col("vec_id") < 8)
+    return (
+        SIM.cosine_topk_bruteforce(embs, queries_df, k=5)
+        .select("q_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def _lsh_bucket_oracle(planes: int = 8) -> str:
+    terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(len(qv)),
+               d -> qv[d+1] * ({portable_hash64_sql("CAST(d AS VARCHAR)", f"pl:{p}")} % 7 - 3))) > 0
+             THEN {2 ** p} ELSE 0 END)"""
+        for p in range(planes)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)
+SELECT vec_id, CAST({terms} AS BIGINT) AS bucket
+FROM q ORDER BY vec_id
+"""
+
+
+@query("ann_lsh_buckets", _lsh_bucket_oracle())
+def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the ANN scale path)."""
+    return SIM.hyperplane_lsh_buckets(_t(spark, sf, "embeddings"), planes=8).orderBy(
+        "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> list_contains(['the','a','and','of','to'], x))) AS BIGINT) AS n_stop,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Token count / stopword count / alpha-char count per document."""
+    d = _t(spark, sf, "documents")
+    _, n_alpha, _ = TX.char_class_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        TX.stopword_count(F.col("text")).cast("bigint").alias("n_stop"),
+        n_alpha.cast("bigint").alias("n_alpha"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_filter",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 10000
+      AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> list_contains(['the','a','and','of','to'], x))) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_quality_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality keep-filter: token band + stopword presence."""
+    d = _t(spark, sf, "documents")
+    return d.filter(TX.quality_ok(F.col("text"))).select("doc_id", "lang").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "text_langid",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 'unk'
+                WHEN (len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x = 'the'))
+                    + len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x = 'a'))) * 20
+                     >= len(string_split_regex(trim(text), '\\s+'))
+                THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_langid_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic language-ID heuristic vs. the labeled lang column."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", "lang", TX.langid_heuristic(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized md5 document fingerprint."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_freq",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) t
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def text_token_freq_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token frequency top-20 (explode + count + deterministic top-k)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + streaming (weaker checks where noted)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 64 + 1 AS BIGINT) AS fake_width,
+           CAST((('0x' || substr(md5(text), 1, 15))::BIGINT >> 6) % 64 + 1 AS BIGINT) AS fake_height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing: payload attach → Arrow-batched metadata
+    extraction via mapInPandas (decode step stubbed deterministically)."""
+    d = _t(spark, sf, "documents")
+    return MM.extract_meta(MM.attach_fake_payload(d)).orderBy("doc_id")
+
+
+@query("stream_hourly_counts", None)  # non-SQL-expressible: streaming engine path
+def stream_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts (availableNow batch
+    drive); rows-only check — the batch twin q15 carries the oracle."""
+    from .streaming.ingest import hourly_counts_stream
+
+    return hourly_counts_stream(spark, sf)
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(SPARK_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE_SQL)

@@ -31,6 +31,27 @@ from ..functions.validation import normalize_symbol, symbol_list_status, validit
 
 _LINES_SCHEMA = "file_name string, line string"
 
+#: events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's footer
+#: converter rejects.  Reading with an explicit INT64 schema bypasses
+#: footer conversion regardless of session config; ``read_events``
+#: then restores a proper timestamp at microsecond precision.
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` as a TimestampType (µs, truncated from ns).
+
+    Truncation (integer div) matches how µs-native engines read the
+    same nanos column, so oracle comparisons line up exactly.
+    """
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    # integer `div`, not `/`: float division of an ~1.7e18 ns value
+    # would lose precision past double's 53-bit mantissa.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
 
 def read_text_lines(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """S5 — line records with their source file name.

@@ -51,17 +51,46 @@ def read_scheme_edges(
     """(symbol, parent) edges from XML files (or XML members of zips)."""
     bin_df = spark.read.format("binaryFile").load(path)
 
+    # Self-contained closure (stdlib imports inside, no module-level
+    # references): Spark pickles module functions by reference and
+    # executors don't see the driver's sys.path, so the extractor must
+    # carry its own recursion.  Semantics identical to
+    # ``edges_from_xml_bytes`` above (kept for driver-side reuse).
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import xml.etree.ElementTree as _ET
+        import zipfile as _zipfile
+
+        import pandas as _pd
+
+        def walk(element, parent, out):
+            symbol_elem = element.find("classification-symbol")
+            if symbol_elem is not None and symbol_elem.text:
+                symbol = "".join(symbol_elem.text.split())
+                out.append((symbol, parent))
+                parent = symbol
+            for child in element.findall("classification-item"):
+                walk(child, parent, out)
+
+        def edges_of(content: bytes):
+            out: list[tuple[str, str | None]] = []
+            try:
+                root = _ET.parse(_io.BytesIO(content)).getroot()
+            except _ET.ParseError:
+                return out  # per-file tolerance (validator.py:155-157)
+            walk(root, None, out)
+            return out
+
         for pdf in batches:
             rows: list[tuple[str, str | None]] = []
             for content in pdf["content"]:
                 if from_zip:
-                    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    with _zipfile.ZipFile(_io.BytesIO(content)) as zf:
                         for member in zf.namelist():
                             if member.endswith(".xml"):
-                                rows.extend(edges_from_xml_bytes(zf.read(member)))
+                                rows.extend(edges_of(zf.read(member)))
                 else:
-                    rows.extend(edges_from_xml_bytes(content))
-            yield pd.DataFrame(rows, columns=["symbol", "parent"])
+                    rows.extend(edges_of(content))
+            yield _pd.DataFrame(rows, columns=["symbol", "parent"])
 
     return bin_df.select("content").mapInPandas(extract, _EDGES_SCHEMA)

@@ -1,0 +1,70 @@
+"""Streaming ingest (SURVEY.md §2.7 / §7 phase 5).
+
+The reference's streaming-shaped pieces are control-plane: a timer
+trigger re-running the batch pipeline (reference etl_function.py:16-30)
+and idempotent skip-if-present downloads (downloader.py:152-154).  The
+Spark-native equivalents:
+
+* file-source Structured Streaming with ``trigger(availableNow=True)``
+  — scheduled micro-batch ingestion with checkpointed idempotence,
+* watermarked tumbling-window aggregation for event streams.
+
+For local verification the parquet ``events`` table drives the stream
+to completion synchronously via a memory sink; the identical plan runs
+against a real file/Kafka source on a cluster.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: nanos timestamps read as raw INT64 (see sources.readers.read_events).
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts computed THROUGH the streaming engine.
+
+    readStream(parquet) → watermark → window agg → memory sink, driven
+    to completion with availableNow.  Returns the final batch result
+    with the same shape as the batch query (hour_start string, n) so
+    the DuckDB oracle can check it.
+    """
+    # File streaming sources require a directory; the glob narrows the
+    # scan to the events table within it.
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "n",
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("hour_start")

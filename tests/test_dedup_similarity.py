@@ -1,0 +1,129 @@
+"""Behavioral tests for dedup + similarity operators (beyond the
+oracle parity suite): planted duplicates are actually found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cpc_schema_spark.operators import dedup as DD
+from etl_cpc_schema_spark.operators import multimodal as MM
+from etl_cpc_schema_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = "the quick brown fox jumps over the lazy dog and runs far away now"
+    other = "completely different words about spark engines and big data systems here"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),          # exact dup of 1
+            (3, near),          # near dup of 1 (one token differs)
+            (4, other),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_exact_dedup_groups(docs):
+    rows = {r["keep_id"]: r["n_copies"] for r in DD.exact_dedup(docs).collect()}
+    assert rows[1] == 2  # docs 1+2 collapse
+    assert rows[3] == 1
+    assert rows[4] == 1
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = DD.ngram_jaccard_pairs(docs, n=3)
+    hit = {
+        (r["d1"], r["d2"])
+        for r in pairs.filter(
+            DD.jaccard_at_least(F.col("shared"), F.col("n1"), F.col("n2"), 1, 2)
+        ).collect()
+    }
+    assert (1, 2) in hit and (1, 3) in hit and (2, 3) in hit
+    assert not any(4 in p for p in hit)
+
+
+def test_jaccard_doc_freq_cap_prunes(docs):
+    # With a max_doc_freq of 1 every shared shingle is pruned, so no pairs.
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, max_doc_freq=1)
+    assert pairs.count() == 0
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    got = {(r["d1"], r["d2"]) for r in DD.minhash_lsh_pairs(docs, n=3).collect()}
+    assert (1, 2) in got  # identical shingle sets always collide
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_distance(docs):
+    t = {r["doc_id"]: r["simhash"] for r in DD.simhash_table(docs).collect()}
+    assert t[1] == t[2]
+    ham13 = bin(t[1] ^ t[3]).count("1")
+    ham14 = bin(t[1] ^ t[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated doc
+
+
+def test_simhash_near_pairs(docs):
+    got = {(r["d1"], r["d2"]) for r in DD.simhash_near_pairs(docs, max_hamming=2).collect()}
+    assert (1, 2) in got
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_embedding_near_dup(embs):
+    got = {(r["v1"], r["v2"]) for r in DD.embedding_near_dup_pairs(embs, 0.9).collect()}
+    assert got == {(0, 1)}
+
+
+def test_bruteforce_topk_ordering(embs):
+    qs = embs.filter(F.col("vec_id") == 0)
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in SIM.cosine_topk_bruteforce(embs, qs, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_lsh_buckets_separate_opposites(embs):
+    b = {r["vec_id"]: r["bucket"] for r in SIM.hyperplane_lsh_buckets(embs).collect()}
+    assert b[0] != b[3]  # opposite vectors flip every plane sign
+    assert b[0] == b[1]  # near-identical vectors share the bucket
+
+
+def test_lsh_topk_subset_of_bucket(embs):
+    got = SIM.lsh_topk(embs, k=3).collect()
+    pairs = {(r["q_id"], r["neighbor_id"]) for r in got}
+    b = {r["vec_id"]: r["bucket"] for r in SIM.hyperplane_lsh_buckets(embs).collect()}
+    for q, n in pairs:
+        assert b[q] == b[n]
+
+
+def test_multimodal_meta_shapes(docs):
+    out = MM.extract_meta(MM.attach_fake_payload(docs)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 4
+    for r in out:
+        assert 1 <= r["fake_width"] <= 64
+        assert 1 <= r["fake_height"] <= 64
+        assert r["byte_len"] > 0
+    # exact dups produce identical fake metadata (deterministic stub)
+    assert by_id[1]["fake_width"] == by_id[2]["fake_width"]
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_real(b"\x89PNG")
