@@ -89,6 +89,29 @@ def langid_heuristic(text: Column) -> Column:
     )
 
 
+#: "BPE-ish" pre-tokenizer: word runs or single non-space punctuation.
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-style pre-tokenization regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def rolling_hash(text: Column, mult: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the character codes:
+    h = fold(h*31 + code) mod 2^31-1 — the classic Rabin-Karp
+    fingerprint, with modular arithmetic that never leaves int64 so
+    the SQL oracle computes the identical value."""
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * mult + c) % mod,
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text — stable across engines, usable as an exact-dedup key."""

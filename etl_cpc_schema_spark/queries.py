@@ -583,6 +583,178 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q22_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min-gap session ids via lag + running sum
+    (the batch twin of streaming session windows)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q23_asof_join",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        FROM orders) t WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, r.o_orderkey AS last_order_key
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    ORDER BY event_id
+    """,
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators.asof): each event picks the latest order of
+    that customer at or before the event time."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    # as-of requires the right side unique per (key, time); keep the
+    # highest orderkey per (custkey, orderdate).
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_col="o_orderkey",
+        out_col="last_order_key",
+    )
+    return joined.select("event_id", "user_id", "last_order_key").orderBy("event_id")
+
+
+@query(
+    "q24_pivot_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) of event types per user."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in types
+        ],
+    ).orderBy("user_id")
+
+
+@query(
+    "q25_cube",
+    """
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_mod,
+           count(*) AS n
+    FROM events GROUP BY CUBE (event_type, CAST(user_id % 10 AS VARCHAR))
+    ORDER BY etype, user_mod
+    """,
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    """Cube (grouping-sets class, SURVEY §2.4 ABSENT row)."""
+    e = _t(spark, sf, "events").withColumn(
+        "user_mod_raw", (F.col("user_id") % 10).cast("string")
+    )
+    return (
+        e.cube("event_type", "user_mod_raw")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("user_mod_raw"), F.lit("ALL")).alias("user_mod"),
+            "n",
+        )
+        .orderBy("etype", "user_mod")
+    )
+
+
+@query(
+    "q26_distinct_exact",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation (exact; the approx sketch twin is
+    ``approx_distinct_users`` with a rows-only check)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@query("approx_distinct_users", None)  # sketch values are engine-specific
+def approx_distinct_q(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog-class approximate distinct (rows-only check: the
+    estimate is engine-specific by construction; q26 carries the exact
+    oracle)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication extensions (training-data pipeline ops)
 # ---------------------------------------------------------------------------
@@ -904,6 +1076,41 @@ def text_token_freq_q(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+@query(
+    "text_token_bpe",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_bpe_q(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-style pre-tokenizer token counts (regex word/punct runs)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_rolling_hash",
+    """
+    SELECT doc_id,
+           list_reduce([CAST(0 AS BIGINT)] ||
+                       list_transform(split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_rolling_hash_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling-hash document fingerprints."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", TX.rolling_hash(F.col("text")).alias("rhash")
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

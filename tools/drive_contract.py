@@ -68,9 +68,14 @@ for name in sorted(qs):
         if not srows:
             failures.append((name, "rows-only query returned 0 rows"))
         continue
-    res = con.execute(oracles[name])
-    dcols = [d[0] for d in res.description]
-    drows = rows_key(dcols, res.fetchall())
+    try:
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = rows_key(dcols, res.fetchall())
+    except Exception as ex:
+        failures.append((name, f"ORACLE ERROR: {str(ex)[:300]}"))
+        print(f"  {name}: ORACLE ERROR {str(ex)[:120]}", flush=True)
+        continue
     ok_cols = sorted(scols) == sorted(dcols)
     ok_rows = srows == drows
     status = "OK" if (ok_cols and ok_rows) else "MISMATCH"
