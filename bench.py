@@ -27,6 +27,9 @@ HEADLINE = [
     "q17_pricing_summary",
     "q18_join_agg",
     "q21_running_window",
+    "q22_sessionize",
+    "q23_asof_join",
+    "q24_pivot_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -35,6 +38,11 @@ HEADLINE = [
     "text_stats",
     "text_token_freq",
 ]
+
+#: best-of-N per query: measures steady-state execution rather than
+#: first-touch JVM classloading / codegen compilation / python-worker
+#: spawn, and damps CPU-steal spikes on shared hosts.
+RUNS_PER_QUERY = 2
 
 
 def main() -> None:
@@ -48,10 +56,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.SPARK_QUERIES[name]
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert rows is not None
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+            assert rows is not None
+        timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -61,6 +72,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": RUNS_PER_QUERY,
                 "sf": float(sf) if sf else None,
             }
         )
