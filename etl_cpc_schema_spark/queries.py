@@ -1135,6 +1135,22 @@ def multimodal_q(spark: SparkSession, sf: str) -> DataFrame:
     return MM.extract_meta(MM.attach_fake_payload(d)).orderBy("doc_id")
 
 
+@query(
+    "stream_user_counts_stateful",
+    """
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_stateful_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed-state streaming counts (applyInPandasWithState); the final
+    state per user must equal the batch groupBy count, which IS the
+    oracle."""
+    from .streaming.stateful import user_counts_stateful
+
+    return user_counts_stateful(spark, sf)
+
+
 @query("stream_hourly_counts", None)  # non-SQL-expressible: streaming engine path
 def stream_q(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming tumbling-window counts (availableNow batch
