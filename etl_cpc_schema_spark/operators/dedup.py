@@ -184,6 +184,47 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_verified_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The 100 TB near-dup path: MinHash-LSH candidates, then EXACT
+    shingle-overlap verification on candidates only.
+
+    All-pairs Jaccard (``ngram_jaccard_pairs``) is inherently quadratic
+    in the worst case; this composition is O(docs × bands) candidate
+    generation plus exact verification proportional to the (tiny)
+    candidate set.  Returns (d1, d2, shared, n1, n2) for candidate
+    pairs — threshold with ``jaccard_at_least`` exactly as with the
+    brute-force operator.
+    """
+    candidates = minhash_lsh_pairs(docs, n, num_hashes, bands, id_col, text_col)
+    sh = shingle_table(docs, id_col, text_col, n)
+    ex = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
+    ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s"))
+    a = ex.select(
+        F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "s"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "s"
+    )
+    return (
+        candidates.join(a, "d1")
+        .join(b, ["d2", "s"])  # shared shingles of candidate pairs only
+        .groupBy("d1", "d2")
+        .agg(
+            F.count("*").alias("shared"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+
+
 def simhash_table(
     docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -867,6 +867,81 @@ def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+def _lsh_jaccard_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    from .functions.hashing import MINHASH_MOD, minhash_affine_params
+
+    rows = num_hashes // bands
+    params = minhash_affine_params(num_hashes)
+    sig_items = ", ".join(
+        f"min(({a} * h0 + {b}) % {MINHASH_MOD}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_items = ", ".join(
+        "md5('{b},' || {vals})".format(
+            b=b,
+            vals=" || ',' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(t)-2, 0)),
+           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+), h AS (
+  SELECT doc_id, {portable_hash64_sql('s', 'mh')} % {MINHASH_MOD} AS h0 FROM ex
+), sig_t AS (
+  SELECT doc_id, {sig_items} FROM h GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, unnest([{band_items}]) AS bk FROM sig_t
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+), exs AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
+  FROM sh WHERE len(shingles) > 0
+)
+SELECT c.d1, c.d2, count(*) AS shared,
+       any_value(x.n) AS n1, any_value(y.n) AS n2
+FROM cand c
+JOIN exs x ON x.doc_id = c.d1
+JOIN exs y ON y.doc_id = c.d2 AND y.s = x.s
+GROUP BY c.d1, c.d2
+HAVING count(*) * 5 >= 4 * (any_value(x.n) + any_value(y.n) - count(*))
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_lsh_jaccard", _lsh_jaccard_oracle())
+def dedup_lsh_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale path for near-dup: MinHash-LSH candidate pairs, exact
+    shingle-Jaccard ≥ 0.8 verification on candidates only (sub-quadratic
+    end-to-end; see operators.dedup.lsh_verified_jaccard_pairs)."""
+    pairs = DD.lsh_verified_jaccard_pairs(_t(spark, sf, "documents"), n=3)
+    return (
+        pairs.filter(
+            DD.jaccard_at_least(
+                F.col("shared"), F.col("n1"), F.col("n2"), num=4, den=5
+            )
+        )
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     bit_terms = " + ".join(
         f"""(CASE WHEN list_sum(list_transform(t,
