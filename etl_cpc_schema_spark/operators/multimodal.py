@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 META_SCHEMA = "doc_id bigint, byte_len bigint, fake_width bigint, fake_height bigint"
+RESIZE_SCHEMA = "doc_id bigint, out_width bigint, out_height bigint, thumb binary"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame_payload binary"
 
 
 def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -93,3 +95,72 @@ def extract_meta(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return with_payload.select(id_col, "payload").mapInPandas(run, META_SCHEMA)
+
+
+def resize_images(
+    with_payload: DataFrame,
+    max_side: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize stage: (doc_id, out_width, out_height, thumb binary).
+
+    A real pipeline decodes + resamples here (Pillow absent →
+    deterministic fake: dims clamped to ``max_side`` preserving the
+    fake aspect ratio; 'thumbnail' bytes are the md5 digest as a
+    stand-in payload).  The Spark-side contract — binary in, binary
+    out, map-only, no shuffle — is the real thing.
+    """
+
+    def run(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, ws, hs, thumbs = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = bytes(payload)
+                h = int(_hashlib.md5(buf).hexdigest()[:15], 16)
+                w0, h0 = h % 64 + 1, (h >> 6) % 64 + 1
+                scale = min(1.0, max_side / max(w0, h0))
+                ids.append(doc_id)
+                ws.append(max(1, int(w0 * scale)))
+                hs.append(max(1, int(h0 * scale)))
+                thumbs.append(_hashlib.md5(buf).digest())
+            yield _pd.DataFrame(
+                {"doc_id": ids, "out_width": ws, "out_height": hs, "thumb": thumbs}
+            )
+
+    return with_payload.select(id_col, "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    with_payload: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled 'frame'.
+
+    Stands in for video keyframe extraction: slices the payload every
+    ``every_n_bytes`` (ffmpeg absent).  Demonstrates the 1→N exploding
+    mapInPandas shape a real frame sampler has — output rows ≫ input
+    rows, still map-only.
+    """
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = bytes(payload)
+                for i in range(min(max_frames, max(1, len(buf) // every_n_bytes))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(buf[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield _pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return with_payload.select(id_col, "payload").mapInPandas(run, FRAMES_SCHEMA)

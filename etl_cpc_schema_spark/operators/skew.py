@@ -1,0 +1,67 @@
+"""Skew mitigation: salted joins and two-stage aggregation.
+
+AQE's skew-join handling covers sort-merge joins at runtime; salting
+is the explicit tool for the cases AQE can't fix (broadcast-ineligible
+hot keys, skewed aggregations).  Salts are DETERMINISTIC (hash of a
+stable column, not rand()) so results are reproducible and retried
+tasks stay consistent.
+
+* ``salted_join``: replicate the small side ``factor``× (one copy per
+  salt), split the big side's hot keys across ``factor`` partitions by
+  hashing a distinguishing column.  Join output is identical to the
+  unsalted join; the shuffle spreads each hot key over ``factor``
+  reducers.
+* ``two_stage_agg``: per-(key, salt) partial aggregate, then final
+  merge per key — the map-side-combine idea made explicit for
+  heavily-skewed group-bys whose partials still overload one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(col: Column, factor: int) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(factor))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_from: str,
+    factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's keys salted ``factor`` ways.
+
+    ``salt_from`` is any big-side column with per-row variety (an id);
+    its hash picks the salt deterministically.  The small side is
+    exploded once per salt value, so every (key, salt) bucket finds
+    its match.  Result equals ``big.join(small, key, how)``.
+    """
+    big_s = big.withColumn("__salt", _salt(F.col(salt_from), factor))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return big_s.join(small_s, [key, "__salt"], how).drop("__salt")
+
+
+def two_stage_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    salt_from: str,
+    factor: int = 8,
+    agg: str = "sum",
+) -> DataFrame:
+    """Skew-proof ``groupBy(key).sum/count(agg_col)`` in two shuffles of
+    bounded fan-in: (key, salt) partials → key finals."""
+    salted = df.withColumn("__salt", _salt(F.col(salt_from), factor))
+    if agg == "count":
+        partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__p"))
+    else:
+        partial = salted.groupBy(key, "__salt").agg(F.sum(agg_col).alias("__p"))
+    final_fn = F.sum
+    return partial.groupBy(key).agg(final_fn("__p").alias(f"{agg}_{agg_col}"))

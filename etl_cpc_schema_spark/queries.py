@@ -1029,16 +1029,19 @@ def ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_bucket_oracle(planes: int = 8) -> str:
-    terms = " + ".join(
+def _lsh_bucket_terms(planes: int = 8) -> str:
+    return " + ".join(
         f"""(CASE WHEN list_sum(list_transform(range(len(qv)),
                d -> qv[d+1] * ({portable_hash64_sql("CAST(d AS VARCHAR)", f"pl:{p}")} % 7 - 3))) > 0
              THEN {2 ** p} ELSE 0 END)"""
         for p in range(planes)
     )
+
+
+def _lsh_bucket_oracle(planes: int = 8) -> str:
     return f"""
 WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)
-SELECT vec_id, CAST({terms} AS BIGINT) AS bucket
+SELECT vec_id, CAST({_lsh_bucket_terms(planes)} AS BIGINT) AS bucket
 FROM q ORDER BY vec_id
 """
 
@@ -1048,6 +1051,41 @@ def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (the ANN scale path)."""
     return SIM.hyperplane_lsh_buckets(_t(spark, sf, "embeddings"), planes=8).orderBy(
         "vec_id"
+    )
+
+
+def _lsh_topk_oracle(planes: int = 8, k: int = 3) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq,
+         CAST({_lsh_bucket_terms(planes)} AS BIGINT) AS bucket
+  FROM q
+), scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+)
+SELECT q_id, neighbor_id, rn AS rank FROM (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= {k} ORDER BY q_id, rank
+"""
+
+
+@query("ann_lsh_topk", _lsh_topk_oracle())
+def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-3 neighbors restricted to same-LSH-bucket
+    candidates — the full ANN scale path (bucket → bounded per-bucket
+    scoring → rank)."""
+    return (
+        SIM.lsh_topk(_t(spark, sf, "embeddings"), k=3, planes=8)
+        .select("q_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("q_id", "rank")
     )
 
 

@@ -127,3 +127,43 @@ def test_multimodal_meta_shapes(docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_image_real(b"\x89PNG")
+
+
+def test_multimodal_resize_clamps_dims(docs):
+    out = MM.resize_images(MM.attach_fake_payload(docs), max_side=16).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 1 <= r["out_width"] <= 16 and 1 <= r["out_height"] <= 16
+        assert len(bytes(r["thumb"])) == 16  # md5 digest stand-in
+
+
+def test_multimodal_frame_sampling_explodes(docs):
+    out = MM.sample_frames(MM.attach_fake_payload(docs), every_n_bytes=16, max_frames=3)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4}
+    for frames in by_doc.values():
+        assert 1 <= len(frames) <= 3
+        assert [f["frame_idx"] for f in sorted(frames, key=lambda x: x["frame_idx"])] == list(range(len(frames)))
+        for f in frames:
+            assert len(bytes(f["frame_payload"])) <= 16
+
+
+def test_lsh_verified_jaccard_matches_bruteforce(docs):
+    from pyspark.sql import functions as F2
+
+    brute = {
+        (r["d1"], r["d2"]): r["shared"]
+        for r in DD.ngram_jaccard_pairs(docs, n=3).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"]): r["shared"]
+        for r in DD.lsh_verified_jaccard_pairs(docs, n=3).collect()
+    }
+    # every LSH-candidate pair's overlap must agree exactly with brute force
+    for pair, shared in lsh.items():
+        assert brute[pair] == shared
+    # and the planted near-dups are recalled
+    assert (1, 2) in lsh
