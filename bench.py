@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_lsh_jaccard",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_stats",

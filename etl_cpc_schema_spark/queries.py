@@ -742,6 +742,27 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q27_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events ORDER BY event_id
+    """,
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured column handling: JSON path extraction from the
+    events.props string column (S-class source-format coverage)."""
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
 @query("approx_distinct_users", None)  # sketch values are engine-specific
 def approx_distinct_q(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog-class approximate distinct (rows-only check: the

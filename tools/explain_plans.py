@@ -32,6 +32,8 @@ INSPECT = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_lsh_jaccard",
+    "ann_lsh_topk",
     "q23_asof_join",
 ]
 
