@@ -97,23 +97,67 @@ def ngram_jaccard_pairs(
         ex = (
             ex.join(freq.filter(F.col("df") <= max_doc_freq).select("s"), "s")
         )
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # per-shingle buckets → emit pairs → count shared shingles per pair
     return (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
+        _bucket_pairs(ex, "s", carry_count=True)
+        .groupBy("d1", "d2")
         .agg(
             F.count("*").alias("shared"),
-            F.max("a.n_sh").alias("n1"),
-            F.max("b.n_sh").alias("n2"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
         )
     )
+
+
+def _bucket_pairs(
+    ex: DataFrame, bucket_col: str, carry_count: bool
+) -> DataFrame:
+    """(bucket, member…) rows → ordered candidate pairs per bucket.
+
+    groupBy(bucket) + collect members + emit all i<j pairs from each
+    bucket — ONE shuffle and one computation of the upstream pipeline,
+    versus the naive self-join which scans and recomputes the input
+    twice and (under size-estimate broadcast) ships a whole fact-side
+    intermediate to every task.  Member lists are bounded by design
+    (shingle doc-frequency caps / LSH band buckets), so the quadratic
+    emit per bucket is bounded too.
+
+    ``carry_count``: members carry n_sh, emitted as (d1, d2, n1, n2);
+    otherwise pairs are (d1, d2) only.
+    """
+    if carry_count:
+        member = F.struct(F.col("doc_id").alias("d"), F.col("n_sh").alias("n"))
+    else:
+        member = F.struct(F.col("doc_id").alias("d"))
+    grouped = (
+        ex.groupBy(bucket_col)
+        .agg(F.collect_list(member).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+
+    def pair(x, y):
+        first = x["d"] < y["d"]
+        fields = [
+            F.when(first, x["d"]).otherwise(y["d"]).alias("d1"),
+            F.when(first, y["d"]).otherwise(x["d"]).alias("d2"),
+        ]
+        if carry_count:
+            fields += [
+                F.when(first, x["n"]).otherwise(y["n"]).alias("n1"),
+                F.when(first, y["n"]).otherwise(x["n"]).alias("n2"),
+            ]
+        return F.struct(*fields)
+
+    # binary lambda on transform intentionally receives (element, index)
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))), lambda y: pair(x, y)
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs_expr).alias("p")).select("p.*")
 
 
 def jaccard_at_least(shared: Column, n1: Column, n2: Column, num: int, den: int) -> Column:
@@ -169,19 +213,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .distinct()
-    )
+    return _bucket_pairs(banded, "bk", carry_count=False).distinct()
 
 
 def lsh_verified_jaccard_pairs(

@@ -462,10 +462,15 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q17(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q1 shape — the scan+agg throughput headline (decimal sums)."""
+    """TPC-H Q1 shape — the scan+agg throughput headline (decimal sums).
+
+    The ship-date predicate compares the native timestamp (not a
+    formatted string) so it pushes down to the parquet scan and prunes
+    row groups; semantically identical to the oracle's string compare.
+    """
     li = _t(spark, sf, "lineitem")
     return (
-        li.filter(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1998-09-02")
+        li.filter(F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
