@@ -748,6 +748,37 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q28_unpivot",
+    """
+    WITH w AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n FROM (
+      SELECT user_id, 'n_click' AS metric, n_click AS n FROM w
+      UNION ALL
+      SELECT user_id, 'n_purchase' AS metric, n_purchase AS n FROM w
+    ) t ORDER BY user_id, metric
+    """,
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide→long melt) of per-user conditional counts."""
+    e = _t(spark, sf, "events")
+    wide = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+    )
+    return (
+        wide.unpivot(
+            ["user_id"], ["n_click", "n_purchase"], "metric", "n"
+        )
+        .orderBy("user_id", "metric")
+    )
+
+
+@query(
     "q27_json_extract",
     """
     SELECT event_id,

@@ -110,6 +110,42 @@ def load_processed(spark: SparkSession, watermark_path: str) -> DataFrame:
         return spark.createDataFrame([], "version string")
 
 
+def fetch_files_distributed(
+    files: DataFrame, dest_dir: str, overwrite: bool = False
+) -> int:
+    """Fetch a manifest's files on EXECUTORS (S3's Spark mapping:
+    foreachPartition over the manifest), landing into a shared raw
+    zone.  Each task streams its URLs with skip-if-present caching and
+    atomic publish; tasks are independent, so a retried task re-lands
+    its files idempotently.  Returns the manifest size.
+
+    The closure is self-contained (stdlib only) — executors don't
+    share the driver's sys.path.
+    """
+    n = files.count()
+
+    def fetch_partition(rows):
+        import pathlib
+        import urllib.request as _rq
+
+        for row in rows:
+            dest = pathlib.Path(dest_dir) / row["file_name"]
+            if dest.exists() and not overwrite:
+                continue
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            tmp = dest.with_suffix(dest.suffix + ".part")
+            with _rq.urlopen(row["url"]) as resp, open(tmp, "wb") as out:
+                while True:
+                    chunk = resp.read(8192)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            tmp.rename(dest)
+
+    files.select("file_name", "url").foreachPartition(fetch_partition)
+    return n
+
+
 def fetch_file(url: str, dest: str | Path, overwrite: bool = False, chunk_size: int = 8192) -> Path:
     """Streamed download with skip-if-present caching (reference
     downloader.py:150-167); ``overwrite`` is the working version of the

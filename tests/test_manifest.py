@@ -55,6 +55,31 @@ def test_version_watermark_anti_join(spark, tmp_path):
     assert new == ["202505"]
 
 
+def test_fetch_files_distributed_file_urls(spark, tmp_path):
+    # file:// URLs let the executor-side fetch path run offline.
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.zip").write_bytes(b"AAA")
+    (src / "b.zip").write_bytes(b"BBBB")
+    files = spark.createDataFrame(
+        [("a.zip", f"file://{src}/a.zip"), ("b.zip", f"file://{src}/b.zip")],
+        "file_name string, url string",
+    )
+    dest = tmp_path / "raw"
+    n = M.fetch_files_distributed(files, str(dest))
+    assert n == 2
+    assert (dest / "a.zip").read_bytes() == b"AAA"
+    assert (dest / "b.zip").read_bytes() == b"BBBB"
+
+    # idempotent re-run: cached files survive untouched
+    (dest / "a.zip").write_bytes(b"CACHED")
+    M.fetch_files_distributed(files, str(dest))
+    assert (dest / "a.zip").read_bytes() == b"CACHED"
+    # overwrite=True refreshes (the reference's broken --force, working)
+    M.fetch_files_distributed(files, str(dest), overwrite=True)
+    assert (dest / "a.zip").read_bytes() == b"AAA"
+
+
 def test_fetch_file_skip_if_present(tmp_path):
     dest = tmp_path / "a.zip"
     dest.write_bytes(b"cached")
