@@ -1249,6 +1249,46 @@ def text_token_freq_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "docs_pipeline",
+    """
+    WITH fp AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 10000
+        AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+              x -> list_contains(['the','a','and','of','to'], x))) > 0
+    ), keep AS (
+      SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.lang, CAST(f.n_tokens AS BIGINT) AS n_tokens, f.fingerprint
+    FROM fp f JOIN keep k ON f.fingerprint = k.fingerprint AND f.doc_id = k.keep_id
+    ORDER BY doc_id
+    """,
+)
+def docs_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship training-data pipeline: quality filter → exact dedup
+    (keep lowest id per fingerprint) → enriched survivors.  One lazy
+    plan: scan → filter → window dedup → project."""
+    d = _t(spark, sf, "documents")
+    filtered = d.filter(TX.quality_ok(F.col("text"))).select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("doc_id", "lang", "n_tokens", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_token_bpe",
     """
     SELECT doc_id,
