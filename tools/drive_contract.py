@@ -29,7 +29,9 @@ rows = df.collect()
 print(f"entry rows={len(rows)} schema={[f.name for f in df.schema.fields]}")
 print("sample:", rows[0])
 
-SF = "/root/testdata/sf0.01"
+import os
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 con = duckdb.connect()
 for t in TABLES:
