@@ -46,13 +46,26 @@ def _np_quantize(mat):
     return np.floor(mat.astype(np.float64) * _SCALE + 0.5)
 
 
+#: refuse to build a broadcast matrix beyond this many vectors — the
+#: caller should LSH-bucket or block-partition instead.
+MAX_BUILD_ROWS = 2_000_000
+
+
 def _collect_matrix(embs: DataFrame, id_col: str, vec_col: str):
     """Build-side collect of a dimension-sized embedding set (the
     broadcast build of a nested-loop similarity join — same role as a
     broadcast hash join's build side; never call on the streaming
-    fact side)."""
+    fact side).  Fails loudly past MAX_BUILD_ROWS rather than silently
+    OOMing the driver at scale."""
     import numpy as np
 
+    n = embs.count()
+    if n > MAX_BUILD_ROWS:
+        raise ValueError(
+            f"similarity build side has {n} rows (> {MAX_BUILD_ROWS}); "
+            "use hyperplane_lsh_buckets / lsh_topk to bucket the corpus "
+            "instead of brute-force broadcasting it"
+        )
     pdf = embs.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = _np_quantize(np.vstack(pdf[vec_col].to_numpy()))
