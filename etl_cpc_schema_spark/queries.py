@@ -1248,6 +1248,29 @@ def text_token_freq_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _split_oracle() -> str:
+    from .operators.sampling import split_sql
+
+    case = split_sql("doc_id", {"train": 80, "val": 10, "test": 10})
+    return f"""
+    SELECT doc_id, {case} AS split
+    FROM documents ORDER BY doc_id
+    """
+
+
+@query("docs_train_split", _split_oracle())
+def docs_split_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split on the stable doc id
+    (hash-bucketed — reproducible across runs and engines, unlike
+    randomSplit)."""
+    from .operators.sampling import deterministic_split
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return deterministic_split(
+        d, "doc_id", {"train": 80, "val": 10, "test": 10}
+    ).orderBy("doc_id")
+
+
 @query(
     "docs_pipeline",
     """
