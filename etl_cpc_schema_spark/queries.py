@@ -117,7 +117,7 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     "q03_project_cast_lit",
     """
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            '202505' AS schema_date
     FROM orders
@@ -125,12 +125,20 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q03(spark: SparkSession, sf: str) -> DataFrame:
-    """P4/P5/P6 — project, cast, literal append (reference main.py:114-116)."""
+    """P4/P5/P6 — project, cast, literal append (reference main.py:114-116).
+
+    Money is emitted as exact BIGINT cents (decimal(18,2) -> x100 -> bigint):
+    the decimal cast fixes the scale identically in Spark and DuckDB, and the
+    x100/bigint conversion is exact, so the output is hasher-proof (no
+    engine-specific decimal/float rendering).
+    """
     return (
         _t(spark, sf, "orders")
         .select(
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total_dec"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("total_cents"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             F.lit("202505").alias("schema_date"),
         )
@@ -422,7 +430,7 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
     "q16_dedup_last_wins",
     """
     SELECT user_id, event_id, event_type,
-           CAST(value AS DECIMAL(18,2)) AS value_dec
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -439,7 +447,7 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("value_cents"),
     ).orderBy("user_id")
 
 
@@ -452,8 +460,8 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     "q17_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_cents,
            count(*) AS n
     FROM lineitem
     WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
@@ -462,7 +470,7 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q17(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q1 shape — the scan+agg throughput headline (decimal sums).
+    """TPC-H Q1 shape — the scan+agg throughput headline (exact-cents sums).
 
     The ship-date predicate compares the native timestamp (not a
     formatted string) so it pushes down to the parquet scan and prunes
@@ -473,8 +481,12 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.sum(
+                (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("sum_qty_cents"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("sum_price_cents"),
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -486,7 +498,7 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT c.c_mktsegment,
            count(*) AS n_lines,
-           sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_cents
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -505,7 +517,9 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(
+                (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("sum_qty_cents"),
         )
         .orderBy("c_mktsegment")
     )
@@ -564,14 +578,14 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
     "q21_running_window",
     """
     SELECT user_id, event_id,
-           sum(CAST(value AS DECIMAL(18,2))) OVER (
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
     FROM events ORDER BY user_id, event_id
     """,
 )
 def q21(spark: SparkSession, sf: str) -> DataFrame:
-    """Window-function class (SURVEY §2.6) — running decimal sum."""
+    """Window-function class (SURVEY §2.6) — running sum over exact cents."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -582,7 +596,9 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+            .over(w)
+            .alias("running_cents"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -599,8 +615,8 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, count(*) AS n_events

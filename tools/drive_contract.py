@@ -1,6 +1,19 @@
 """Drive the driver contract exactly as the round driver would:
 vanilla SparkSession, entry() smoke, queries() vs oracle_sql() via
-DuckDB at sf0.01, order-insensitive column-sorted value compare."""
+DuckDB at sf0.01, order-insensitive column-sorted value compare.
+
+Hardened after round 1 (VERDICT.md "Next round" #2): the round-1 version
+normalized Decimal scale (``v.normalize()``) which masked six driver
+hash-mismatches (Spark ``Decimal('3.10')`` vs DuckDB-pandas ``3.1``).
+This version is strictly stricter than the driver:
+
+  1. exact-form compare: Decimals keep their scale (no normalize), and a
+     Decimal never equals a float;
+  2. pandas-form compare: the same rows via DuckDB ``fetchdf()`` with every
+     value stringified — the closest local model of the driver's hasher;
+  3. type gate: a query FAILS if its Spark schema contains DecimalType or
+     its oracle plan emits DECIMAL/HUGEINT, even when values match today.
+"""
 import decimal
 import json
 import math
@@ -11,6 +24,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 
 import __spark_entry__ as E
 
@@ -37,10 +51,28 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
+BANNED_ORACLE_TYPES = ("DECIMAL", "HUGEINT")
+
+
+def _spark_decimal_fields(schema, prefix=""):
+    """Names of DecimalType fields anywhere in the schema (incl. nested)."""
+    out = []
+    for f in schema.fields:
+        dt = f.dataType
+        name = f"{prefix}{f.name}"
+        if isinstance(dt, T.DecimalType):
+            out.append(name)
+        elif isinstance(dt, T.StructType):
+            out.extend(_spark_decimal_fields(dt, name + "."))
+        elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.DecimalType):
+            out.append(name + "[]")
+    return out
+
 
 def norm(v):
+    # exact form: keep decimal scale, never conflate Decimal with float
     if isinstance(v, decimal.Decimal):
-        return ("d", str(v.normalize()))
+        return ("d", str(v))
     if isinstance(v, float):
         return ("f", "nan") if math.isnan(v) else ("f", v)
     return v
@@ -49,6 +81,22 @@ def norm(v):
 def rows_key(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm(r[i]) for i in order) for r in data)
+
+
+def str_form(v):
+    """Stringified value the way a pandas-based hasher would see it."""
+    if hasattr(v, "tolist"):  # numpy scalar / ndarray from fetchdf
+        v = v.tolist()
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    if v is None:
+        return "None"
+    return str(v)
+
+
+def rows_str_key(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str_form(r[i]) for i in order) for r in data)
 
 
 qs = E.queries()
@@ -60,33 +108,49 @@ for name in sorted(qs):
     try:
         sdf = qs[name](spark, SF)
         scols = sdf.columns
-        srows = rows_key(scols, [tuple(r) for r in sdf.collect()])
+        sraw = [tuple(r) for r in sdf.collect()]
+        srows = rows_key(scols, sraw)
     except Exception as ex:
         failures.append((name, f"SPARK ERROR: {str(ex)[:200]}"))
         print(f"  {name}: SPARK ERROR {str(ex)[:120]}")
         continue
+    dec_fields = _spark_decimal_fields(sdf.schema)
+    if dec_fields:
+        failures.append((name, f"TYPE GATE: DecimalType in Spark output: {dec_fields}"))
     if name not in oracles:
         print(f"  {name}: rows-only ({len(srows)} rows) [{time.perf_counter()-t0:.1f}s]")
         if not srows:
             failures.append((name, "rows-only query returned 0 rows"))
         continue
     try:
+        # type gate on the oracle plan (no execution needed)
+        otypes = [str(t).upper() for t in con.sql(oracles[name]).types]
+        bad = [t for t in otypes if any(b in t for b in BANNED_ORACLE_TYPES)]
+        if bad:
+            failures.append((name, f"TYPE GATE: oracle emits {bad}"))
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
         drows = rows_key(dcols, res.fetchall())
+        pdf = con.execute(oracles[name]).fetchdf()
+        drows_str = rows_str_key(list(pdf.columns), list(pdf.itertuples(index=False, name=None)))
     except Exception as ex:
         failures.append((name, f"ORACLE ERROR: {str(ex)[:300]}"))
         print(f"  {name}: ORACLE ERROR {str(ex)[:120]}", flush=True)
         continue
     ok_cols = sorted(scols) == sorted(dcols)
     ok_rows = srows == drows
-    status = "OK" if (ok_cols and ok_rows) else "MISMATCH"
+    srows_str = rows_str_key(scols, sraw)
+    ok_pandas = srows_str == drows_str
+    status = "OK" if (ok_cols and ok_rows and ok_pandas) else "MISMATCH"
     print(f"  {name}: {status} spark={len(srows)} duck={len(drows)} [{time.perf_counter()-t0:.1f}s]")
     if not ok_cols:
         failures.append((name, f"cols {scols} vs {dcols}"))
     elif not ok_rows:
         bad = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
         failures.append((name, f"rows differ, first: {bad}"))
+    elif not ok_pandas:
+        bad = [(a, b) for a, b in zip(srows_str, drows_str) if a != b][:3]
+        failures.append((name, f"pandas-form rows differ, first: {bad}"))
 
 print("== RESULT ==")
 if failures:
