@@ -99,7 +99,7 @@ def ngram_jaccard_pairs(
         )
     # per-shingle buckets → emit pairs → count shared shingles per pair
     return (
-        _bucket_pairs(ex, "s", carry_count=True)
+        _bucket_pairs(ex, "s", carry_col="n_sh", carry_names=("n1", "n2"))
         .groupBy("d1", "d2")
         .agg(
             F.count("*").alias("shared"),
@@ -110,7 +110,10 @@ def ngram_jaccard_pairs(
 
 
 def _bucket_pairs(
-    ex: DataFrame, bucket_col: str, carry_count: bool
+    ex: DataFrame,
+    bucket_col: str,
+    carry_col: str | None = None,
+    carry_names: tuple[str, str] = ("n1", "n2"),
 ) -> DataFrame:
     """(bucket, member…) rows → ordered candidate pairs per bucket.
 
@@ -122,11 +125,11 @@ def _bucket_pairs(
     (shingle doc-frequency caps / LSH band buckets), so the quadratic
     emit per bucket is bounded too.
 
-    ``carry_count``: members carry n_sh, emitted as (d1, d2, n1, n2);
-    otherwise pairs are (d1, d2) only.
+    ``carry_col``: members carry that column, emitted per pair under
+    ``carry_names`` (d1's value first); otherwise pairs are (d1, d2).
     """
-    if carry_count:
-        member = F.struct(F.col("doc_id").alias("d"), F.col("n_sh").alias("n"))
+    if carry_col is not None:
+        member = F.struct(F.col("doc_id").alias("d"), F.col(carry_col).alias("n"))
     else:
         member = F.struct(F.col("doc_id").alias("d"))
     grouped = (
@@ -141,10 +144,10 @@ def _bucket_pairs(
             F.when(first, x["d"]).otherwise(y["d"]).alias("d1"),
             F.when(first, y["d"]).otherwise(x["d"]).alias("d2"),
         ]
-        if carry_count:
+        if carry_col is not None:
             fields += [
-                F.when(first, x["n"]).otherwise(y["n"]).alias("n1"),
-                F.when(first, y["n"]).otherwise(x["n"]).alias("n2"),
+                F.when(first, x["n"]).otherwise(y["n"]).alias(carry_names[0]),
+                F.when(first, y["n"]).otherwise(x["n"]).alias(carry_names[1]),
             ]
         return F.struct(*fields)
 
@@ -213,7 +216,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
     )
-    return _bucket_pairs(banded, "bk", carry_count=False).distinct()
+    return _bucket_pairs(banded, "bk").distinct()
 
 
 def lsh_verified_jaccard_pairs(
@@ -311,8 +314,9 @@ def simhash_near_pairs(
 
     Scale path: pivot on ``bits/band_bits`` bands (a pair within the
     distance budget must agree exactly on at least one band when
-    ``bands > max_hamming``), join per band, then verify with
-    ``bit_count(xor)``.
+    ``bands > max_hamming``), bucket per band via ``_bucket_pairs``
+    (ONE computation of the fingerprint pipeline, one shuffle), then
+    verify with ``bit_count(xor)``.
     """
     t = simhash_table(docs, bits, id_col, text_col)
     bands = bits // band_bits
@@ -332,20 +336,12 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _bucket_pairs(banded, "bk", carry_col="simhash", carry_names=("h1", "h2"))
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            "d1",
+            "d2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

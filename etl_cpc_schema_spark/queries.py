@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions import text as TX
-from .functions import vectors as VE
 from .functions.hashing import portable_hash64_sql
 from .operators import dedup as DD
 from .operators import multimodal as MM
@@ -849,7 +848,7 @@ def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
 
 _JACCARD_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(greatest(len(t)-2, 0)),
@@ -858,10 +857,17 @@ WITH toks AS (
 ), ex AS (
   SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
   FROM sh WHERE len(shingles) > 0
+), keep AS (
+  -- doc-frequency cap (max_doc_freq=1000): boilerplate shingles that
+  -- appear in more than 1000 docs are dropped BEFORE the self-join,
+  -- mirroring the Spark operator's fan-out bound.
+  SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000
+), exf AS (
+  SELECT ex.doc_id, ex.s, ex.n FROM ex JOIN keep USING (s)
 ), pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
          any_value(a.n) AS n1, any_value(b.n) AS n2
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d1, d2, shared, n1, n2 FROM pairs
@@ -872,8 +878,16 @@ ORDER BY d1, d2
 
 @query("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def dedup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs with 3-gram shingle Jaccard ≥ 0.8 (integer-exact)."""
-    pairs = DD.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3)
+    """Near-dup pairs with 3-gram shingle Jaccard ≥ 0.8 (integer-exact).
+
+    ``max_doc_freq=1000`` is the scale lever (VERDICT round 1 #3): it
+    bounds every join bucket's fan-out, so one boilerplate shingle can
+    never drive a quadratic pair-emit at 100 TB.  The oracle applies the
+    same doc-frequency filter.
+    """
+    pairs = DD.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, max_doc_freq=1000
+    )
     return (
         pairs.filter(
             DD.jaccard_at_least(
@@ -911,7 +925,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(greatest(len(t)-2, 0)),
@@ -960,7 +974,7 @@ def _lsh_jaccard_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(greatest(len(t)-2, 0)),
@@ -1026,7 +1040,7 @@ def _simhash_oracle(bits: int = 16) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+         list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t
   FROM documents
 )
 SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
@@ -1038,6 +1052,36 @@ FROM toks ORDER BY doc_id
 def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash fingerprints (portable-hash votes)."""
     return DD.simhash_table(_t(spark, sf, "documents"), bits=16).orderBy("doc_id")
+
+
+def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 2) -> str:
+    # The banded Spark operator is lossless here: with 4 bands and
+    # max_hamming=2, any qualifying pair agrees exactly on >= 2 bands
+    # (pigeonhole), so the oracle is simply all pairs within the
+    # Hamming budget.
+    body = _simhash_oracle(bits).replace("ORDER BY doc_id", "")
+    return f"""
+WITH s AS ({body})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_simhash_pairs", _simhash_pairs_oracle())
+def dedup_simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 2) via banded buckets — the
+    constant-state near-dup family's pair-emit path (VERDICT round 1 #6:
+    single fingerprint computation through ``_bucket_pairs``)."""
+    return (
+        DD.simhash_near_pairs(
+            _t(spark, sf, "documents"), bits=16, max_hamming=2, band_bits=4
+        )
+        .select("d1", "d2", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("d1", "d2")
+    )
 
 
 _QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
@@ -1171,8 +1215,8 @@ def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     "text_stats",
     """
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
              x -> list_contains(['the','a','and','of','to'], x))) AS BIGINT) AS n_stop,
            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
     FROM documents ORDER BY doc_id
@@ -1194,8 +1238,8 @@ def text_stats_q(spark: SparkSession, sf: str) -> DataFrame:
     "text_quality_filter",
     """
     SELECT doc_id, lang FROM documents
-    WHERE len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 10000
-      AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+    WHERE len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) BETWEEN 10 AND 10000
+      AND len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
             x -> list_contains(['the','a','and','of','to'], x))) > 0
     ORDER BY doc_id
     """,
@@ -1212,10 +1256,10 @@ def text_quality_q(spark: SparkSession, sf: str) -> DataFrame:
     "text_langid",
     """
     SELECT doc_id, lang,
-           CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 'unk'
-                WHEN (len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x = 'the'))
-                    + len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x = 'a'))) * 20
-                     >= len(string_split_regex(trim(text), '\\s+'))
+           CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) = 0 THEN 'unk'
+                WHEN (len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> x = 'the'))
+                    + len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> x = 'a'))) * 20
+                     >= len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
                 THEN 'en' ELSE 'unk' END AS pred_lang
     FROM documents ORDER BY doc_id
     """,
@@ -1248,7 +1292,7 @@ def text_fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     "text_token_freq",
     """
     SELECT token, count(*) AS n
-    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) t
+    FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token FROM documents) t
     GROUP BY token ORDER BY n DESC, token LIMIT 20
     """,
 )
@@ -1292,11 +1336,11 @@ def docs_split_q(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH fp AS (
       SELECT doc_id, lang,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
              md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
       FROM documents
-      WHERE len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 10000
-        AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+      WHERE len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) BETWEEN 10 AND 10000
+        AND len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
               x -> list_contains(['the','a','and','of','to'], x))) > 0
     ), keep AS (
       SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint
@@ -1348,8 +1392,11 @@ def text_token_bpe_q(spark: SparkSession, sf: str) -> DataFrame:
     "text_rolling_hash",
     """
     SELECT doc_id,
+           -- list_filter guards DuckDB's split('', '') quirk: it yields a
+           -- single '' element under list_transform, and ord('') = -1
            list_reduce([CAST(0 AS BIGINT)] ||
-                       list_transform(split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+                       list_transform(list_filter(split(text, ''), c -> c <> ''),
+                                      c -> CAST(ord(c) AS BIGINT)),
                        (a, b) -> (a * 31 + b) % 2147483647) AS rhash
     FROM documents ORDER BY doc_id
     """,

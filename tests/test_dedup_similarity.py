@@ -52,6 +52,37 @@ def test_jaccard_doc_freq_cap_prunes(docs):
     assert pairs.count() == 0
 
 
+def test_jaccard_cap_kills_boilerplate_fanout(spark):
+    """Pathological repeated shingle (VERDICT round 1 #3): one boilerplate
+    shingle shared by every doc must not drive a quadratic pair-emit once
+    the doc-frequency cap is active — while genuinely similar pairs
+    (supported by rare shingles) survive."""
+    boiler = [
+        (i, f"copyright acme corp unique{i}a unique{i}b unique{i}c")
+        for i in range(12)
+    ]
+    near = [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id bigint, text string")
+
+    uncapped = {
+        (r["d1"], r["d2"])
+        for r in DD.ngram_jaccard_pairs(docs, n=3).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"])
+        for r in DD.ngram_jaccard_pairs(docs, n=3, max_doc_freq=5).collect()
+    }
+    # without the cap the boilerplate shingle links all 12 docs: 66 pairs
+    assert len([p for p in uncapped if p[0] < 100 and p[1] < 100]) == 66
+    # with the cap the df=12 shingle is dropped — zero boilerplate pairs
+    assert not [p for p in capped if p[0] < 100 and p[1] < 100]
+    # the genuinely-near pair (rare shingles, df=2) survives the cap
+    assert (100, 101) in capped
+
+
 def test_minhash_lsh_finds_exact_and_near(docs):
     got = {(r["d1"], r["d2"]) for r in DD.minhash_lsh_pairs(docs, n=3).collect()}
     assert (1, 2) in got  # identical shingle sets always collide

@@ -37,8 +37,10 @@ def duck(sf_dir):
 
 
 def _norm(v):
+    # No Decimal.normalize(): scale differences must FAIL (the driver's
+    # hasher is scale-sensitive — round-1 lesson, VERDICT.md).
     if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("float", "nan")
