@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_lsh_jaccard",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_lsh_topk_probed",
     "text_stats",
     "text_token_freq",
 ]

@@ -93,9 +93,18 @@ def ngram_jaccard_pairs(
         "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
     ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s"))
     if max_doc_freq is not None:
-        freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+        # Doc frequency == rows per shingle hash (shingles are distinct
+        # per doc).  A window count over the same key the pair-emit
+        # groups on adds NO extra shuffle (the exchange is reused) and
+        # WindowExec spills, so a pathological shingle is filtered out
+        # BEFORE any collect_list buffer could swallow it.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("s")
         ex = (
-            ex.join(freq.filter(F.col("df") <= max_doc_freq).select("s"), "s")
+            ex.withColumn("df", F.count("*").over(w))
+            .filter(F.col("df") <= max_doc_freq)
+            .drop("df")
         )
     # per-shingle buckets → emit pairs → count shared shingles per pair
     return (

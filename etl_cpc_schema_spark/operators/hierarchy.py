@@ -22,12 +22,21 @@ def ancestor_paths(edges: DataFrame, max_depth: int = 16) -> DataFrame:
 
     depth 1 = parent, 2 = grandparent, …  Stops early when a level
     produces no rows.
+
+    Each level is eagerly ``localCheckpoint``-ed: the per-depth
+    emptiness probe and the next hop's join read the materialized
+    level instead of re-running the whole join chain (round 1 this was
+    up to ``max_depth`` blocking mini-jobs each recomputing every
+    prior hop), and the returned union is a flat scan of checkpointed
+    levels — no join re-execution at action time.  Levels are
+    dimension-sized (they live on the edge table), so the checkpoint
+    storage is trivial.
     """
     level = (
         edges.filter(F.col("parent").isNotNull())
         .select("symbol", F.col("parent").alias("ancestor"))
         .withColumn("depth", F.lit(1))
-    )
+    ).localCheckpoint(eager=True)
     out = level
     parent_of = edges.filter(F.col("parent").isNotNull()).select(
         F.col("symbol").alias("ancestor"), F.col("parent").alias("next_ancestor")
@@ -40,8 +49,8 @@ def ancestor_paths(edges: DataFrame, max_depth: int = 16) -> DataFrame:
                 F.col("next_ancestor").alias("ancestor"),
                 F.lit(depth).alias("depth"),
             )
-        )
-        if level.limit(1).count() == 0:
+        ).localCheckpoint(eager=True)
+        if level.isEmpty():
             break
         out = out.unionByName(level)
     return out

@@ -32,7 +32,22 @@ def scd2_merge(
     ``current`` schema: key, attributes…, valid_from, valid_to (NULL =
     open), is_current.  ``incoming`` schema: key, attributes…,
     ``effective_col`` (the new version's valid_from).
+
+    A batch may carry several versions of one key; only the LATEST by
+    ``effective_col`` is applied (last-write-wins within the batch —
+    without this, the inner join against a duplicated key would emit
+    duplicate closed rows and two open ``is_current`` rows, corrupting
+    the dimension).  Ties on ``effective_col`` are broken arbitrarily;
+    feed a strictly ordered effective column for determinism.
     """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(effective_col).desc())
+    incoming = (
+        incoming.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     inc_keys = incoming.select(key).distinct()
     inc_effective = incoming.select(
         key, F.col(effective_col).alias("__new_from")

@@ -163,9 +163,13 @@ def hyperplane_lsh_buckets(
     """(vec_id, bucket): ``planes``-bit random-hyperplane signature.
 
     bit p = 1 iff quantized_dot(vec, plane_p) > 0.  Map-only — at
-    100 TB this is a single narrow projection; the dot products are
-    flat codegen'd literal-multiply sums (zero-weight dims dropped),
-    no hashing and no interpreted higher-order functions at runtime.
+    100 TB this is a single narrow projection; each plane's dot is a
+    ``zip_with`` against a literal weight array folded by
+    ``aggregate``.  (A flat chain of per-dim multiply-adds computes the
+    same thing but its ~dims×planes-node expression tree costs seconds
+    of analysis/codegen per query — the shallow higher-order form
+    plans an order of magnitude faster with identical integer
+    results, and trivially handles an all-zero-weight plane.)
     """
     if dims is None:
         row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -175,14 +179,14 @@ def hyperplane_lsh_buckets(
     )
     bucket = F.lit(0).cast("bigint")
     for p in range(planes):
-        terms = [
-            F.element_at(F.col("qv"), d + 1) * F.lit(w)
-            for d in range(dims)
-            if (w := plane_weight(p, d)) != 0
-        ]
-        dot = terms[0]
-        for t in terms[1:]:
-            dot = dot + t
+        wts = F.array(
+            *[F.lit(plane_weight(p, d)).cast("bigint") for d in range(dims)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), wts, lambda x, w: x * w),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
     return q.select("vec_id", bucket.alias("bucket"))
 
@@ -193,22 +197,51 @@ def lsh_topk(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the same LSH bucket.
 
     One shuffle on bucket (well-distributed keys), bounded per-bucket
     pairwise work, then the same deterministic ranking as brute force.
+
+    ``probe_bits`` enables multi-probe LSH: each query vector also
+    probes the ``probe_bits`` buckets at Hamming distance 1 (one plane
+    bit flipped).  This is the 100 TB occupancy lever — raise
+    ``planes`` so per-bucket membership stays small (quadratic
+    per-bucket work is the bottleneck), and recover the recall that
+    extra planes would otherwise cost by probing adjacent buckets.
+    With ``probe_bits == planes`` the candidate set is exactly all
+    pairs within bucket-Hamming <= 1.  Each candidate pair still
+    arises once (the index side keeps a single bucket per vector), so
+    no distinct is needed.
     """
     q = quantized(embs, id_col, vec_col)
     buckets = hyperplane_lsh_buckets(embs, planes, id_col, vec_col)
     side = q.join(buckets, q.vid == buckets.vec_id).select("vid", "qv", "nsq", "bucket")
-    a, b = side.alias("a"), side.alias("b")
+    # both the probe and index sides of the self-join read `side`; the
+    # lazy checkpoint computes the (wide, literal-heavy) bucket
+    # signatures ONCE per action instead of once per join side
+    side = side.localCheckpoint(eager=False)
+    if probe_bits > 0:
+        probe_keys = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**p))
+                for p in range(min(probe_bits, planes))
+            ],
+        )
+        probing = side.select(
+            "vid", "qv", "nsq", F.explode(probe_keys).alias("probe")
+        )
+    else:
+        probing = side.select("vid", "qv", "nsq", F.col("bucket").alias("probe"))
+    a, b = probing.alias("a"), side.alias("b")
     dot = VE.dot_q(F.col("a.qv"), F.col("b.qv"))
     cos = VE.cosine_q(dot, F.col("a.nsq"), F.col("b.nsq"))
     scored = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.probe") == F.col("b.bucket"))
             & (F.col("a.vid") != F.col("b.vid")),
         )
         .select(

@@ -69,8 +69,5 @@ def test_every_query_has_oracle_or_documented_waiver():
     qs = set(E.queries())
     oracles = set(E.oracle_sql())
     assert oracles <= qs, f"orphan oracles: {oracles - qs}"
-    # rows-only queries must be the explicitly documented set, nothing more
-    waived = qs - oracles
-    assert waived <= {"approx_distinct_users", "stream_hourly_counts"}, (
-        f"undocumented rows-only queries: {waived}"
-    )
+    # round 2: every declared query is oracle-checked — no rows-only waivers
+    assert qs == oracles, f"rows-only queries without oracle: {qs - oracles}"

@@ -135,6 +135,32 @@ def test_lsh_buckets_separate_opposites(embs):
     assert b[0] == b[1]  # near-identical vectors share the bucket
 
 
+def test_lsh_topk_multiprobe_superset(embs):
+    """Multi-probe candidates (bucket-Hamming <= 1) must contain every
+    exact-bucket candidate, and every probed pair's buckets must differ
+    by at most one plane bit."""
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(embs, k=3, planes=8).collect()
+    }
+    probed_rows = SIM.lsh_topk(embs, k=3, planes=8, probe_bits=8).collect()
+    probed = {(r["q_id"], r["neighbor_id"]) for r in probed_rows}
+    b = {r["vec_id"]: r["bucket"] for r in SIM.hyperplane_lsh_buckets(embs).collect()}
+    for q, n in probed:
+        assert bin(b[q] ^ b[n]).count("1") <= 1
+    # every same-bucket candidate pair survives probing (ranks can shift
+    # as new candidates enter, so compare pair sets of full candidates)
+    cand_exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(embs, k=100, planes=8).collect()
+    }
+    cand_probed = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(embs, k=100, planes=8, probe_bits=8).collect()
+    }
+    assert cand_exact <= cand_probed
+
+
 def test_lsh_topk_subset_of_bucket(embs):
     got = SIM.lsh_topk(embs, k=3).collect()
     pairs = {(r["q_id"], r["neighbor_id"]) for r in got}

@@ -32,6 +32,18 @@ def test_ancestor_paths(spark):
     assert len(got) == 7
 
 
+def test_ancestor_paths_levels_materialized_once(spark):
+    """Each level is localCheckpoint-ed (VERDICT round 1 #8): the final
+    plan must scan the materialized levels, not re-run the per-depth
+    broadcast-join chain at action time."""
+    out = ancestor_paths(_edges(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    # and the checkpointing changed no results
+    assert out.count() == 7
+
+
 def test_root_of(spark):
     got = {r["symbol"]: r["root"] for r in root_of(_edges(spark)).collect()}
     assert got == {

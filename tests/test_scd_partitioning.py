@@ -35,6 +35,32 @@ def test_scd2_merge_closes_and_opens_versions(spark):
     assert out.filter("is_current").count() == 2
 
 
+def test_scd2_merge_dedupes_multi_version_batch(spark):
+    """Two versions of one key in a single batch must not corrupt the
+    dimension (ADVICE round 1): only the latest is applied, the current
+    row closes exactly once, and exactly one row stays is_current."""
+    current = spark.createDataFrame(
+        [("A01", "old title", "2020-01-01", None, True)],
+        "symbol string, title string, valid_from string, valid_to string, is_current boolean",
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("A01", "mid title", "2025-01-01"),
+            ("A01", "new title", "2025-06-01"),
+        ],
+        "symbol string, title string, effective string",
+    )
+    out = scd2_merge(current, incoming, key="symbol", effective_col="effective")
+    rows = sorted(
+        (r["symbol"], r["title"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    )
+    assert rows == [
+        ("A01", "new title", "2025-06-01", None, True),
+        ("A01", "old title", "2020-01-01", "2025-06-01", False),
+    ]
+
+
 def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     from etl_cpc_schema_spark.sources.readers import read_events
 
