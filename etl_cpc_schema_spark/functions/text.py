@@ -28,8 +28,8 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (single-space joined) from a token array.
+def all_word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """ALL n-word shingles (duplicates kept, order preserved).
 
     O(len) construction: chain ``zip_with`` over shifted copies of the
     token array, then slice off the ragged tail.  The naive
@@ -41,9 +41,12 @@ def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     for i in range(1, n):
         shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
         shingle = F.zip_with(shingle, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(
-        F.slice(shingle, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    )
+    return F.slice(shingle, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (single-space joined) from a token array."""
+    return F.array_distinct(all_word_shingles_from_tokens(toks, n))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -117,3 +120,64 @@ def fingerprint(text: Column) -> Column:
     text — stable across engines, usable as an exact-dedup key."""
     norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.md5(norm)
+
+
+# --- PII scrubbing -------------------------------------------------------
+#
+# Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# evaluate identically: no backreferences, no lookaround, ASCII \b only.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{7,15}\b|\b\d{3}-\d{3,4}-\d{4}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone-shaped numbers.
+
+    Order matters: emails first (their local parts contain digits and
+    dots that the later patterns could chew on), then IPs, then phones.
+    The training-data release gate for web corpora.
+    """
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return out
+
+
+def scrub_pii_sql(expr: str) -> str:
+    """DuckDB expression computing the identical redaction."""
+    out = f"regexp_replace({expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    out = f"regexp_replace({out}, '{PII_IPV4_RE}', '<IP>', 'g')"
+    return f"regexp_replace({out}, '{PII_PHONE_RE}', '<PHONE>', 'g')"
+
+
+# --- URL / domain extraction --------------------------------------------
+
+URL_RE = r"https?://[^\s]+"
+DOMAIN_RE = r"https?://([^/\s]+)"
+
+
+def url_domains(text: Column) -> Column:
+    """Distinct domains of the URLs a document links to (sorted) —
+    the input to domain-level filtering/blocklists."""
+    urls = F.regexp_extract_all(text, F.lit(URL_RE), 0)
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(urls, lambda u: F.regexp_extract(u, DOMAIN_RE, 1))
+        )
+    )
+
+
+def ngram_repetition_stats(text: Column, n: int = 3) -> tuple[Column, Column]:
+    """(n_ngrams, max_ngram_freq): duplicates-kept shingle count and the
+    highest single-shingle frequency — the standard boilerplate /
+    generated-spam repetition signal (a doc whose top trigram covers a
+    large share of all trigrams is repetitive).  Integer outputs only;
+    threshold with integer arithmetic, e.g. ``max_freq * 5 >= n`` for
+    a 20% repetition gate."""
+    all_sh = all_word_shingles_from_tokens(tokens(text), n)
+    dist = F.array_distinct(all_sh)
+    max_freq = F.array_max(
+        F.transform(dist, lambda s: F.size(F.filter(all_sh, lambda x: x == s)))
+    )
+    return F.size(all_sh), F.coalesce(max_freq, F.lit(0))

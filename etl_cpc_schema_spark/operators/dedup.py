@@ -269,6 +269,38 @@ def lsh_verified_jaccard_pairs(
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shared): corpus docs sharing n-gram shingles with a
+    benchmark/eval set — the decontamination gate for training data.
+
+    The benchmark's distinct shingle hashes are the broadcast build
+    side (eval sets are tiny by definition); the corpus streams
+    through one hash-equi-join, so the plan is scan → broadcast join →
+    partial-agg groupBy.  ``n_shared`` counts the distinct contaminated
+    shingles per corpus doc (shingles are distinct per doc already).
+    """
+    c = shingle_table(corpus, id_col, text_col, n).select(
+        "doc_id", F.explode("shingles").alias("sh_str")
+    ).select("doc_id", F.xxhash64("sh_str").alias("s"))
+    b = (
+        shingle_table(benchmark, id_col, text_col, n)
+        .select(F.explode("shingles").alias("sh_str"))
+        .select(F.xxhash64("sh_str").alias("s"))
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def simhash_table(
     docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

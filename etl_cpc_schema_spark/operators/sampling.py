@@ -55,3 +55,36 @@ def split_sql(id_expr: str, weights: dict[str, int]) -> str:
         upper += w
         parts.append(f"WHEN {bucket} < {upper} THEN '{label}'")
     return "CASE " + " ".join(parts) + f" ELSE '{items[-1][0]}' END"
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, rates: dict[str, int], id_col: str
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (language rebalancing).
+
+    ``rates`` maps stratum value → keep-percentage; strata not listed
+    are dropped.  Same hash-bucket mechanics as the split: a row's
+    keep/drop decision is a map-only projection, stable across runs,
+    partitionings, and engines — ``df.sampleBy`` is none of those.
+    """
+    for v in rates.values():
+        if not 0 <= v <= BUCKETS:
+            raise ValueError(f"rates must be 0..{BUCKETS} percent: {rates}")
+    bucket = portable_hash64(F.col(id_col).cast("string"), seed="strat") % BUCKETS
+    rate: Column = F.lit(0)
+    for label, pct in rates.items():
+        rate = F.when(F.col(stratum_col) == label, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def stratified_sample_sql(
+    stratum_expr: str, rates: dict[str, int], id_expr: str
+) -> str:
+    """DuckDB WHERE predicate computing the identical sample."""
+    from ..functions.hashing import portable_hash64_sql
+
+    bucket = f"({portable_hash64_sql(f'CAST({id_expr} AS VARCHAR)', 'strat')} % {BUCKETS})"
+    rate = "0"
+    for label, pct in rates.items():
+        rate = f"CASE WHEN {stratum_expr} = '{label}' THEN {pct} ELSE {rate} END"
+    return f"{bucket} < ({rate})"

@@ -1455,6 +1455,176 @@ def text_token_bpe_q(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: shared oracle tokenization idiom (empty-token-filtered; see ADVICE r1)
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    SELECT doc_id, {TX.scrub_pii_sql('text')} AS clean_text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_pii_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone shapes) — the release gate
+    for web-scraped training text.  Pure regexp_replace chain (map-only,
+    codegen'd); patterns restricted to the Java-regex ∩ RE2 subset so
+    the oracle redacts identically."""
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", TX.scrub_pii(F.col("text")).alias("clean_text"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_url_domains",
+    f"""
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_distinct(list_transform(
+             regexp_extract_all(text, '{TX.URL_RE}'),
+             u -> regexp_extract(u, '{TX.DOMAIN_RE}', 1)))), ','), '') AS domains_csv
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_url_domains_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Linked-domain extraction per document (sorted, comma-joined) —
+    feeds domain blocklist filtering.  Map-only regexp work."""
+    return (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.array_join(TX.url_domains(F.col("text")), ",").alias("domains_csv"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_repetition",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(range(greatest(len(t)-2, 0)),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS all_sh
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(all_sh) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(list_max(list_transform(list_distinct(all_sh),
+                  s -> len(list_filter(all_sh, x -> x = s)))), 0) AS BIGINT)
+             AS max_ngram_freq,
+           (coalesce(list_max(list_transform(list_distinct(all_sh),
+               s -> len(list_filter(all_sh, x -> x = s)))), 0) * 5 >= len(all_sh)
+            AND len(all_sh) > 0) AS is_repetitive
+    FROM sh ORDER BY doc_id
+    """,
+)
+def text_repetition_q(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram repetition stats: duplicates-kept trigram count and the
+    top trigram's frequency; ``is_repetitive`` = top trigram covers
+    >= 20% of all trigrams (integer-exact gate) — the generated-spam /
+    boilerplate-loop signal."""
+    n_ngrams, max_freq = TX.ngram_repetition_stats(F.col("text"), n=3)
+    return (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            n_ngrams.cast("bigint").alias("n_ngrams"),
+            max_freq.cast("bigint").alias("max_ngram_freq"),
+        )
+        .withColumn(
+            "is_repetitive",
+            (F.col("max_ngram_freq") * 5 >= F.col("n_ngrams"))
+            & (F.col("n_ngrams") > 0),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(CAST(sum(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS DOUBLE) / 256) AS BIGINT) AS bin_id
+    FROM t ORDER BY doc_id
+    """,
+)
+def docs_pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: per-language 256-token context-window bins via
+    a running token total (concat-then-chunk semantics; see
+    operators/packing.py)."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf, "documents"), budget=256, stream_col="lang"
+    ).orderBy("doc_id")
+
+
+#: per-language keep percentages for the stratified-sample query.
+_STRAT_RATES = {"en": 100, "de": 50, "es": 50, "fr": 25, "zh": 25}
+
+
+def _strat_oracle() -> str:
+    from .operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql("lang", _STRAT_RATES, "doc_id")
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {pred} ORDER BY doc_id
+    """
+
+
+@query("docs_stratified_sample", _strat_oracle())
+def docs_stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language downsampling (language rebalancing):
+    hash-bucketed keep decision, stable across runs/partitionings —
+    unlike sampleBy."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "lang", _STRAT_RATES, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "docs_contamination",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(greatest(len(t)-2, 0)),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ), b AS (
+      SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0
+    ), c AS (
+      SELECT doc_id, s FROM ex WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM c JOIN b USING (s)
+    GROUP BY c.doc_id ORDER BY doc_id
+    """,
+)
+def docs_contamination_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 50 != 0) sharing
+    trigram shingles with the held-out 'benchmark' slice (doc_id % 50
+    == 0).  Benchmark shingles broadcast; corpus streams through one
+    hash join (operators/dedup.py::benchmark_contamination)."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return DD.benchmark_contamination(corpus, bench, n=3).orderBy("doc_id")
+
+
 @query(
     "text_rolling_hash",
     """
@@ -1531,6 +1701,37 @@ def stream_q(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.ingest import hourly_counts_stream
 
     return hourly_counts_stream(spark, sf)
+
+
+@query(
+    "stream_sessionize",
+    # q22's batch shape, with >= on the gap: session_window's interval
+    # is [start, last+gap), so an event exactly `gap` later starts a
+    # NEW session, where the lag-formulation q22 uses strict >
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows through the STREAMING engine (session_window
+    state merging, availableNow-driven), renumbered per user to match
+    the batch sessionization oracle."""
+    from .streaming.ingest import session_counts_stream
+
+    return session_counts_stream(spark, sf)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -68,3 +68,49 @@ def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("hour_start")
+
+
+def session_counts_stream(
+    spark: SparkSession, events_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session event counts via the streaming engine's
+    ``session_window`` (dynamic-gap state merging), driven to
+    completion with availableNow.
+
+    Sessions are renumbered 1.. per user by window start so the result
+    matches the batch sessionization twin (q22).  Boundary semantics:
+    ``session_window`` closes a session when the next event is >= gap
+    away (the window is [start, last+gap)), so the SQL twin must use
+    ``>= gap``, where the lag-based batch q22 uses ``> gap``.
+    """
+    from pyspark.sql.window import Window
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    renum = Window.partitionBy("user_id").orderBy(F.col("w.start"))
+    return (
+        spark.table(name)
+        .withColumn("session_id", F.row_number().over(renum).cast("bigint"))
+        .select("user_id", "session_id", "n_events")
+        .orderBy("user_id", "session_id")
+    )

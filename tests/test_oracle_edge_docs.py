@@ -35,8 +35,14 @@ DOC_QUERIES = [
     "text_token_freq",
     "text_token_bpe",
     "text_rolling_hash",
+    "text_pii_scrub",
+    "text_url_domains",
+    "text_repetition",
     "docs_train_split",
     "docs_pipeline",
+    "docs_pack_sequences",
+    "docs_stratified_sample",
+    "docs_contamination",
 ]
 
 EDGE_ROWS = [
@@ -45,6 +51,19 @@ EDGE_ROWS = [
     (9003, "single", "en", "edge", 6),
     (9004, "two tokens", "en", "edge", 10),
     (9005, "the the the a a tiny stopworded doc here now ok fine", "en", "edge", 52),
+    # PII shapes: email, dashed phone, IPv4, international phone
+    (9006, "contact me at bob@example.com or 555-123-4567 ok", "en", "edge", 48),
+    (9007, "server at 192.168.1.1 and call +4915123456789 now", "en", "edge", 49),
+    # URLs with shared + distinct domains
+    (
+        9008,
+        "see https://example.com/page and http://sub.test.org/x plus https://example.com/other",
+        "en",
+        "edge",
+        86,
+    ),
+    # pathological repetition: one trigram dominates
+    (9009, "spam spam spam spam spam spam spam spam spam spam", "de", "edge", 49),
 ]
 
 
