@@ -355,9 +355,17 @@ def simhash_near_pairs(
 
     Scale path: pivot on ``bits/band_bits`` bands (a pair within the
     distance budget must agree exactly on at least one band when
-    ``bands > max_hamming``), bucket per band via ``_bucket_pairs``
-    (ONE computation of the fingerprint pipeline, one shuffle), then
-    verify with ``bit_count(xor)``.
+    ``bands > max_hamming``), join per band, then verify with
+    ``bit_count(xor)``.
+
+    Unlike the shingle/minhash families this does NOT use
+    ``_bucket_pairs``: simhash band keys have tiny cardinality
+    (``2^band_bits`` values per band), so a band bucket can hold a
+    large fraction of the corpus and collecting it into one array row
+    would OOM a task (observed at sf0.1: one 4-bit band value covered
+    80% of docs).  A shuffle self-join spreads the quadratic in-bucket
+    work across tasks instead; the fingerprint pipeline still computes
+    only once — the banded table is checkpointed before the join.
     """
     t = simhash_table(docs, bits, id_col, text_col)
     bands = bits // band_bits
@@ -376,13 +384,20 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bk"),
-    )
+    ).localCheckpoint(eager=False)
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        _bucket_pairs(banded, "bk", carry_col="simhash", carry_names=("h1", "h2"))
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
-            "d1",
-            "d2",
-            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -33,8 +33,14 @@ INSPECT = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_jaccard",
+    "dedup_simhash_pairs",
     "ann_lsh_topk",
+    "ann_lsh_topk_probed",
     "q23_asof_join",
+    "docs_pack_sequences",
+    "docs_contamination",
+    "docs_stratified_sample",
+    "text_pii_scrub",
 ]
 
 CHECKS = {
