@@ -30,6 +30,8 @@ HEADLINE = [
     "q22_sessionize",
     "q23_asof_join",
     "q24_pivot_counts",
+    "q29_interval_join",
+    "q30_skewed_agg",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

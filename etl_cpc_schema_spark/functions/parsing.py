@@ -26,14 +26,22 @@ LINE_WITH_LEVEL = r"^([A-Z0-9/]+)\s+(\d+)\s+(.+)$"
 LINE_NO_LEVEL = r"^([A-Z0-9/]+)\s+(.+)$"
 
 
+def _strip(line: Column) -> Column:
+    """Python ``str.strip()`` twin: removes ALL leading/trailing
+    whitespace.  ``F.trim`` removes only spaces, so a tab-indented line
+    would fail the ^-anchored patterns the reference's stripped line
+    matches (found by the hypothesis parity suite)."""
+    return F.regexp_replace(line, r"^\s+|\s+$", "")
+
+
 def line_matches(line: Column) -> Column:
     """True when a (stripped, non-empty) line parses under either pattern."""
-    t = F.trim(line)
+    t = _strip(line)
     return (t != "") & (t.rlike(LINE_WITH_LEVEL) | t.rlike(LINE_NO_LEVEL))
 
 
 def line_symbol(line: Column) -> Column:
-    t = F.trim(line)
+    t = _strip(line)
     return F.when(
         t.rlike(LINE_WITH_LEVEL), F.regexp_extract(t, LINE_WITH_LEVEL, 1)
     ).otherwise(F.regexp_extract(t, LINE_NO_LEVEL, 1))
@@ -41,7 +49,7 @@ def line_symbol(line: Column) -> Column:
 
 def line_level(line: Column) -> Column:
     """Integer level when present, else NULL (parser.py:53, 60)."""
-    t = F.trim(line)
+    t = _strip(line)
     return F.when(
         t.rlike(LINE_WITH_LEVEL),
         F.regexp_extract(t, LINE_WITH_LEVEL, 2).cast("int"),
@@ -49,7 +57,7 @@ def line_level(line: Column) -> Column:
 
 
 def line_title(line: Column) -> Column:
-    t = F.trim(line)
+    t = _strip(line)
     return F.when(
         t.rlike(LINE_WITH_LEVEL), F.regexp_extract(t, LINE_WITH_LEVEL, 3)
     ).otherwise(F.regexp_extract(t, LINE_NO_LEVEL, 2))

@@ -794,6 +794,110 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q29_interval_join",
+    """
+    SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_nearby
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id <> b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120000000
+    GROUP BY a.event_id ORDER BY a.event_id
+    """,
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval (range) join: events within ±2 minutes of each other per
+    user, via bucketize + 3-offset equi-join (operators/rangejoin.py) —
+    equi-join-shaped shuffle instead of a theta join, candidate fan-out
+    bounded by bucket occupancy."""
+    from .operators.rangejoin import interval_join
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    joined = interval_join(e, e, "user_id", "ts", "ts", max_gap_us=120_000_000)
+    return (
+        joined.filter(F.col("event_id") != F.col("event_id_r"))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_nearby"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q30_skewed_agg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-proof aggregation: 3 hot group keys (l_returnflag) summed
+    via deterministic-salt two-stage agg (operators/skew.py) — partials
+    per (key, salt) bound every reducer's fan-in; result identical to
+    the plain groupBy the oracle computes."""
+    from .operators.skew import two_stage_agg
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "qty_cents",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint"),
+    )
+    return two_stage_agg(
+        li, key="l_returnflag", agg_col="qty_cents", salt_from="l_orderkey"
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q31_ancestor_paths",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT CAST(p_partkey AS VARCHAR) AS symbol, p_brand AS parent FROM part
+      UNION
+      SELECT DISTINCT p_brand AS symbol, 'ROOT' AS parent FROM part
+      UNION
+      SELECT 'ROOT' AS symbol, NULL AS parent
+    ), paths AS (
+      SELECT symbol, parent AS ancestor, 1 AS depth
+      FROM edges WHERE parent IS NOT NULL
+      UNION ALL
+      SELECT p.symbol, e.parent, p.depth + 1
+      FROM paths p JOIN edges e ON p.ancestor = e.symbol
+      WHERE e.parent IS NOT NULL
+    )
+    SELECT symbol, ancestor, CAST(depth AS BIGINT) AS depth
+    FROM paths ORDER BY symbol, depth, ancestor
+    """,
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchy ancestor paths over the part → brand → ROOT tree via
+    iterative broadcast self-joins (operators/hierarchy.py); the oracle
+    is DuckDB's recursive CTE."""
+    from .operators.hierarchy import ancestor_paths
+
+    p = _t(spark, sf, "part")
+    edges = (
+        p.select(
+            F.col("p_partkey").cast("string").alias("symbol"),
+            F.col("p_brand").alias("parent"),
+        )
+        .unionByName(
+            p.select(
+                F.col("p_brand").alias("symbol"), F.lit("ROOT").alias("parent")
+            ).distinct()
+        )
+        .unionByName(
+            p.sparkSession.createDataFrame(
+                [("ROOT", None)], "symbol string, parent string"
+            )
+        )
+        .distinct()
+    )
+    return (
+        ancestor_paths(edges)
+        .select("symbol", "ancestor", F.col("depth").cast("bigint").alias("depth"))
+        .orderBy("symbol", "depth", "ancestor")
+    )
+
+
+@query(
     "q27_json_extract",
     """
     SELECT event_id,

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from etl_cpc_schema_spark.functions import parsing as P
 
@@ -61,6 +61,9 @@ line_strategy = st.one_of(
 
 @settings(max_examples=5, deadline=None)
 @given(st.lists(line_strategy, min_size=1, max_size=60))
+# regression: tab-led line — Python strip() removes it, F.trim does not
+@example(["\t0 0"])
+@example(["\tA01B 1 tab indented title"])
 def test_parser_matches_reference_model(spark, lines):
     df = spark.createDataFrame([(ln,) for ln in lines], "line string")
     got = [r.asDict() for r in P.parse_title_lines(df).collect()]
