@@ -26,6 +26,9 @@ from pyspark.sql.window import Window
 
 from .functions import text as TX
 from .functions.hashing import portable_hash64_sql
+
+#: shared oracle tokenization idiom (empty-token-filtered; see ADVICE r1)
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 from .operators import dedup as DD
 from .operators import multimodal as MM
 from .operators import similarity as SIM
@@ -846,6 +849,65 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q32_quantiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped quantiles: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the (n-1)*p linear-interpolation definition,
+    so the doubles agree bit-for-bit (verified).  At 100 TB swap in
+    ``percentile_approx`` with a bounds-flag oracle like
+    approx_distinct_users."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q33_grouped_topk",
+    f"""
+    SELECT lang, doc_id, n_tokens, rn AS rank FROM (
+      SELECT lang, doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY len({_TOKS_SQL}) DESC, doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 3 ORDER BY lang, rank
+    """,
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped top-k (3 longest documents per language) — the per-group
+    selection every curation pipeline needs; WindowGroupLimit pushes
+    the rank filter below the sort at scale."""
+    d = _t(spark, sf, "documents").select(
+        "lang",
+        "doc_id",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "doc_id", "n_tokens", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+@query(
     "q31_ancestor_paths",
     """
     WITH RECURSIVE edges AS (
@@ -1559,10 +1621,6 @@ def text_token_bpe_q(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-#: shared oracle tokenization idiom (empty-token-filtered; see ADVICE r1)
-_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
-
-
 @query(
     "text_pii_scrub",
     f"""
@@ -1805,6 +1863,22 @@ def stream_q(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.ingest import hourly_counts_stream
 
     return hourly_counts_stream(spark, sf)
+
+
+@query(
+    "stream_dedup_counts",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup: source unioned with itself, keyed-state
+    dropDuplicates, then grouped counts — matches the single-copy batch
+    counts iff the dedup state worked (chained stateful ops)."""
+    from .streaming.ingest import dedup_counts_stream
+
+    return dedup_counts_stream(spark, sf)
 
 
 @query(

@@ -70,6 +70,44 @@ def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return spark.table(name).orderBy("hour_start")
 
 
+def dedup_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events source is UNIONED WITH ITSELF
+    (every event arrives twice), then ``dropDuplicates`` keyed-state
+    removes the copies before a windowless grouped count.  The batch
+    oracle is the plain per-type count — correct iff the dedup state
+    actually dropped the doubled rows.  Exercises chained stateful
+    operators (dedup → agg) through the streaming engine.
+    """
+
+    def src():
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(events_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    doubled = src().union(src())
+    agg = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_type")
+
+
 def session_counts_stream(
     spark: SparkSession, events_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:

@@ -43,6 +43,7 @@ DOC_QUERIES = [
     "docs_pack_sequences",
     "docs_stratified_sample",
     "docs_contamination",
+    "q33_grouped_topk",
 ]
 
 EDGE_ROWS = [
