@@ -963,7 +963,11 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
     "q27_json_extract",
     """
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+           -- json_valid guard: DuckDB raises on malformed JSON where
+           -- Spark's get_json_object returns NULL
+           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END
+                AS BIGINT) AS k_val
     FROM events ORDER BY event_id
     """,
 )
@@ -1883,14 +1887,16 @@ def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "stream_sessionize",
-    # q22's batch shape, with >= on the gap: session_window's interval
-    # is [start, last+gap), so an event exactly `gap` later starts a
-    # NEW session, where the lag-formulation q22 uses strict >
+    # q22's batch shape with the SAME strict-> gap predicate:
+    # session_window's gap boundary is inclusive (an event exactly
+    # `gap` after the last one extends the session — verified against
+    # a fixture with an exact 1800 s gap), matching the lag
+    # formulation's `> gap` starts-new rule.
     """
     WITH g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (

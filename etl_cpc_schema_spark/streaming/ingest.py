@@ -117,9 +117,10 @@ def session_counts_stream(
 
     Sessions are renumbered 1.. per user by window start so the result
     matches the batch sessionization twin (q22).  Boundary semantics:
-    ``session_window`` closes a session when the next event is >= gap
-    away (the window is [start, last+gap)), so the SQL twin must use
-    ``>= gap``, where the lag-based batch q22 uses ``> gap``.
+    the ``session_window`` gap is INCLUSIVE — an event arriving exactly
+    ``gap`` after the previous one extends the session (verified with
+    an exact-1800 s fixture), identical to the lag formulation's
+    strict ``> gap`` starts-new rule.
     """
     from pyspark.sql.window import Window
 
