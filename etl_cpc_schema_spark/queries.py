@@ -908,6 +908,58 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q34_udaf_geomean",
+    """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n_vals,
+           true AS within_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    """UDAF surface (SURVEY §2.8): an Arrow-batched grouped-agg Pandas
+    UDF (geometric mean of 1+|value|) cross-checked IN the query
+    against the native ``exp(avg(ln(...)))`` formulation.  Float
+    summation order differs between numpy and the JVM, so the declared
+    output is the exact count plus a relative-tolerance flag the
+    exact-SQL oracle asserts — same pattern as approx_distinct_users.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # type hints into strings, which PySpark's hint inference rejects
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        import numpy as np
+
+        v = v.dropna()
+        if len(v) == 0:
+            return float("nan")
+        return float(np.exp(np.log1p(np.abs(v.to_numpy())).mean()))
+
+    e = _t(spark, sf, "events")
+    # a grouped-agg pandas UDF cannot share an agg() with JVM
+    # aggregates — two aggregations joined on the (tiny) group key
+    udaf = e.groupBy("event_type").agg(geomean(F.col("value")).alias("gm_udaf"))
+    native = e.groupBy("event_type").agg(
+        F.count("value").alias("n_vals"),
+        F.exp(F.avg(F.log1p(F.abs(F.col("value"))))).alias("gm_native"),
+    )
+    return (
+        native.join(F.broadcast(udaf), "event_type")
+        .select(
+            "event_type",
+            "n_vals",
+            (
+                F.abs(F.col("gm_udaf") - F.col("gm_native"))
+                <= F.abs(F.col("gm_native")) * F.lit(1e-9)
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q31_ancestor_paths",
     """
     WITH RECURSIVE edges AS (
