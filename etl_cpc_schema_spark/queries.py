@@ -1202,6 +1202,45 @@ def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+def _components_oracle() -> str:
+    # transitive closure of the minhash candidate graph; component =
+    # min reachable node (matching hash-min label propagation)
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS node, CAST(least(a, min(b)) AS BIGINT) AS component
+FROM reach GROUP BY a ORDER BY node
+"""
+
+
+@query("dedup_components", _components_oracle())
+def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (hash-min
+    label propagation, operators/components.py) over the MinHash-LSH
+    candidate graph — the transitive-closure step that turns pair
+    emitters into keep-one-per-cluster dedup.  Oracle: DuckDB
+    recursive-CTE closure with min-reachable labels."""
+    from .operators.components import connected_components
+
+    pairs = DD.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4
+    )
+    return (
+        connected_components(pairs)
+        .select("node", F.col("component").cast("bigint").alias("component"))
+        .orderBy("node")
+    )
+
+
 def _lsh_jaccard_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     from .functions.hashing import MINHASH_MOD, minhash_affine_params
 

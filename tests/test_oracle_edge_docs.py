@@ -44,6 +44,7 @@ DOC_QUERIES = [
     "docs_stratified_sample",
     "docs_contamination",
     "q33_grouped_topk",
+    "dedup_components",
 ]
 
 EDGE_ROWS = [
