@@ -1316,6 +1316,48 @@ def dedup_lsh_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_clustered_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.lang
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+WHERE c.node IS NULL OR c.component = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("docs_dedup_clustered", _dedup_clustered_oracle())
+def docs_dedup_clustered_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete cluster-dedup materialization: LSH candidate pairs →
+    connected components → keep each cluster's min doc id plus all
+    untouched singletons.  This is the query a training pipeline runs
+    to write the cleaned corpus."""
+    from .operators.components import connected_components
+
+    d = _t(spark, sf, "documents")
+    pairs = DD.minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4)
+    comp = connected_components(pairs)
+    return (
+        d.join(comp, d.doc_id == comp.node, "left")
+        .filter(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     bit_terms = " + ".join(
         f"""(CASE WHEN list_sum(list_transform(t,

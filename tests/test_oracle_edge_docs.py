@@ -45,6 +45,7 @@ DOC_QUERIES = [
     "docs_contamination",
     "q33_grouped_topk",
     "dedup_components",
+    "docs_dedup_clustered",
 ]
 
 EDGE_ROWS = [
