@@ -908,6 +908,70 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q35_full_outer",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join class: per-nation customer vs supplier counts,
+    nations present on either side survive with zero-filled partners."""
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk_c == s.nk_s, "full_outer")
+        .select(
+            F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q36_intersect",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY custkey
+    """,
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-operation class (SURVEY §2.5) — INTERSECT (q20 covers
+    EXCEPT): customers in credit who also have open orders."""
+    pos = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    open_o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return pos.intersect(open_o).orderBy("custkey")
+
+
+@query(
     "q34_udaf_geomean",
     """
     SELECT event_type,
