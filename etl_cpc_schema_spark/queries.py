@@ -908,6 +908,75 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q37_range_window",
+    """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_cents
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window (SURVEY §2.6): trailing 1-hour sum per user by
+    event-time distance, not row count — peer rows at equal timestamps
+    are included by both engines' RANGE semantics."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+            .over(w)
+            .alias("hour_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q38_window_misc",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           lead(o_orderkey, 1, -1) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-statistics window functions (ntile / percent_rank /
+    cume_dist / lead-with-default) under a total order — exact rational
+    doubles, identical in both engines.
+
+    Scale note: an unpartitioned window is inherently one task; global
+    ranking at 100 TB goes through rangepartition + per-range offsets
+    (or approx quantile buckets, q32).  This query pins the function
+    semantics, not the global-sort strategy."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.lead("o_orderkey", 1, -1).over(w).alias("next_key"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "q35_full_outer",
     """
     WITH c AS (
