@@ -2026,6 +2026,63 @@ def docs_stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(d, "lang", _STRAT_RATES, "doc_id").orderBy("doc_id")
 
 
+def _temperature_oracle() -> str:
+    from .functions.hashing import portable_hash64_sql
+
+    bucket = f"({portable_hash64_sql('CAST(doc_id AS VARCHAR)', 'strat')} % 100)"
+    return f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang,
+             CAST(floor(100 * sqrt(CAST(n AS DOUBLE) / max(n) OVER ())) AS BIGINT)
+               AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {bucket} < r.rate
+    ORDER BY d.doc_id
+    """
+
+
+@query("docs_temperature_sample", _temperature_oracle())
+def docs_temperature_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based language rebalancing (alpha=0.5): keep rate per
+    language = floor(100*sqrt(n_lang/n_max)) — up-weights low-resource
+    languages relative to proportional sampling, the standard
+    multilingual-mix move.  Rates are DATA-DEPENDENT but engine-stable
+    (IEEE sqrt is correctly rounded; division/multiply/floor are exact
+    same-order double ops), and the keep decision reuses the
+    deterministic hash bucket.  Plan: tiny counts agg + unpartitioned
+    window over ~n_langs rows, broadcast-joined back to the corpus —
+    no BroadcastNestedLoopJoin (a scalar max cross-join would be one).
+    """
+    from .functions.hashing import portable_hash64
+
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    rates = counts.select(
+        "lang",
+        F.floor(
+            100
+            * F.sqrt(
+                F.col("n").cast("double")
+                / F.max("n").over(Window.partitionBy())
+            )
+        )
+        .cast("bigint")
+        .alias("rate"),
+    )
+    bucket = portable_hash64(F.col("doc_id").cast("string"), seed="strat") % 100
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "docs_contamination",
     f"""

@@ -46,6 +46,7 @@ DOC_QUERIES = [
     "q33_grouped_topk",
     "dedup_components",
     "docs_dedup_clustered",
+    "docs_temperature_sample",
 ]
 
 EDGE_ROWS = [
