@@ -2158,6 +2158,70 @@ def multimodal_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      FROM documents
+    ), d AS (
+      SELECT doc_id, text, h % 64 + 1 AS w0, (h >> 6) % 64 + 1 AS h0 FROM t
+    )
+    SELECT doc_id,
+           GREATEST(1, CAST(trunc(w0 * LEAST(1.0, 32.0 / GREATEST(w0, h0)))
+                       AS BIGINT)) AS out_width,
+           GREATEST(1, CAST(trunc(h0 * LEAST(1.0, 32.0 / GREATEST(w0, h0)))
+                       AS BIGINT)) AS out_height,
+           md5(text) AS thumb_hex
+    FROM d ORDER BY doc_id
+    """,
+)
+def multimodal_resize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize stage through the Arrow mapInPandas path; the stubbed
+    resampler's aspect-preserving dimension math and md5 stand-in
+    thumbnail are reproduced exactly in SQL (identical IEEE double op
+    order), with the thumbnail compared as lowercase hex."""
+    d = _t(spark, sf, "documents")
+    out = MM.resize_images(MM.attach_fake_payload(d), max_side=32)
+    return out.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        F.lower(F.hex(F.col("thumb"))).alias("thumb_hex"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frames",
+    """
+    WITH t AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text,
+             unnest(range(least(4, greatest(1, blen // 64)))) AS frame_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frames_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling stage (1→N exploding mapInPandas): frames hashed
+    for comparison.  Oracle slices by CHARACTER position — equivalent
+    to the engine's byte slicing because the documents fixture is pure
+    ASCII (asserted: octet_length == length for every row)."""
+    d = _t(spark, sf, "documents")
+    out = MM.sample_frames(MM.attach_fake_payload(d), every_n_bytes=64, max_frames=4)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.col("frame_payload")).alias("frame_md5"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@query(
     "stream_user_counts_stateful",
     """
     SELECT user_id, count(*) AS n_events

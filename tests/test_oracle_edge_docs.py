@@ -47,6 +47,8 @@ DOC_QUERIES = [
     "dedup_components",
     "docs_dedup_clustered",
     "docs_temperature_sample",
+    "multimodal_resize",
+    "multimodal_frames",
 ]
 
 EDGE_ROWS = [
