@@ -28,10 +28,17 @@ from pyspark.sql import types as T
 
 import __spark_entry__ as E
 
-# vanilla session — deliberately NOT the engine's tuned factory
+# vanilla session — deliberately NOT the engine's tuned factory.
+# CPUS/PARTS env overrides let the sweep re-run under a different
+# parallelism to catch partition-order-sensitive nondeterminism
+# (the driver's own session config is unknown).
+import os as _os
+
+_cpus = _os.environ.get("SPARK_GRAFT_DRIVE_CPUS", "8")
+_parts = _os.environ.get("SPARK_GRAFT_DRIVE_PARTS", "8")
 spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
+    SparkSession.builder.master(f"local[{_cpus}]")
+    .config("spark.sql.shuffle.partitions", _parts)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
