@@ -977,6 +977,88 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q39_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+                AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority, gid
+    """,
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with explicit grouping() markers (the
+    class rollup/cube can't express: disjoint sets + the grand total,
+    no (status, priority) pair).  The grouping id is composed
+    explicitly as 2*g(status)+g(priority) because engines disagree on
+    native grouping_id bit order.  Uses the SQL surface over a direct
+    parquet table reference — no temp-view state."""
+    return spark.sql(
+        f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               count(*) AS n
+        FROM parquet.`{sf}/orders.parquet`
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority, gid
+        """
+    )
+
+
+@query(
+    "q40_stats_agg",
+    """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n_vals,
+           true AS corr_ok, true AS stddev_ok, true AS covar_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical-aggregate class: corr / stddev_samp / covar_samp.
+    Engines use different summation algorithms (naive vs Welford), so
+    the declared output cross-checks Spark's aggregates against
+    textbook recomputations FROM THE SAME engine's avgs inside the
+    query and emits relative-tolerance flags the exact-SQL oracle
+    asserts — the q34 pattern for float aggregates."""
+    e = _t(spark, sf, "events").withColumn(
+        "v2", F.col("value") * F.col("value")
+    ).withColumn("uid_d", F.col("user_id").cast("double"))
+    agg = e.groupBy("event_type").agg(
+        F.count("value").alias("n_vals"),
+        F.corr("value", "uid_d").alias("corr_s"),
+        F.stddev_samp("value").alias("sd_s"),
+        F.covar_samp("value", "uid_d").alias("cv_s"),
+        F.avg("value").alias("m_v"),
+        F.avg("uid_d").alias("m_u"),
+        F.avg(F.col("value") * F.col("uid_d")).alias("m_vu"),
+        F.avg("v2").alias("m_v2"),
+        F.avg(F.col("uid_d") * F.col("uid_d")).alias("m_u2"),
+    )
+    n = F.col("n_vals").cast("double")
+    cov_ref = (F.col("m_vu") - F.col("m_v") * F.col("m_u")) * n / (n - 1)
+    var_ref = (F.col("m_v2") - F.col("m_v") * F.col("m_v")) * n / (n - 1)
+    varu_ref = (F.col("m_u2") - F.col("m_u") * F.col("m_u")) * n / (n - 1)
+    corr_ref = cov_ref / F.sqrt(var_ref * varu_ref)
+
+    def ok(a, b):
+        return F.abs(a - b) <= F.greatest(F.abs(b) * F.lit(1e-6), F.lit(1e-9))
+
+    return agg.select(
+        "event_type",
+        F.col("n_vals").cast("bigint").alias("n_vals"),
+        ok(F.col("corr_s"), corr_ref).alias("corr_ok"),
+        ok(F.col("sd_s"), F.sqrt(var_ref)).alias("stddev_ok"),
+        ok(F.col("cv_s"), cov_ref).alias("covar_ok"),
+    ).orderBy("event_type")
+
+
+@query(
     "q35_full_outer",
     """
     WITH c AS (
