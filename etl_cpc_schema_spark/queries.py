@@ -1059,6 +1059,68 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q41_string_funcs",
+    """
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           translate(p_name, 'ae', 'AE') AS translated,
+           CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS lev,
+           reverse(p_brand) AS rev,
+           left(p_name, 5) AS l5,
+           right(p_name, 5) AS r5
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    """String-function class: lpad / translate / levenshtein (fuzzy
+    matching) / reverse / left / right — parity across the common
+    built-in surface."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.translate("p_name", "ae", "AE").alias("translated"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("bigint").alias("lev"),
+        F.reverse("p_brand").alias("rev"),
+        F.left(F.col("p_name"), F.lit(5)).alias("l5"),
+        F.right(F.col("p_name"), F.lit(5)).alias("r5"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q42_datetime_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+           CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+           CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """Datetime-function class: component extraction, month boundaries,
+    interval arithmetic, day differences.  Day-of-week numbering
+    differs across engines (Spark Sunday=1, DuckDB Sunday=0) — the
+    Spark side subtracts 1 to pin a single convention."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "q35_full_outer",
     """
     WITH c AS (
@@ -2336,6 +2398,23 @@ def stream_q(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.ingest import hourly_counts_stream
 
     return hourly_counts_stream(spark, sf)
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def stream_static_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join class: streaming events broadcast-join the
+    static customer dimension, aggregated per segment — checked against
+    the batch join's SQL."""
+    from .streaming.ingest import static_join_counts_stream
+
+    return static_join_counts_stream(spark, sf)
 
 
 @query(

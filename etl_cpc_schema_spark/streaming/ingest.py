@@ -70,6 +70,39 @@ def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return spark.table(name).orderBy("hour_start")
 
 
+def static_join_counts_stream(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Stream-static join: the events STREAM broadcast-joins the static
+    customer dimension (re-read per micro-batch — picking up dim
+    updates is the semantic), then aggregates counts per market
+    segment.  The canonical streaming-enrichment shape; oracle is the
+    batch join's SQL.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(data_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    customers = spark.read.parquet(f"{data_dir}/customer.parquet")
+    joined = stream.join(
+        F.broadcast(customers),
+        stream.user_id == customers.c_custkey,
+    )
+    agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+    name = f"stream_sjoin_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("c_mktsegment")
+
+
 def dedup_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming exact dedup: the events source is UNIONED WITH ITSELF
     (every event arrives twice), then ``dropDuplicates`` keyed-state
