@@ -2401,6 +2401,26 @@ def stream_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def stream_stream_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream time-interval join (attribution: clicks in the 10
+    minutes before each same-user purchase), watermark-bounded state on
+    both sides — checked against the batch interval join's SQL."""
+    from .streaming.ingest import attribution_join_stream
+
+    return attribution_join_stream(spark, sf)
+
+
+@query(
     "stream_static_join",
     """
     SELECT c.c_mktsegment, count(*) AS n

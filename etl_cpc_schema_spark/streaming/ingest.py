@@ -103,6 +103,65 @@ def static_join_counts_stream(spark: SparkSession, data_dir: str) -> DataFrame:
     return spark.table(name).orderBy("c_mktsegment")
 
 
+def attribution_join_stream(
+    spark: SparkSession, events_dir: str, window: str = "10 minutes"
+) -> DataFrame:
+    """Stream-STREAM time-interval join: each purchase event joins the
+    same user's click events from the preceding ``window`` — the
+    classic attribution shape.  Both sides carry watermarks so the
+    join state is bounded; inner join + append mode, driven to
+    completion with availableNow.  Returns (purchase_id, click_id)
+    pairs.
+    """
+
+    def src():
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(events_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id")
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
 def dedup_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming exact dedup: the events source is UNIONED WITH ITSELF
     (every event arrives twice), then ``dropDuplicates`` keyed-state
