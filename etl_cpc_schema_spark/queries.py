@@ -977,6 +977,86 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "approx_quantiles_bounded",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS p50_ok, true AS p99_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def approx_quantiles_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-quantile sketch (Greenwald-Khanna family) with the
+    bounds-flag pattern: percentile_approx at accuracy 1000 must land
+    within the value range spanned by the exact percentile +/- 2% of
+    rank — the 100 TB substitute for q32's exact sort-based quantiles.
+    Deterministic for fixed data; the exact-SQL oracle asserts the
+    flags."""
+    e = _t(spark, sf, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile_approx("value", 0.5, 1000).alias("a50"),
+        F.percentile_approx("value", 0.99, 1000).alias("a99"),
+        F.percentile("value", 0.48).alias("lo50"),
+        F.percentile("value", 0.52).alias("hi50"),
+        F.percentile("value", 0.97).alias("lo99"),
+        F.percentile("value", 1.0).alias("hi99"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_ok"
+        ),
+        ((F.col("a99") >= F.col("lo99")) & (F.col("a99") <= F.col("hi99"))).alias(
+            "p99_ok"
+        ),
+    ).orderBy("event_type")
+
+
+@query(
+    "approx_hll_mergeable",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           true AS merged_within_bounds
+    FROM events
+    """,
+)
+def approx_hll_mergeable_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches work on a
+    cluster: HLL sketches built independently on two disjoint halves of
+    the data (even/odd event ids), merged with hll_union, must estimate
+    the full distinct-user count within 15% of exact.  The oracle
+    asserts the flag plus the exact count."""
+    e = _t(spark, sf, "events")
+    merged = (
+        e.withColumn("half", (F.col("event_id") % 2).cast("int"))
+        .groupBy("half")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"))
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("n_exact"))
+    # combine the two 1-row aggregates by union + max, NOT a join: a
+    # 1-row x 1-row join plans as BroadcastNestedLoopJoin (banned)
+    combined = exact.select(
+        F.col("n_exact").cast("double").alias("n_exact"),
+        F.lit(None).cast("double").alias("n_est"),
+    ).unionByName(
+        merged.select(
+            F.lit(None).cast("double").alias("n_exact"),
+            F.col("n_est").cast("double").alias("n_est"),
+        )
+    )
+    return combined.agg(
+        F.max("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.max("n_est") - F.max("n_exact"))
+            <= F.max("n_exact") * F.lit(0.15)
+        ).alias("merged_within_bounds"),
+    )
+
+
+@query(
     "q39_grouping_sets",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
