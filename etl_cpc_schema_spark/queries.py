@@ -1201,6 +1201,34 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q43_variant_extract",
+    """
+    SELECT event_id,
+           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END
+                AS BIGINT) AS k_val,
+           (props IS NOT NULL AND json_valid(props)) AS parsed_ok
+    FROM events ORDER BY event_id
+    """,
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): try_parse_json →
+    variant_get with a typed path — the shredding-friendly successor to
+    string JSON (q27's get_json_object twin).  Malformed/NULL props
+    parse to NULL variant, matching the oracle's json_valid guard."""
+    e = _t(spark, sf, "events")
+    v = F.try_parse_json(F.col("props"))
+    return (
+        e.select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k_val"),
+            v.isNotNull().alias("parsed_ok"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "q35_full_outer",
     """
     WITH c AS (

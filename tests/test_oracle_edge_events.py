@@ -29,6 +29,7 @@ EVENT_QUERIES = [
     "q26_distinct_exact",
     "q27_json_extract",
     "q28_unpivot",
+    "q43_variant_extract",
     "q29_interval_join",
     "q32_quantiles",
     "approx_distinct_users",
