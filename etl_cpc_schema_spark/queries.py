@@ -2278,6 +2278,54 @@ def docs_stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(d, "lang", _STRAT_RATES, "doc_id").orderBy("doc_id")
 
 
+@query(
+    "docs_chunk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(range(CAST(ceil(greatest(len(toks) - 16, 1) / 48.0)
+                          AS BIGINT))) AS chunk_idx
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64))
+                AS BIGINT) AS n_toks,
+           md5(array_to_string(
+             list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64), ' '))
+             AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def docs_chunk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping document chunking: 64-token windows at stride 48
+    (16-token overlap) — the context-window splitting step that feeds
+    sequence packing.  1→N explode over a per-doc chunk count, each
+    chunk a slice of the token array; map-only, no shuffle before the
+    final sort.  Chunks are compared by token count + md5 of the
+    space-joined window."""
+    d = _t(spark, sf, "documents")
+    t = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.size("toks") - 16, F.lit(1)) / F.lit(48.0)
+    ).cast("int")
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(c.toks, F.col("chunk_idx") * 48 + 1, F.lit(64))
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_toks"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def _temperature_oracle() -> str:
     from .functions.hashing import portable_hash64_sql
 

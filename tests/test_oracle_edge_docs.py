@@ -49,6 +49,7 @@ DOC_QUERIES = [
     "docs_temperature_sample",
     "multimodal_resize",
     "multimodal_frames",
+    "docs_chunk",
 ]
 
 EDGE_ROWS = [
