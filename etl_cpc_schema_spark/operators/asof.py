@@ -34,9 +34,17 @@ def asof_join(
     right_time: str,
     value_col: str,
     out_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """left rows + the latest ``value_col`` from right where
-    ``right_time <= left_time`` (NULL when no earlier right row)."""
+    ``right_time <= left_time`` (NULL when no earlier right row).
+
+    ``direction="forward"`` flips the match: the EARLIEST right row
+    with ``right_time >= left_time`` — the same union+window plan with
+    the time ordering reversed (ties at the same instant still match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     out_col = out_col or value_col
     left_cols = [c for c in left.columns if c != key]
 
@@ -54,9 +62,14 @@ def asof_join(
         F.lit(None).cast(right.schema[value_col].dataType).alias("__v"),
         *left_cols,
     )
+    order = (
+        [F.col("__t").asc(), F.col("__pri").asc()]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__pri").asc()]
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__pri")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

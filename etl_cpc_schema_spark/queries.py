@@ -691,6 +691,140 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q44_asof_forward",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        FROM orders) t WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           coalesce(r.o_orderkey, -1) AS next_order_key
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+    ORDER BY event_id
+    """,
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join: each event picks the customer's earliest
+    order at or after the event time (asof_join direction='forward' —
+    same union+window plan, reversed time order).  No-match rows emit
+    -1, not NULL: a NULL in a bigint output turns the whole column
+    float64 under pandas conversion (same hasher hazard as DECIMAL)."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_col="o_orderkey",
+        out_col="next_order_key",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("next_order_key"), F.lit(-1)).alias("next_order_key"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q45_salted_join",
+    """
+    SELECT s.s_nationkey,
+           count(*) AS n_lines,
+           CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_qty_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY s_nationkey
+    """,
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted join parity: the deterministic-salt join (operators/skew.py
+    — big side's hot keys split 8 ways, small side replicated per salt)
+    must produce exactly the plain join's results, which the oracle
+    computes."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        "l_orderkey",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("qty_cents"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, s, key="suppkey", salt_from="l_orderkey", factor=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("qty_cents").alias("sum_qty_cents"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "q46_nullsafe_join",
+    """
+    WITH k AS (
+      SELECT event_id,
+             CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k_val
+      FROM events
+    ), d AS (
+      SELECT DISTINCT k_val FROM k
+    ), c AS (
+      SELECT k_val, count(*) AS n FROM k GROUP BY k_val
+    )
+    SELECT coalesce(CAST(d.k_val AS VARCHAR), 'NULL') AS k_str, c.n
+    FROM d JOIN c ON d.k_val IS NOT DISTINCT FROM c.k_val
+    ORDER BY k_str
+    """,
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (IS NOT DISTINCT FROM / eqNullSafe):
+    NULL keys MATCH each other — a plain equi-join silently drops them,
+    the classic joins-on-extracted-optional-fields bug.  The key is
+    emitted as a string with a 'NULL' sentinel (nullable numeric
+    outputs go float64 under pandas conversion)."""
+    e = _t(spark, sf, "events")
+    k = e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_val"),
+    )
+    d = k.select("k_val").distinct()
+    c = k.groupBy("k_val").agg(F.count("*").alias("n"))
+    return (
+        d.join(c, d.k_val.eqNullSafe(c.k_val))
+        .select(
+            F.coalesce(d.k_val.cast("string"), F.lit("NULL")).alias("k_str"),
+            "n",
+        )
+        .orderBy("k_str")
+    )
+
+
+@query(
     "q24_pivot_counts",
     """
     SELECT user_id,

@@ -175,3 +175,20 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 def write_csv(df: DataFrame, path: str) -> None:
     """S11 — CSV sidecar (reference main.py:120)."""
     df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dest: str, target_files: int = 1
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``target_files`` files.  The table-maintenance op every
+    long-running ingest needs — streaming sinks and fine-grained
+    partitioned writes accumulate small files whose per-file open/seek
+    overhead dominates scans at 100 TB.  ``repartition`` (round-robin,
+    one shuffle) balances output sizes; rows are unchanged.
+    """
+    df = spark.read.parquet(src)
+    df.repartition(target_files).write.mode("overwrite").parquet(dest)
+    import pathlib
+
+    return sum(1 for p in pathlib.Path(dest).glob("*.parquet"))

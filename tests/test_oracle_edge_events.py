@@ -32,6 +32,8 @@ EVENT_QUERIES = [
     "q43_variant_extract",
     "q29_interval_join",
     "q32_quantiles",
+    "q44_asof_forward",
+    "q46_nullsafe_join",
     "approx_distinct_users",
     "stream_hourly_counts",
     "stream_user_counts_stateful",

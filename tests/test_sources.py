@@ -108,3 +108,19 @@ def test_parquet_roundtrip(spark, tmp_path):
     assert [f.name for f in back.schema.fields] == [
         "symbol", "level", "title", "section", "class", "subclass",
     ]
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    from etl_cpc_schema_spark.sources.readers import compact_parquet
+
+    src = str(tmp_path / "scattered")
+    dest = str(tmp_path / "compacted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(16).write.parquet(src)
+    import pathlib
+
+    assert sum(1 for _ in pathlib.Path(src).glob("*.parquet")) == 16
+    n_files = compact_parquet(spark, src, dest, target_files=2)
+    assert n_files == 2
+    # rows unchanged (round-robin repartition moves, never drops)
+    assert spark.read.parquet(dest).count() == orders.count()
