@@ -1335,6 +1335,48 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q47_udtf_enumerate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 50
+    )
+    -- parallel unnests zip positionally in DuckDB (no WITH ORDINALITY)
+    SELECT doc_id,
+           CAST(unnest(range(len(toks))) AS BIGINT) AS token_idx,
+           unnest(toks) AS token
+    FROM t ORDER BY doc_id, token_idx
+    """,
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """UDTF surface (SURVEY §2.8): a Python user-defined TABLE function
+    enumerating (token_idx, token) rows per document — the 1→N lateral
+    shape.  UDTFs are the row-at-a-time slow path (hence the doc_id <
+    50 slice and the preference for explode/posexplode in production
+    plans); this query pins the API surface and its oracle is the
+    equivalent lateral unnest WITH ORDINALITY."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token_idx bigint, token string")
+    class Enumerate:
+        def eval(self, text: str):
+            toks = text.split() if text is not None else []
+            for i, tok in enumerate(toks):
+                yield i, tok
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    # lateral join the UDTF against each row's text
+    d.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("enumerate_tokens", Enumerate)
+    out = spark.sql(
+        """
+        SELECT d.doc_id, t.token_idx, t.token
+        FROM __udtf_docs d, LATERAL enumerate_tokens(d.text) t
+        """
+    )
+    return out.orderBy("doc_id", "token_idx")
+
+
+@query(
     "q43_variant_extract",
     """
     SELECT event_id,
