@@ -36,11 +36,15 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_jaccard",
+    "dedup_components",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk_probed",
     "text_stats",
     "text_token_freq",
+    "docs_pack_sequences",
+    "docs_contamination",
+    "docs_chunk",
 ]
 
 #: best-of-N per query: measures steady-state execution rather than

@@ -40,9 +40,15 @@ def connected_components(
     left-join the full node set afterwards if singleton clusters are
     needed.
     """
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # checkpoint the symmetrized edge list ONCE: every propagation round
+    # joins against it, and without this each round would re-execute the
+    # whole upstream pair-generation pipeline (e.g. LSH candidate
+    # emission) from scratch
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
