@@ -1377,6 +1377,55 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q48_resample_gapfill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ), counts AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(s.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           coalesce(c.n, 0) AS n
+    FROM spine s LEFT JOIN counts c USING (hour_ts)
+    ORDER BY hour_start
+    """,
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resampling / gap filling: a generated calendar spine
+    (sequence of hours between min and max event time) left-joins the
+    hourly counts so silent gaps become explicit zero rows — the
+    monitoring/feature-pipeline staple a bare groupBy cannot produce.
+    The spine generates from a 1-row bounds aggregate (map-side
+    explode), then one broadcastable join against the counts."""
+    e = _t(spark, sf, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    counts = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(counts, "hour_ts", "left")
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+@query(
     "q43_variant_extract",
     """
     SELECT event_id,

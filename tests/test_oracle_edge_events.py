@@ -34,6 +34,7 @@ EVENT_QUERIES = [
     "q32_quantiles",
     "q44_asof_forward",
     "q46_nullsafe_join",
+    "q48_resample_gapfill",
     "approx_distinct_users",
     "stream_hourly_counts",
     "stream_user_counts_stateful",

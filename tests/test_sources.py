@@ -124,3 +124,22 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     assert n_files == 2
     # rows unchanged (round-robin repartition moves, never drops)
     assert spark.read.parquet(dest).count() == orders.count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: parts written before/after a column was
+    added read as one table under mergeSchema, old rows NULL-filled —
+    the long-lived-dataset contract a 100 TB landing zone relies on."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id bigint, v string"
+    ).write.parquet(base + "/part=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.parquet(base + "/part=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"id", "v", "score", "part"}
+    rows = {r["id"]: r.asDict() for r in merged.collect()}
+    assert rows[1]["score"] is None  # old rows NULL-fill the new column
+    assert rows[2]["score"] == 9.5
