@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import io
 import xml.etree.ElementTree as ET
-import zipfile
 from collections.abc import Iterator
 
 import pandas as pd

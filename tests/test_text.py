@@ -55,3 +55,57 @@ def test_rolling_hash_matches_python_model(spark):
 
     for s in ["abc", "the quick brown fox", "a"]:
         assert _one(spark, s, TX.rolling_hash) == model(s)
+
+
+def test_scrub_pii_redacts_all_shapes(spark):
+    from etl_cpc_schema_spark.functions.text import scrub_pii
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [
+            ("write bob.smith+x@sub.example.co.uk today",),
+            ("host 10.0.255.3 port open",),
+            ("call 555-123-4567 or +4915123456789 now",),
+            ("no pii here at all",),
+        ],
+        "text string",
+    ).select(scrub_pii(F.col("text")).alias("clean"))
+    got = [r["clean"] for r in rows.collect()]
+    assert got == [
+        "write <EMAIL> today",
+        "host <IP> port open",
+        "call <PHONE> or <PHONE> now",
+        "no pii here at all",
+    ]
+
+
+def test_url_domains_distinct_sorted(spark):
+    from etl_cpc_schema_spark.functions.text import url_domains
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [
+            ("see https://b.org/x and http://a.com/y and https://b.org/z",),
+            ("no links",),
+        ],
+        "text string",
+    ).select(url_domains(F.col("text")).alias("d"))
+    got = [list(r["d"]) for r in rows.collect()]
+    assert got == [["a.com", "b.org"], []]
+
+
+def test_ngram_repetition_stats_flags_loops(spark):
+    from etl_cpc_schema_spark.functions.text import ngram_repetition_stats
+    from pyspark.sql import functions as F
+
+    n, mx = ngram_repetition_stats(F.col("text"), n=3)
+    rows = spark.createDataFrame(
+        [
+            ("spam spam spam spam spam spam",),  # 4 trigrams, all identical
+            ("one two three four five six",),    # 4 distinct trigrams
+            ("",),                                # empty: 0 ngrams
+        ],
+        "text string",
+    ).select(n.alias("n"), mx.alias("mx"))
+    got = [(r["n"], r["mx"]) for r in rows.collect()]
+    assert got == [(4, 4), (4, 1), (0, 0)]
