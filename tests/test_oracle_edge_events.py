@@ -1,8 +1,7 @@
 """Oracle parity on EDGE-CASE events the driver's testdata lacks:
-exact 1800 s session-boundary gaps (where batch `>` and streaming
-`>=` semantics diverge BY DESIGN — each query carries its own oracle),
-timestamp ties, NULL / empty / malformed JSON props, NULL and negative
-values.  Caught live: DuckDB's json_extract_string raises on malformed
+exact 1800 s session-boundary gaps, an exact 120 s pair at the
+interval join's inclusive boundary (q29), timestamp ties,
+NULL / empty / malformed JSON props, NULL and negative values.  Caught live: DuckDB's json_extract_string raises on malformed
 JSON where Spark's get_json_object returns NULL (q27 oracle now guards
 with json_valid).
 """
@@ -50,7 +49,8 @@ EDGE_VALUES = """
   (900004, epoch_ns(TIMESTAMP '2024-02-01 02:00:00'), 9002, 'view', 2.0, '{"x": 1}'),
   (900005, epoch_ns(TIMESTAMP '2024-02-01 02:00:00'), 9002, 'purchase', 2.0, NULL),
   (900006, epoch_ns(TIMESTAMP '2024-02-01 02:00:00.000001'), 9002, 'error', 5.5, 'not json'),
-  (900007, epoch_ns(TIMESTAMP '2024-02-01 03:00:00'), 9003, 'click', NULL, '{"k": 1}')
+  (900007, epoch_ns(TIMESTAMP '2024-02-01 03:00:00'), 9003, 'click', NULL, '{"k": 1}'),
+  (900008, epoch_ns(TIMESTAMP '2024-02-01 03:02:00'), 9003, 'view', 4.0, '{"k": 2}')
 """
 
 
