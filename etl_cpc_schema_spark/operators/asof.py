@@ -47,19 +47,34 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward: {direction}")
     out_col = out_col or value_col
     left_cols = [c for c in left.columns if c != key]
+    if out_col == key or out_col in left_cols:
+        raise ValueError(
+            f"out_col {out_col!r} collides with a left column; pass an "
+            "explicit out_col"
+        )
 
+    # The carried value rides inside a struct marker: the marker is
+    # non-null for every RIGHT row even when the value itself is NULL,
+    # so a matched right row with a NULL value yields NULL (SQL ASOF
+    # semantics) instead of leaking an older value through
+    # last(ignorenulls).
+    from pyspark.sql import types as T
+
+    marker_type = T.StructType(
+        [T.StructField("v", right.schema[value_col].dataType)]
+    )
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__pri"),
-        F.col(value_col).alias("__v"),
+        F.struct(F.col(value_col).alias("v")).alias("__vm"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__pri"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("__v"),
+        F.lit(None).cast(marker_type).alias("__vm"),
         *left_cols,
     )
     order = (
@@ -74,11 +89,11 @@ def asof_join(
     )
     return (
         l.unionByName(r)
-        .withColumn("__asof", F.last("__v", ignorenulls=True).over(w))
+        .withColumn("__asof", F.last("__vm", ignorenulls=True).over(w))
         .filter(F.col("__pri") == 1)
         .select(
             F.col("__k").alias(key),
             *left_cols,
-            F.col("__asof").alias(out_col),
+            F.col("__asof.v").alias(out_col),
         )
     )

@@ -81,4 +81,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the graph has a longer path than max_iter; raise max_iter or "
+            "switch to the large-star/small-star variant"
+        )
     return labels.select("node", F.col("label").alias("component"))

@@ -198,6 +198,13 @@ def minhash_lsh_pairs(
     shuffles are one agg on doc_id and the band-key self-join whose
     keys are already well-distributed hashes.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got num_hashes={num_hashes}, "
+            f"bands={bands}); bands > num_hashes would make every band key "
+            "a document-independent constant and bucket the whole corpus "
+            "together"
+        )
     rows_per_band = num_hashes // bands
     params = H.minhash_affine_params(num_hashes)
     sh = shingle_table(docs, id_col, text_col, n)
@@ -367,6 +374,14 @@ def simhash_near_pairs(
     work across tasks instead; the fingerprint pipeline still computes
     only once — the banded table is checkpointed before the join.
     """
+    if bits % band_bits != 0:
+        raise ValueError(f"band_bits must divide bits: {bits} % {band_bits}")
+    if bits // band_bits <= max_hamming:
+        raise ValueError(
+            f"bands ({bits // band_bits}) must exceed max_hamming "
+            f"({max_hamming}) or the band pigeonhole is not complete and "
+            "near-pairs would be silently missed — lower band_bits"
+        )
     t = simhash_table(docs, bits, id_col, text_col)
     bands = bits // band_bits
     banded = t.select(
@@ -421,10 +436,11 @@ def embedding_near_dup_pairs(
     LSH-bucketed blocks (``similarity.hyperplane_lsh_buckets``) in
     place of the full corpus build side.
     """
-    from .similarity import _collect_matrix
+    from .similarity import _SCALE, _collect_matrix
 
     c_ids, c_mat = _collect_matrix(embs, id_col, vec_col)
     schema = "v1 long, v2 long"
+    scale = float(_SCALE)  # captured by value; must match _np_quantize
 
     def near(batches):
         import numpy as np
@@ -436,7 +452,7 @@ def embedding_near_dup_pairs(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.floor(
-                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * 1000 + 0.5
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
             )
             bn = np.sqrt((mat * mat).sum(axis=1))
             cos = (mat @ c_mat.T) / (cn[None, :] * bn[:, None])

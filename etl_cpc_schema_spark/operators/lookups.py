@@ -46,13 +46,25 @@ def lookup_with_default(
     default,
     out_col: str | None = None,
 ) -> DataFrame:
-    """J3 — ``dict.get(key, default)`` (reference validator.py:195)."""
+    """J3 — ``dict.get(key, default)`` (reference validator.py:195).
+
+    PRESENCE wins, exactly like ``dict.get``: a key present in the
+    lookup with a stored NULL returns that NULL, not the default
+    (coalesce would silently substitute the default for it).
+    """
     out_col = out_col or value_col
-    side = lookup.select(key, F.col(value_col).alias("__lv"))
+    side = lookup.select(
+        key, F.col(value_col).alias("__lv")
+    ).withColumn("__present", F.lit(True))
     return (
         big.join(F.broadcast(side), key, "left")
-        .withColumn(out_col, F.coalesce(F.col("__lv"), F.lit(default)))
-        .drop("__lv")
+        .withColumn(
+            out_col,
+            F.when(F.col("__present").isNotNull(), F.col("__lv")).otherwise(
+                F.lit(default)
+            ),
+        )
+        .drop("__lv", "__present")
     )
 
 
@@ -83,12 +95,22 @@ def precedence_merge(
     (validity file overwrites symbol-list statuses; load order at
     reference validator.py:64-66).
 
-    Full outer join on the key + coalesce(primary, secondary) — both
-    sides dimension-sized, so executed as a broadcast join.
+    Full outer join on the key; PRESENCE wins, matching the dict
+    overwrite exactly: a primary row whose value is NULL still wins
+    (a bare coalesce of the values would resurrect the secondary's
+    value under an explicit NULL overwrite).  Both sides are
+    dimension-sized, so this executes as a broadcast join.
     """
-    p = primary.select(key, F.col(value_col).alias("__p"))
+    p = primary.select(
+        key, F.struct(F.col(value_col).alias("v")).alias("__p")
+    )
     s = secondary.select(key, F.col(value_col).alias("__s"))
     return (
         p.join(s, key, "full_outer")
-        .select(key, F.coalesce(F.col("__p"), F.col("__s")).alias(value_col))
+        .select(
+            key,
+            F.when(F.col("__p").isNotNull(), F.col("__p.v"))
+            .otherwise(F.col("__s"))
+            .alias(value_col),
+        )
     )

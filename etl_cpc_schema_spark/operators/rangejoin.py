@@ -29,6 +29,12 @@ def interval_join(
 
     Output: all left columns + right columns suffixed ``_r``.
     """
+    if max_gap_us <= 0:
+        raise ValueError(
+            f"max_gap_us must be positive (got {max_gap_us}); a zero gap "
+            "would floor-divide by zero into NULL buckets and silently "
+            "match nothing — use an equi-join on the timestamp instead"
+        )
     lt = F.unix_micros(F.col(left_time))
     rt = F.unix_micros(F.col(right_time))
 

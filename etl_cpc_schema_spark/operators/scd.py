@@ -40,14 +40,9 @@ def scd2_merge(
     the dimension).  Ties on ``effective_col`` are broken arbitrarily;
     feed a strictly ordered effective column for determinism.
     """
-    from pyspark.sql.window import Window
+    from .lookups import last_write_wins
 
-    w = Window.partitionBy(key).orderBy(F.col(effective_col).desc())
-    incoming = (
-        incoming.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    incoming = last_write_wins(incoming, key, effective_col)
     inc_keys = incoming.select(key).distinct()
     inc_effective = incoming.select(
         key, F.col(effective_col).alias("__new_from")

@@ -111,6 +111,8 @@ def cosine_topk_bruteforce(
     """
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
     schema = "q_id long, neighbor_id long, cos double"
+    scale = float(_SCALE)  # captured by value — keeps the stream side in
+    # sync with the build side's _np_quantize if VE.SCALE ever changes
 
     def score(batches):
         import numpy as np
@@ -122,7 +124,7 @@ def cosine_topk_bruteforce(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.floor(
-                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * 1000 + 0.5
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
             )
             nsq = np.sqrt((mat * mat).sum(axis=1))
             # cos[i, j] = dot / (sqrt(nq_j) * sqrt(nc_i)) — same op

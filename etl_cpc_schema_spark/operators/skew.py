@@ -39,8 +39,22 @@ def salted_join(
     ``salt_from`` is any big-side column with per-row variety (an id);
     its hash picks the salt deterministically.  The small side is
     exploded once per salt value, so every (key, salt) bucket finds
-    its match.  Result equals ``big.join(small, key, how)``.
+    its match.  Result equals ``big.join(small, key, how)`` for the
+    big-side-preserving join types ONLY — right/full outer would emit
+    every unmatched small-side row once per salt replica, so those are
+    rejected.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti", "cross",
+    }
+    if how not in allowed - {"cross"}:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins {sorted(allowed - {'cross'})}; "
+            f"got {how!r} (right/full outer would duplicate unmatched "
+            "small-side rows once per salt)"
+        )
     big_s = big.withColumn("__salt", _salt(F.col(salt_from), factor))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))

@@ -34,3 +34,29 @@ def test_asof_preserves_left_rowcount(spark):
     assert out.count() == 10
     got = {r["tag"]: r["v"] for r in out.collect()}
     assert got["e4"] is None and got["e5"] == "x" and got["e9"] == "x"
+
+
+def test_asof_null_value_row_matches_as_null(spark):
+    """A matched right row whose value is NULL must yield NULL (SQL ASOF
+    semantics), not leak the previous non-null value through
+    last(ignorenulls) — code-review regression."""
+    from etl_cpc_schema_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 12)], "k bigint, lt bigint")
+    right = spark.createDataFrame(
+        [(1, 5, 7), (1, 10, None)], "k bigint, rt bigint, v int"
+    )
+    out = asof_join(left, right, "k", "lt", "rt", "v", out_col="asof_v").collect()
+    assert out[0]["asof_v"] is None  # the t=10 NULL row matched, not t=5's 7
+
+
+def test_asof_out_col_collision_raises(spark):
+    import pytest
+
+    from etl_cpc_schema_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 12, 0)], "k bigint, lt bigint, v int")
+    right = spark.createDataFrame([(1, 5, 7)], "k bigint, rt bigint, v int")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, "k", "lt", "rt", "v")

@@ -26,3 +26,14 @@ def test_reversed_edge_order(spark):
     edges = spark.createDataFrame([(9, 2), (2, 1)], "d1 bigint, d2 bigint")
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 9: 1}
+
+
+def test_components_raises_when_not_converged(spark):
+    import pytest
+
+    # a 6-node path needs ~5 propagation rounds; cap at 2 -> must raise
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6, 0, -1)], "d1 bigint, d2 bigint"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=2)

@@ -224,3 +224,21 @@ def test_lsh_verified_jaccard_matches_bruteforce(docs):
         assert brute[pair] == shared
     # and the planted near-dups are recalled
     assert (1, 2) in lsh
+
+
+def test_minhash_rejects_bad_band_config(spark, docs=None):
+    import pytest
+
+    d = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="divide"):
+        DD.minhash_lsh_pairs(d, num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="divide"):
+        DD.minhash_lsh_pairs(d, num_hashes=16, bands=5)
+
+
+def test_simhash_pairs_rejects_incomplete_banding(spark):
+    import pytest
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_near_pairs(d, bits=16, band_bits=8, max_hamming=2)

@@ -37,3 +37,14 @@ def test_interval_join_matches_naive(spark, sf_dir):
     }
     assert fast == naive
     assert len(fast) > 0
+
+def test_interval_join_rejects_nonpositive_gap(spark):
+    import pytest
+
+    from etl_cpc_schema_spark.operators.rangejoin import interval_join
+
+    df = spark.createDataFrame([(1,)], "k bigint").withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["F"]).current_timestamp()
+    )
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(df, df, "k", "ts", "ts", max_gap_us=0)

@@ -42,3 +42,15 @@ def test_two_stage_agg_equals_plain_agg(spark, sf_dir):
         ).collect()
     }
     assert plain == staged
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    import pytest
+
+    from etl_cpc_schema_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10)], "k bigint, id bigint")
+    small = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="big-side-preserving"):
+            salted_join(big, small, key="k", salt_from="id", how=how)

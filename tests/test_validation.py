@@ -145,3 +145,28 @@ def test_strict_gate(spark):
     row = final2.collect()[0]
     assert row["cpc_schema_date"] == "202505"
     assert bad2.count() == 0
+
+
+def test_precedence_merge_null_primary_wins(spark):
+    """Presence wins like the reference dict overwrite: a primary row
+    with a NULL value must NOT be resurrected by the secondary."""
+    from etl_cpc_schema_spark.operators.lookups import precedence_merge
+
+    p = spark.createDataFrame([("A", None), ("B", "pb")], "k string, v string")
+    s = spark.createDataFrame([("A", "sa"), ("C", "sc")], "k string, v string")
+    got = {r["k"]: r["v"] for r in precedence_merge(p, s, "k", "v").collect()}
+    assert got == {"A": None, "B": "pb", "C": "sc"}
+
+
+def test_lookup_with_default_stored_null_returned(spark):
+    """dict.get(k, default) returns a STORED None when the key exists;
+    only truly-absent keys get the default."""
+    from etl_cpc_schema_spark.operators.lookups import lookup_with_default
+
+    big = spark.createDataFrame([("A",), ("B",), ("Z",)], "k string")
+    lk = spark.createDataFrame([("A", None), ("B", "vb")], "k string, v string")
+    got = {
+        r["k"]: r["v"]
+        for r in lookup_with_default(big, lk, "k", "v", default="DFLT").collect()
+    }
+    assert got == {"A": None, "B": "vb", "Z": "DFLT"}
