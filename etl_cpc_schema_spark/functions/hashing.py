@@ -19,13 +19,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def portable_hash64(col: Column, seed: int = 0) -> Column:
+def portable_hash64(col: Column, seed: int | str = 0) -> Column:
     """Deterministic 60-bit hash of a string column, seedable."""
     salted = F.concat(F.lit(f"{seed}:"), col)
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
 
 
-def portable_hash64_sql(expr: str, seed: int = 0) -> str:
+def portable_hash64_sql(expr: str, seed: int | str = 0) -> str:
     """DuckDB SQL producing the identical value as ``portable_hash64``."""
     return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
 
@@ -59,11 +59,11 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """
     # NB: single-arg lambdas only — PySpark dispatches higher-order
     # functions on lambda arity, so captured values must come from a
-    # closure factory, never extra default parameters.
+    # closure factory, never extra default parameters.  The body IS
+    # portable_hash64 (same salt format), so reuse it — the SQL twin
+    # (portable_hash64_sql) must track exactly one expression.
     def hash_with_seed(i: int):
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
-        ).cast("bigint")
+        return lambda s: portable_hash64(s, seed=i)
 
     sigs = [
         F.array_min(F.transform(shingles, hash_with_seed(i)))
@@ -77,6 +77,11 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
 
     A pair of documents collides on a band iff that band's
     ``rows_per_band`` minhash values all match.
+
+    REQUIRES ``bands * rows_per_band <= len(signature)``: a band slicing
+    past the end produces a document-independent constant key that
+    buckets the entire corpus together.  Callers that know the
+    signature length must validate (``dedup.minhash_lsh_pairs`` does).
     """
     keys = [
         F.md5(
@@ -104,17 +109,12 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
 
     # bit b via integer shift — float division would lose precision at
     # 60 bits; DuckDB's `>>` matches this exactly.  Closure factory
-    # keeps the merge lambda binary (see minhash_signature note).
+    # keeps the merge lambda binary (see minhash_signature note); the
+    # inner hash reuses portable_hash64 (seed 'sh') so the SQL twin
+    # tracks one expression.
     def vote_merge(b: int):
         return lambda acc, t: acc + F.when(
-            F.shiftright(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit("sh:"), t)), 1, 15), 16, 10
-                ).cast("bigint"),
-                b,
-            )
-            % 2
-            == 1,
+            F.shiftright(portable_hash64(t, seed="sh"), b) % 2 == 1,
             F.lit(1),
         ).otherwise(F.lit(-1))
 

@@ -174,10 +174,27 @@ def ngram_repetition_stats(text: Column, n: int = 3) -> tuple[Column, Column]:
     generated-spam repetition signal (a doc whose top trigram covers a
     large share of all trigrams is repetitive).  Integer outputs only;
     threshold with integer arithmetic, e.g. ``max_freq * 5 >= n`` for
-    a 20% repetition gate."""
+    a 20% repetition gate.
+
+    Max frequency = the longest equal-run in the SORTED shingle list,
+    found by one ``aggregate`` pass — O(n log n) per document.  (The
+    obvious per-distinct-shingle ``filter`` count is O(distinct×total)
+    — exactly the quadratic HOF pattern ``word_shingles_from_tokens``'s
+    docstring warns about, catastrophic on 100k-token web documents.)
+    """
     all_sh = all_word_shingles_from_tokens(tokens(text), n)
-    dist = F.array_distinct(all_sh)
-    max_freq = F.array_max(
-        F.transform(dist, lambda s: F.size(F.filter(all_sh, lambda x: x == s)))
+    srt = F.array_sort(all_sh)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
-    return F.size(all_sh), F.coalesce(max_freq, F.lit(0))
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    max_freq = F.aggregate(srt, zero, merge, lambda acc: acc["best"])
+    return F.size(all_sh), max_freq

@@ -48,5 +48,12 @@ def norm_sq_q(a: Column) -> Column:
 
 
 def cosine_q(dot: Column, n1: Column, n2: Column) -> Column:
-    """Deterministic cosine from exact integer dot/norms."""
-    return dot / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+    """Deterministic cosine from exact integer dot/norms.
+
+    Zero-norm vectors (every |x| < 0.5/SCALE quantizes to 0) yield NULL
+    explicitly: DuckDB's ``/`` nulls on a zero divisor, and guarding
+    here keeps the Spark side identical under BOTH ANSI (would throw)
+    and legacy (would null) division semantics.
+    """
+    denom = F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double"))
+    return F.when(denom > 0, dot / denom)

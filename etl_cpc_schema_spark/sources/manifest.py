@@ -125,22 +125,34 @@ def fetch_files_distributed(
     n = files.count()
 
     def fetch_partition(rows):
+        import os
         import pathlib
         import urllib.request as _rq
+        import uuid as _uuid
 
         for row in rows:
             dest = pathlib.Path(dest_dir) / row["file_name"]
             if dest.exists() and not overwrite:
                 continue
             dest.parent.mkdir(parents=True, exist_ok=True)
-            tmp = dest.with_suffix(dest.suffix + ".part")
-            with _rq.urlopen(row["url"]) as resp, open(tmp, "wb") as out:
-                while True:
-                    chunk = resp.read(8192)
-                    if not chunk:
-                        break
-                    out.write(chunk)
-            tmp.rename(dest)
+            # unique temp per ATTEMPT: task retries / speculative copies
+            # writing one shared .part path would interleave bytes and
+            # publish a corrupt file; unique temps + atomic rename make
+            # concurrent attempts last-writer-wins on complete files
+            tmp = dest.with_suffix(
+                dest.suffix + f".part-{_uuid.uuid4().hex[:8]}"
+            )
+            try:
+                with _rq.urlopen(row["url"]) as resp, open(tmp, "wb") as out:
+                    while True:
+                        chunk = resp.read(8192)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+                os.replace(tmp, dest)
+            finally:
+                if tmp.exists():  # failed attempt: no orphaned temp
+                    tmp.unlink()
 
     files.select("file_name", "url").foreachPartition(fetch_partition)
     return n
@@ -150,18 +162,27 @@ def fetch_file(url: str, dest: str | Path, overwrite: bool = False, chunk_size: 
     """Streamed download with skip-if-present caching (reference
     downloader.py:150-167); ``overwrite`` is the working version of the
     reference's broken ``force`` flag."""
+    import os
+    import uuid as _uuid
+
     dest = Path(dest)
     if dest.exists() and not overwrite:
         return dest
     if not _HAVE_URLLIB:  # pragma: no cover
         raise NotImplementedError("no HTTP client available in this environment")
     dest.parent.mkdir(parents=True, exist_ok=True)
-    tmp = dest.with_suffix(dest.suffix + ".part")
-    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
-        while True:
-            chunk = resp.read(chunk_size)
-            if not chunk:
-                break
-            out.write(chunk)
-    tmp.rename(dest)  # atomic publish — no half-written files in the raw zone
+    # unique temp per attempt + atomic publish — no half-written files
+    # and no interleaving between concurrent attempts
+    tmp = dest.with_suffix(dest.suffix + f".part-{_uuid.uuid4().hex[:8]}")
+    try:
+        with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+            while True:
+                chunk = resp.read(chunk_size)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(tmp, dest)
+    finally:
+        if tmp.exists():
+            tmp.unlink()
     return dest

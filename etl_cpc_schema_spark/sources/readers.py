@@ -20,7 +20,6 @@ raw-zone layout (reference parser.py:78-93, validator.py:77-157).
 from __future__ import annotations
 
 import io
-import zipfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,7 +28,10 @@ from pyspark.sql import functions as F
 
 from ..functions.validation import normalize_symbol, symbol_list_status, validity_status
 
-_LINES_SCHEMA = "file_name string, line string"
+#: ``file_name`` is the display/filter basename; ``source_file`` is the
+#: collision-proof identity (archive path + member path) used for
+#: per-file operations like header dropping.
+_LINES_SCHEMA = "file_name string, source_file string, line string"
 
 #: events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's footer
 #: converter rejects.  Reading with an explicit INT64 schema bypasses
@@ -65,6 +67,7 @@ def read_text_lines(spark: SparkSession, path: str, glob: str | None = None) -> 
     df = reader.text(path)
     return df.select(
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name"),
+        F.input_file_name().alias("source_file"),
         F.col("value").alias("line"),
     )
 
@@ -79,15 +82,27 @@ def read_zip_members(
 
     ``binaryFile`` scan → ``mapInPandas`` unzip.  Member-name filtering
     happens inside the extractor (cheap), path filtering at the scan.
+    ``source_file`` = ``<archive path>!<member path>`` is collision-proof
+    even when different archives/subdirs carry same-named members (the
+    basename-only ``file_name`` is NOT — never group by it).  Truncated
+    or non-zip files are SKIPPED, not fatal (a crashed download's
+    leftover must not abort the whole ingest).
     """
     bin_df = spark.read.format("binaryFile").load(zip_path)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zipfile as _zf_mod
+
         for pdf in batches:
             out_names: list[str] = []
+            out_sources: list[str] = []
             out_lines: list[str] = []
-            for content in pdf["content"]:
-                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    zf = _zf_mod.ZipFile(io.BytesIO(content))
+                except _zf_mod.BadZipFile:
+                    continue  # tolerate stray/truncated files in the raw zone
+                with zf:
                     for member in zf.namelist():
                         name = member.split("/")[-1]
                         if member_prefix and not name.startswith(member_prefix):
@@ -97,12 +112,19 @@ def read_zip_members(
                         with zf.open(member) as f:
                             for raw in f:
                                 out_names.append(name)
+                                out_sources.append(f"{path}!{member}")
                                 out_lines.append(
                                     raw.decode("utf-8", errors="replace").strip()
                                 )
-            yield pd.DataFrame({"file_name": out_names, "line": out_lines})
+            yield pd.DataFrame(
+                {
+                    "file_name": out_names,
+                    "source_file": out_sources,
+                    "line": out_lines,
+                }
+            )
 
-    return bin_df.select("content").mapInPandas(extract, _LINES_SCHEMA)
+    return bin_df.select("path", "content").mapInPandas(extract, _LINES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -154,11 +176,16 @@ def drop_header_per_file(lines: DataFrame) -> DataFrame:
 
     Implemented with a monotonically-increasing id + min-per-file
     broadcast join rather than a window over the whole 100 TB input.
+    Groups by ``source_file`` (collision-proof identity) when present;
+    the basename ``file_name`` would merge same-named members from
+    different archives/subdirs into one group and leave their headers
+    in the data.
     """
+    group_col = "source_file" if "source_file" in lines.columns else "file_name"
     with_id = lines.withColumn("__id", F.monotonically_increasing_id())
-    firsts = with_id.groupBy("file_name").agg(F.min("__id").alias("__first"))
+    firsts = with_id.groupBy(group_col).agg(F.min("__id").alias("__first"))
     return (
-        with_id.join(F.broadcast(firsts), "file_name")
+        with_id.join(F.broadcast(firsts), group_col)
         .filter(F.col("__id") != F.col("__first"))
         .drop("__id", "__first")
     )

@@ -84,7 +84,11 @@ def read_scheme_edges(
             rows: list[tuple[str, str | None]] = []
             for content in pdf["content"]:
                 if from_zip:
-                    with _zipfile.ZipFile(_io.BytesIO(content)) as zf:
+                    try:
+                        zf = _zipfile.ZipFile(_io.BytesIO(content))
+                    except _zipfile.BadZipFile:
+                        continue  # same per-file tolerance as ParseError
+                    with zf:
                         for member in zf.namelist():
                             if member.endswith(".xml"):
                                 rows.extend(edges_of(zf.read(member)))

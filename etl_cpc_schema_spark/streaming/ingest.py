@@ -7,46 +7,71 @@ Spark-native equivalents:
 
 * file-source Structured Streaming with ``trigger(availableNow=True)``
   — scheduled micro-batch ingestion with checkpointed idempotence,
-* watermarked tumbling-window aggregation for event streams.
+* watermarked windowed/session/stateful aggregation and stream joins
+  over event streams.
 
 For local verification the parquet ``events`` table drives the stream
 to completion synchronously via a memory sink; the identical plan runs
-against a real file/Kafka source on a cluster.
+against a real file/Kafka source on a cluster.  Every query here goes
+through the shared :func:`events_stream` source (the one place that
+knows the nanos→micros conversion — see sources.readers.read_events)
+and :func:`run_to_memory` sink driver.
 """
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: nanos timestamps read as raw INT64 (see sources.readers.read_events).
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
+from ..sources.readers import EVENTS_RAW_SCHEMA  # noqa: F401 — re-export
 
 
-def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Tumbling 1-hour event counts computed THROUGH the streaming engine.
-
-    readStream(parquet) → watermark → window agg → memory sink, driven
-    to completion with availableNow.  Returns the final batch result
-    with the same shape as the batch query (hour_start string, n) so
-    the DuckDB oracle can check it.
-    """
-    # File streaming sources require a directory; the glob narrows the
-    # scan to the events table within it.
-    stream = (
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming twin of ``sources.readers.read_events``: raw INT64
+    nanos schema + ``ts div 1000`` truncation (integer div — float
+    division would lose precision past double's mantissa).  File
+    streaming sources require a directory; the glob narrows the scan
+    to the events table within it."""
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(events_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+
+
+def run_to_memory(
+    df: DataFrame, output_mode: str, prefix: str = "stream_out"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the final result table.  The throwaway
+    checkpoint directory is removed after termination."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return df.sparkSession.table(name)
+
+
+def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts computed THROUGH the streaming
+    engine, same output shape as the batch query (hour_start string, n)
+    so the DuckDB oracle can check it."""
     agg = (
-        stream.withWatermark("ts", "1 hour")
+        events_stream(spark, events_dir)
+        .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"))
         .select(
@@ -56,18 +81,7 @@ def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
             "n",
         )
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("hour_start")
+    return run_to_memory(agg, "complete", "stream_hourly").orderBy("hour_start")
 
 
 def static_join_counts_stream(spark: SparkSession, data_dir: str) -> DataFrame:
@@ -77,30 +91,14 @@ def static_join_counts_stream(spark: SparkSession, data_dir: str) -> DataFrame:
     segment.  The canonical streaming-enrichment shape; oracle is the
     batch join's SQL.
     """
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(data_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, data_dir)
     customers = spark.read.parquet(f"{data_dir}/customer.parquet")
-    joined = stream.join(
-        F.broadcast(customers),
-        stream.user_id == customers.c_custkey,
+    agg = (
+        stream.join(F.broadcast(customers), stream.user_id == customers.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
     )
-    agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
-    name = f"stream_sjoin_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("c_mktsegment")
+    return run_to_memory(agg, "complete", "stream_sjoin").orderBy("c_mktsegment")
 
 
 def attribution_join_stream(
@@ -113,17 +111,8 @@ def attribution_join_stream(
     completion with availableNow.  Returns (purchase_id, click_id)
     pairs.
     """
-
-    def src():
-        return (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(events_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-
     purchases = (
-        src()
+        events_stream(spark, events_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -133,7 +122,7 @@ def attribution_join_stream(
         .withWatermark("p_ts", "1 hour")
     )
     clicks = (
-        src()
+        events_stream(spark, events_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -148,56 +137,35 @@ def attribution_join_stream(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id")
-    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_to_memory(joined, "append", "stream_attr").orderBy(
+        "purchase_id", "click_id"
     )
-    q.awaitTermination()
-    return spark.table(name).orderBy("purchase_id", "click_id")
 
 
 def dedup_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming exact dedup: the events source is UNIONED WITH ITSELF
-    (every event arrives twice), then ``dropDuplicates`` keyed-state
-    removes the copies before a windowless grouped count.  The batch
-    oracle is the plain per-type count — correct iff the dedup state
-    actually dropped the doubled rows.  Exercises chained stateful
-    operators (dedup → agg) through the streaming engine.
+    (every event arrives twice), then watermark-scoped keyed-state
+    dedup removes the copies before a windowless grouped count.  The
+    batch oracle is the plain per-type count — correct iff the dedup
+    state actually dropped the doubled rows.  Exercises chained
+    stateful operators (dedup → agg) through the streaming engine.
+
+    ``dropDuplicatesWithinWatermark`` rather than ``dropDuplicates``:
+    keying dedup state on event_id alone would never expire (eviction
+    needs the event-time column in the key set), so on a continuous
+    stream the state store grows forever; the within-watermark variant
+    evicts entries once the watermark passes them.
     """
-
-    def src():
-        return (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(events_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-
-    doubled = src().union(src())
+    doubled = events_stream(spark, events_dir).union(
+        events_stream(spark, events_dir)
+    )
     agg = (
         doubled.withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("event_type")
+    return run_to_memory(agg, "complete", "stream_dedup").orderBy("event_type")
 
 
 def session_counts_stream(
@@ -216,32 +184,16 @@ def session_counts_stream(
     """
     from pyspark.sql.window import Window
 
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
     agg = (
-        stream.withWatermark("ts", "1 hour")
+        events_stream(spark, events_dir)
+        .withWatermark("ts", "1 hour")
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count("*").alias("n_events"))
     )
-    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    final = run_to_memory(agg, "complete", "stream_sess")
     renum = Window.partitionBy("user_id").orderBy(F.col("w.start"))
     return (
-        spark.table(name)
-        .withColumn("session_id", F.row_number().over(renum).cast("bigint"))
+        final.withColumn("session_id", F.row_number().over(renum).cast("bigint"))
         .select("user_id", "session_id", "n_events")
         .orderBy("user_id", "session_id")
     )

@@ -14,14 +14,11 @@ update equals the batch groupBy count (asserted in tests).
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .ingest import EVENTS_RAW_SCHEMA
+from .ingest import EVENTS_RAW_SCHEMA, run_to_memory
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint"
 STATE_SCHEMA = "n bigint"
@@ -58,21 +55,10 @@ def user_counts_stateful(spark: SparkSession, events_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
-    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="spark_stateful_ckpt_")
-    q = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    final = run_to_memory(updates, "update", "stateful_out")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
-        spark.table(name)
-        .withColumn("__rn", F.row_number().over(w))
+        final.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .orderBy("user_id")
