@@ -72,7 +72,11 @@ def main() -> None:
             assert rows is not None
         timings[name] = round(best, 4)
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # tolerate dirs not named .../sfN.NN — never lose the timings to a
+    # ValueError after the whole benchmark already ran
+    import re
+
+    m = re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
     print(
         json.dumps(
             {
@@ -81,7 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs_per_query": RUNS_PER_QUERY,
-                "sf": float(sf) if sf else None,
+                "sf": float(m.group(1)) if m else None,
             }
         )
     )

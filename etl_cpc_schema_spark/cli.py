@@ -53,6 +53,9 @@ def run(data_dir: str, version: str, out_dir: str, strict: bool = True) -> int:
         spark, str(raw / f"CPCSchemeXML{version}.zip"), from_zip=True
     )
 
+    # `bad` arrives persisted from run_pipeline (the gate probe and the
+    # report below share one materialization); `final` is persisted here
+    # across its two sink writes + row count.
     final, bad = run_pipeline(titles, symbol_list, validity, edges, version, strict)
     n_bad = bad.count()
     if n_bad:
@@ -60,12 +63,16 @@ def run(data_dir: str, version: str, out_dir: str, strict: bool = True) -> int:
         for row in bad.select("symbol", "validation_warnings").limit(10).collect():
             print(f"  {row['symbol']}: {row['validation_warnings']}")
     if final is None:
+        bad.unpersist()
         print("validation failed; no output written")
         return 1
+    final = final.persist()
     out = Path(out_dir)
     R.write_parquet(final, str(out / "cpc_schema_final.parquet"))
     R.write_csv(final, str(out / "cpc_schema_final.csv"))
     print(f"wrote {final.count()} rows to {out}")
+    final.unpersist()
+    bad.unpersist()
     return 0
 
 

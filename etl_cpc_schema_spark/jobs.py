@@ -40,11 +40,15 @@ def scheduled_run(
 
     ``links``/``html`` feed the manifest (S1); when neither is given the
     manifest is derived from the zips already landed in ``data_dir`` —
-    the offline twin of scraping the bulk page.  Returns the version
+    the offline twin of scraping the bulk page.  ALL pending versions
+    are processed OLDEST-FIRST (``cli.run`` overwrites one fixed output
+    path, so newest-first catch-up would leave an older version
+    published after the final tick).  Returns the newest version
     processed, or ``None`` for a watermark-verified no-op.  Raises
     ``RuntimeError`` when the pipeline fails, exactly like the
     reference's timer function (etl_function.py:36-38) so the scheduler
-    records a failed invocation.
+    records a failed invocation; versions already processed before the
+    failure stay recorded.
     """
     if spark is None:
         from .session import get_spark
@@ -61,12 +65,16 @@ def scheduled_run(
     pending = [r["version"] for r in M.new_versions(manifest, processed).collect()]
     if not pending:
         return None
-    version = max(pending)  # lexicographic == chronological for YYYYMM
-    rc = cli.run(data_dir, version, out_dir, strict=True)
-    if rc != 0:
-        raise RuntimeError(f"scheduled ETL run failed for version {version} (rc={rc})")
-    M.record_processed(spark, watermark_path, version)
-    return version
+    done: str | None = None
+    for version in sorted(pending):  # lexicographic == chronological YYYYMM
+        rc = cli.run(data_dir, version, out_dir, strict=True)
+        if rc != 0:
+            raise RuntimeError(
+                f"scheduled ETL run failed for version {version} (rc={rc})"
+            )
+        M.record_processed(spark, watermark_path, version)
+        done = version
+    return done
 
 
 def main(argv: list[str] | None = None) -> int:

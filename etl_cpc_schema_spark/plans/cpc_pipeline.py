@@ -26,14 +26,32 @@ def merged_status(symbol_list: DataFrame, validity: DataFrame) -> DataFrame:
     (validator.py:126-131) — last write wins by load order
     (validator.py:64-66).
     """
-    from_list = symbol_list.select(
-        "symbol", V.symbol_list_status(F.col("status")).alias("status")
+    # Each side must be key-unique BEFORE the full-outer merge: a symbol
+    # re-listed in either file (amended validity rows are real) would
+    # otherwise multiply rows through the join instead of overwriting.
+    # The reference's dict-insert keeps the file's LAST row; DataFrames
+    # carry no line order, so the deterministic stand-in keeps the
+    # lexicographically greatest status per symbol.
+    from_list = dedupe_status(
+        symbol_list.select(
+            "symbol", V.symbol_list_status(F.col("status")).alias("status")
+        )
     )
-    from_validity = validity.select(
-        "symbol",
-        V.validity_status(F.col("valid_from"), F.col("valid_to")).alias("status"),
+    from_validity = dedupe_status(
+        validity.select(
+            "symbol",
+            V.validity_status(F.col("valid_from"), F.col("valid_to")).alias(
+                "status"
+            ),
+        )
     )
     return precedence_merge(from_validity, from_list, "symbol", "status")
+
+
+def dedupe_status(lookup: DataFrame) -> DataFrame:
+    """One row per symbol: max(status) — deterministic under any
+    partitioning, unlike dropDuplicates."""
+    return lookup.groupBy("symbol").agg(F.max("status").alias("status"))
 
 
 def validate_titles(
@@ -110,7 +128,10 @@ def run_pipeline(
     reference's ``--force`` flag was broken, orchestrator.py:65).
     """
     validated = validate_titles(titles, symbol_list, validity, scheme_edges)
-    bad = invalid_symbols(validated)
+    # persist: the strict gate probe AND the caller's count/report both
+    # read `bad`; without caching each action re-runs the zip-extract +
+    # validation DAG from scratch
+    bad = invalid_symbols(validated).persist()
     if strict and bad.limit(1).count() > 0:
         return None, bad
     return finalize(titles, version), bad

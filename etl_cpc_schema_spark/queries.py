@@ -653,7 +653,8 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
           PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
         FROM orders) t WHERE rn = 1
     )
-    SELECT e.event_id, e.user_id, r.o_orderkey AS last_order_key
+    SELECT e.event_id, e.user_id,
+           coalesce(r.o_orderkey, -1) AS last_order_key
     FROM events e ASOF LEFT JOIN r
       ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
     ORDER BY event_id
@@ -661,7 +662,9 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q23(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (operators.asof): each event picks the latest order of
-    that customer at or before the event time."""
+    that customer at or before the event time.  No-match rows emit -1
+    like q44 — a NULL in a bigint output floats the whole column under
+    pandas conversion."""
     from .operators.asof import asof_join
 
     e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
@@ -687,7 +690,11 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
         value_col="o_orderkey",
         out_col="last_order_key",
     )
-    return joined.select("event_id", "user_id", "last_order_key").orderBy("event_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("last_order_key"), F.lit(-1)).alias("last_order_key"),
+    ).orderBy("event_id")
 
 
 @query(
@@ -1852,42 +1859,19 @@ def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lsh_jaccard_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    from .functions.hashing import MINHASH_MOD, minhash_affine_params
-
-    rows = num_hashes // bands
-    params = minhash_affine_params(num_hashes)
-    sig_items = ", ".join(
-        f"min(({a} * h0 + {b}) % {MINHASH_MOD}) AS m{i}"
-        for i, (a, b) in enumerate(params)
-    )
-    band_items = ", ".join(
-        "md5('{b},' || {vals})".format(
-            b=b,
-            vals=" || ',' || ".join(
-                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
-            ),
-        )
-        for b in range(bands)
-    )
+    # candidates come from the ONE minhash oracle builder (embedded as a
+    # CTE, the _components_oracle pattern) — a second hand-expanded copy
+    # of the signature/banding SQL would silently drift from it
     return f"""
-WITH toks AS (
+WITH cand AS (
+  {_minhash_oracle(num_hashes, bands)}
+), toks AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(greatest(len(t)-2, 0)),
            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
   FROM toks
-), ex AS (
-  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
-), h AS (
-  SELECT doc_id, {portable_hash64_sql('s', 'mh')} % {MINHASH_MOD} AS h0 FROM ex
-), sig_t AS (
-  SELECT doc_id, {sig_items} FROM h GROUP BY doc_id
-), banded AS (
-  SELECT doc_id, unnest([{band_items}]) AS bk FROM sig_t
-), cand AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
 ), exs AS (
   SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
   FROM sh WHERE len(shingles) > 0

@@ -78,3 +78,31 @@ def test_scheduled_run_raises_on_pipeline_failure(spark, raw_zone, tmp_path):  #
     import os
 
     assert not os.path.exists(wm)
+
+
+def test_scheduled_run_catches_up_oldest_first(spark, raw_zone, tmp_path):  # noqa: F811
+    """Two versions pending at once: BOTH process in one tick, oldest
+    first, so the fixed output path ends holding the NEWEST version
+    (newest-first would leave stale output after catch-up)."""
+    raw, v = raw_zone
+    v2 = "202508"
+    for stem in ("CPCTitleList", "CPCSchemeXML"):
+        (raw / f"{stem}{v2}.zip").write_bytes((raw / f"{stem}{v}.zip").read_bytes())
+    with zipfile.ZipFile(raw / f"CPCSymbolList{v2}.zip", "w") as zf:
+        zf.writestr(
+            f"CPCSymbolList{v2}.csv",
+            "symbol,c1,c2,c3,c4,c5,status\n"
+            "A,x,x,x,x,x,published\nA01,x,x,x,x,x,published\nA01B,x,x,x,x,x,published\n",
+        )
+    with zipfile.ZipFile(raw / f"CPCValidityFile{v2}.zip", "w") as zf:
+        zf.writestr(
+            f"CPCValidityFile{v2}.txt",
+            "symbol\tvalid_from\tvalid_to\nA\t2020-01-01\t\nA01\t2020-01-01\t\nA01B\t2020-01-01\t\n",
+        )
+    out = tmp_path / "out"
+    wm = str(tmp_path / "versions")
+    assert jobs.scheduled_run(str(raw), str(out), wm, spark=spark) == v2
+    assert {r["version"] for r in spark.read.parquet(wm).collect()} == {v, v2}
+    final = spark.read.parquet(str(out / "cpc_schema_final.parquet"))
+    # output holds the NEWEST version's stamp
+    assert {r["cpc_schema_date"] for r in final.collect()} == {v2}
