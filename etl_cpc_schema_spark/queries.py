@@ -1384,6 +1384,57 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q49_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey % 97 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                WHEN o.o_orderstatus <> n.o_orderstatus
+                     OR o.o_orderpriority <> n.o_orderpriority THEN 'changed'
+           END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR o.o_orderpriority <> n.o_orderpriority
+    ORDER BY o_orderkey, change_type
+    """,
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff / CDC (operators/snapshot_diff.py): two derived
+    versions of the orders table (some keys deleted from each side,
+    some statuses rewritten) → inserted/deleted/changed keys via one
+    fingerprint-comparing full-outer join.  The oracle compares the
+    raw columns directly — equivalent because the fingerprint is
+    injective over the NULL-tagged column concatenation."""
+    from .operators.snapshot_diff import snapshot_diff
+
+    orders = _t(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_orderpriority",
+    )
+    return snapshot_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "o_orderpriority"]
+    ).orderBy("o_orderkey", "change_type")
+
+
+@query(
     "q48_resample_gapfill",
     """
     WITH bounds AS (
