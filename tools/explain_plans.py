@@ -41,6 +41,8 @@ INSPECT = [
     "docs_contamination",
     "docs_stratified_sample",
     "text_pii_scrub",
+    "q48_resample_gapfill",
+    "q49_snapshot_diff",
 ]
 
 CHECKS = {
