@@ -1435,6 +1435,44 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q50_map_type",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY event_type) AS type_counts
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """MAP column type: per-user event-type→count built as a real
+    MapType column (map_from_entries), then canonicalized to a sorted
+    'k:v' string for hash-stable comparison (map internals aren't
+    directly hashable cross-engine; the entries are)."""
+    e = _t(spark, sf, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    with_map = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    entry_strs = F.transform(
+        F.map_entries(F.col("m")),
+        lambda kv: F.concat(kv["key"], F.lit(":"), kv["value"].cast("string")),
+    )
+    return (
+        with_map.select(
+            "user_id",
+            F.array_join(F.array_sort(entry_strs), ",").alias("type_counts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q48_resample_gapfill",
     """
     WITH bounds AS (
