@@ -24,16 +24,23 @@ from pyspark.sql import functions as F
 
 
 def row_fingerprint(cols: list[str]):
-    """md5 over the NULL-tagged concatenation of ``cols`` — a NULL and
-    the string 'NULL' must not collide, so each value is prefixed with
-    a presence marker."""
+    """md5 over an UNAMBIGUOUS encoding of ``cols``: each value is
+    tagged with a presence marker AND its length, so the encoding is
+    injective regardless of content — a NULL never collides with the
+    string 'NULL', and a value containing the separator cannot mimic
+    a column boundary (a bare separator-join would)."""
     tagged = [
         F.when(F.col(c).isNull(), F.lit("0:")).otherwise(
-            F.concat(F.lit("1:"), F.col(c).cast("string"))
+            F.concat(
+                F.lit("1:"),
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            )
         )
         for c in cols
     ]
-    return F.md5(F.concat_ws("\x1f", *tagged))
+    return F.md5(F.concat_ws("|", *tagged))
 
 
 def snapshot_diff(

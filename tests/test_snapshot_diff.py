@@ -23,3 +23,11 @@ def test_diff_null_vs_literal_null_string_differ(spark):
     new = spark.createDataFrame([(1, "NULL"), (2, None)], "k bigint, v string")
     got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k", ["v"]).collect()}
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_diff_separator_in_value_cannot_fake_boundary(spark):
+    # length-prefixed encoding: ("a|1:1:b",) vs ("a", "b") must differ
+    old = spark.createDataFrame([(1, "a|1:1:b", None)], "k bigint, x string, y string")
+    new = spark.createDataFrame([(1, "a", "b")], "k bigint, x string, y string")
+    got = snapshot_diff(old, new, "k", ["x", "y"]).collect()
+    assert [(r["k"], r["change_type"]) for r in got] == [(1, "changed")]
