@@ -29,5 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for streaming-engine ops)."""
+    """DuckDB-equivalent SQL per query — EVERY declared query has one
+    (round 2: streaming queries use their batch twins' SQL; float/sketch
+    queries emit tolerance flags the exact SQL asserts)."""
     return Q.oracle_sql()
