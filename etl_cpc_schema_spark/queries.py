@@ -1435,6 +1435,29 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q51_regex_rewrite",
+    r"""
+    SELECT p_partkey,
+           regexp_replace(p_name, '^(\w+) (\w+)', '\2 \1') AS swapped,
+           regexp_replace(p_name, '(\w+)$', '[\1]') AS bracketed_last
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex rewrite with capture-group references — the engines use
+    DIFFERENT backreference syntax ($1 in Spark/Java, \\1 in
+    DuckDB/RE2) for the same semantics; this query pins that the
+    rewrites agree.  Note DuckDB replaces only the FIRST match without
+    the 'g' flag, matching these anchored single-match patterns."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", r"^(\w+) (\w+)", r"$2 $1").alias("swapped"),
+        F.regexp_replace("p_name", r"(\w+)$", r"[$1]").alias("bracketed_last"),
+    ).orderBy("p_partkey")
+
+
+@query(
     "q50_map_type",
     """
     WITH c AS (
