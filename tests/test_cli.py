@@ -6,55 +6,7 @@ from __future__ import annotations
 
 import zipfile
 
-import pytest
-
 from etl_cpc_schema_spark import cli
-
-
-@pytest.fixture()
-def raw_zone(tmp_path):
-    raw = tmp_path / "raw"
-    raw.mkdir()
-    v = "202505"
-
-    with zipfile.ZipFile(raw / f"CPCTitleList{v}.zip", "w") as zf:
-        zf.writestr(
-            "cpc-section-A.txt",
-            "A HUMAN NECESSITIES\n"
-            "A01 1 AGRICULTURE\n"
-            "A01B 1 SOIL WORKING\n"
-            "\n"
-            "lowercase junk line\n",
-        )
-        zf.writestr("readme.txt", "not a section file\n")
-
-    with zipfile.ZipFile(raw / f"CPCSymbolList{v}.zip", "w") as zf:
-        zf.writestr(
-            f"CPCSymbolList{v}.csv",
-            "symbol,c1,c2,c3,c4,c5,status\n"
-            "A,x,x,x,x,x,published\n"
-            "A01,x,x,x,x,x,published\n"
-            "A01B,x,x,x,x,x,published\n",
-        )
-
-    with zipfile.ZipFile(raw / f"CPCValidityFile{v}.zip", "w") as zf:
-        zf.writestr(
-            f"CPCValidityFile{v}.txt",
-            "symbol\tvalid_from\tvalid_to\n"
-            "A\t2020-01-01\t\n"
-            "A01\t2020-01-01\t\n"
-            "A01B\t2020-01-01\t\n",
-        )
-
-    with zipfile.ZipFile(raw / f"CPCSchemeXML{v}.zip", "w") as zf:
-        zf.writestr(
-            f"cpc-scheme-{v}.xml",
-            "<classification-item><classification-symbol>A</classification-symbol>"
-            "<classification-item><classification-symbol>A01</classification-symbol>"
-            "<classification-item><classification-symbol>A01B</classification-symbol>"
-            "</classification-item></classification-item></classification-item>",
-        )
-    return raw, v
 
 
 def test_cli_run_clean_pipeline(spark, raw_zone, tmp_path):

@@ -22,20 +22,26 @@ import __spark_entry__ as E
 BANNED_ORACLE_TYPES = ("DECIMAL", "HUGEINT")
 
 
-def _decimal_fields(schema: T.StructType, prefix: str = "") -> list[str]:
+def _walk_decimals(dt: T.DataType, name: str, out: list[str]) -> None:
+    """Fully recursive: structs, arrays, and maps at ANY nesting depth
+    (a map<string, decimal> or array<array<decimal>> must not slip
+    through the gate)."""
+    if isinstance(dt, T.DecimalType):
+        out.append(name)
+    elif isinstance(dt, T.StructType):
+        for f in dt.fields:
+            _walk_decimals(f.dataType, f"{name}.{f.name}", out)
+    elif isinstance(dt, T.ArrayType):
+        _walk_decimals(dt.elementType, name + "[]", out)
+    elif isinstance(dt, T.MapType):
+        _walk_decimals(dt.keyType, name + "<key>", out)
+        _walk_decimals(dt.valueType, name + "<value>", out)
+
+
+def _decimal_fields(schema: T.StructType) -> list[str]:
     out: list[str] = []
     for f in schema.fields:
-        dt = f.dataType
-        name = f"{prefix}{f.name}"
-        if isinstance(dt, T.DecimalType):
-            out.append(name)
-        elif isinstance(dt, T.StructType):
-            out.extend(_decimal_fields(dt, name + "."))
-        elif isinstance(dt, T.ArrayType):
-            if isinstance(dt.elementType, T.DecimalType):
-                out.append(name + "[]")
-            elif isinstance(dt.elementType, T.StructType):
-                out.extend(_decimal_fields(dt.elementType, name + "[]."))
+        _walk_decimals(f.dataType, f.name, out)
     return out
 
 
@@ -49,12 +55,10 @@ def test_no_decimal_in_any_declared_spark_schema(spark, sf_dir):
 
 
 def test_no_decimal_or_hugeint_in_any_oracle_plan(sf_dir):
+    from conftest import ORACLE_TABLES
+
     con = duckdb.connect()
-    tables = (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split()
-    for t in tables:
+    for t in ORACLE_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     offenders = {}
     for name, sql in E.oracle_sql().items():

@@ -10,9 +10,6 @@ import pytest
 
 from etl_cpc_schema_spark import jobs
 
-from test_cli import raw_zone  # noqa: F401 — fixture reuse
-
-
 def test_scheduled_run_processes_then_noops(spark, raw_zone, tmp_path):  # noqa: F811
     raw, v = raw_zone
     out = tmp_path / "out"
@@ -42,8 +39,6 @@ def test_scheduled_run_picks_up_new_version(spark, raw_zone, tmp_path):  # noqa:
         old = raw / f"{stem}{v}.zip"
         new = raw / f"{stem}{v2}.zip"
         new.write_bytes(old.read_bytes())
-        if stem == "CPCTitleList":
-            continue
     # rename the inner members that embed the version where required
     with zipfile.ZipFile(raw / f"CPCSymbolList{v2}.zip", "w") as zf:
         zf.writestr(

@@ -4,55 +4,22 @@ row sets exactly (order-insensitive, column-name-sorted)."""
 
 from __future__ import annotations
 
-import decimal
-import math
-
 import duckdb
 import pytest
 
-from etl_cpc_schema_spark import queries as Q
+from conftest import ORACLE_TABLES, norm_rows as _rows
 
-TABLES = [
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-]
+from etl_cpc_schema_spark import queries as Q
 
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
-    for t in TABLES:
+    for t in ORACLE_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con
-
-
-def _norm(v):
-    # No Decimal.normalize(): scale differences must FAIL (the driver's
-    # hasher is scale-sensitive — round-1 lesson, VERDICT.md).
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("float", "nan")
-        return ("float", v)
-    return v
-
-
-def _rows(cols, data):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm(row[i]) for i in order) for row in data
-    )
 
 
 @pytest.mark.parametrize("name", sorted(Q.ORACLE_SQL))

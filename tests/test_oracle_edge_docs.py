@@ -12,11 +12,10 @@ declared query against its oracle on it.
 
 from __future__ import annotations
 
-import decimal
-import math
-
 import duckdb
 import pytest
+
+from conftest import norm_rows as _rows
 
 from etl_cpc_schema_spark import queries as Q
 
@@ -44,9 +43,11 @@ DOC_QUERIES = [
     "docs_stratified_sample",
     "docs_contamination",
     "q33_grouped_topk",
+    "q47_udtf_enumerate",
     "dedup_components",
     "docs_dedup_clustered",
     "docs_temperature_sample",
+    "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",
     "docs_chunk",
@@ -101,19 +102,6 @@ def edge_duck(edge_dir):
         f"CREATE VIEW documents AS SELECT * FROM '{edge_dir}/documents.parquet'"
     )
     return con
-
-
-def _norm(v):
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        return ("float", "nan") if math.isnan(v) else ("float", v)
-    return v
-
-
-def _rows(cols, data):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(row[i]) for i in order) for row in data)
 
 
 @pytest.mark.parametrize("name", DOC_QUERIES)

@@ -8,12 +8,12 @@ with json_valid).
 
 from __future__ import annotations
 
-import decimal
-import math
 import shutil
 
 import duckdb
 import pytest
+
+from conftest import norm_rows as _rows
 
 from etl_cpc_schema_spark import queries as Q
 
@@ -35,7 +35,10 @@ EVENT_QUERIES = [
     "q46_nullsafe_join",
     "q48_resample_gapfill",
     "approx_distinct_users",
+    "approx_quantiles_bounded",
+    "approx_hll_mergeable",
     "stream_hourly_counts",
+    "stream_stream_join",
     "stream_user_counts_stateful",
     "stream_sessionize",
     "stream_dedup_counts",
@@ -90,21 +93,6 @@ def edge_duck(edge_dir):
         f"CREATE VIEW orders AS SELECT * FROM '{edge_dir}/orders.parquet'"
     )
     return con
-
-
-def _norm(v):
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        return ("float", "nan") if math.isnan(v) else ("float", v)
-    return v
-
-
-def _rows(cols, data):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm(row[i]) for i in order) for row in data
-    )
 
 
 @pytest.mark.parametrize("name", EVENT_QUERIES)

@@ -10,7 +10,9 @@ from etl_cpc_schema_spark.sources.readers import read_events
 
 def test_interval_join_matches_naive(spark, sf_dir):
     e = read_events(spark, sf_dir).select("user_id", "ts", "event_id")
-    left = e.limit(200)
+    # deterministic sample: an unordered limit can pick different rows
+    # for the two independent actions below
+    left = e.filter(F.col("event_id") < 200)
     right = (
         e.select(
             "user_id",
