@@ -1435,6 +1435,42 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q52_union_by_name",
+    """
+    SELECT o_orderkey, o_orderstatus, coalesce(o_orderpriority, 'NONE') AS priority
+    FROM (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderpriority, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution union: two snapshots with different column sets
+    combined by NAME with NULL fill (unionByName allowMissingColumns /
+    DuckDB UNION ALL BY NAME) — the long-lived-pipeline append
+    pattern; positional union would silently misalign columns."""
+    o = _t(spark, sf, "orders")
+    old_rows = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new_rows = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    return (
+        old_rows.unionByName(new_rows, allowMissingColumns=True)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce(F.col("o_orderpriority"), F.lit("NONE")).alias("priority"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "q51_regex_rewrite",
     r"""
     SELECT p_partkey,
