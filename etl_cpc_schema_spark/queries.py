@@ -1435,6 +1435,34 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q53_try_cast",
+    """
+    SELECT o_orderkey,
+           coalesce(TRY_CAST(o_orderpriority AS BIGINT), -1) AS strict_cast,
+           coalesce(TRY_CAST(left(o_orderpriority, 1) AS BIGINT), -1) AS prefix_code
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """Safe-cast class (try_cast / TRY_CAST): malformed numeric strings
+    yield NULL instead of an ANSI error or a silent partial parse —
+    '1-URGENT' fails the whole-string cast in BOTH engines (sentinel
+    -1), while its first character parses.  The dirty-data casting
+    idiom every ingest needs under ANSI mode."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.col("o_orderpriority").try_cast("bigint"), F.lit(-1)
+        ).alias("strict_cast"),
+        F.coalesce(
+            F.left(F.col("o_orderpriority"), F.lit(1)).try_cast("bigint"),
+            F.lit(-1),
+        ).alias("prefix_code"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "q52_union_by_name",
     """
     SELECT o_orderkey, o_orderstatus, coalesce(o_orderpriority, 'NONE') AS priority
