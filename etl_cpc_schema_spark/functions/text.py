@@ -17,11 +17,13 @@ STOPWORDS = ["the", "a", "and", "of", "to"]
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (empty string → empty array)."""
-    t = F.trim(text)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Whitespace tokenization: empty tokens filtered, so empty /
+    whitespace-only / tab-led text all behave (``trim`` strips only
+    spaces, so a tab-led string splits with a leading '' — the filter,
+    not the trim, is what makes this total).  Exact mirror of the
+    oracle idiom ``list_filter(string_split_regex(trim(text), '\\s+'),
+    x -> x <> '')``."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:
@@ -117,8 +119,14 @@ def rolling_hash(text: Column, mult: int = 31, mod: int = 2147483647) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
-    text — stable across engines, usable as an exact-dedup key."""
-    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    text — stable across engines, usable as an exact-dedup key.
+
+    Order matters: collapse ALL whitespace runs to single spaces FIRST,
+    then trim.  trim() strips only spaces in both engines, so trimming
+    first would leave a leading space for tab-led text — giving '\\tx'
+    and 'x' different fingerprints (caught by fuzzing against a Python
+    model)."""
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
     return F.md5(norm)
 
 

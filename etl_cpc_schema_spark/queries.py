@@ -1877,9 +1877,9 @@ def approx_distinct_q(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_exact",
     """
     SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS text_hash
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash
     FROM documents
-    GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
     ORDER BY keep_id
     """,
 )
@@ -2416,7 +2416,7 @@ def text_langid_q(spark: SparkSession, sf: str) -> DataFrame:
     "text_fingerprint",
     """
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
     FROM documents ORDER BY doc_id
     """,
 )
@@ -2477,7 +2477,7 @@ def docs_split_q(spark: SparkSession, sf: str) -> DataFrame:
     WITH fp AS (
       SELECT doc_id, lang,
              len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
-             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
       FROM documents
       WHERE len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) BETWEEN 10 AND 10000
         AND len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),

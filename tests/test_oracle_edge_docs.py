@@ -72,6 +72,9 @@ EDGE_ROWS = [
     ),
     # pathological repetition: one trigram dominates
     (9009, "spam spam spam spam spam spam spam spam spam spam", "de", "edge", 49),
+    # tab-led text: fingerprint must equal the space-led twin (9011)
+    (9010, "\ttab led doc body here", "en", "edge", 22),
+    (9011, " tab led doc body here", "en", "edge", 22),
 ]
 
 
