@@ -75,6 +75,9 @@ EDGE_ROWS = [
     # tab-led text: fingerprint must equal the space-led twin (9011)
     (9010, "\ttab led doc body here", "en", "edge", 22),
     (9011, " tab led doc body here", "en", "edge", 22),
+    # embedded newline + CRLF: \s+ spans line breaks in both engines
+    (9012, "first line\nsecond line", "en", "edge", 22),
+    (9013, "crlf line\r\nnext line", "en", "edge", 20),
 ]
 
 

@@ -109,3 +109,36 @@ def test_ngram_repetition_stats_flags_loops(spark):
     ).select(n.alias("n"), mx.alias("mx"))
     got = [(r["n"], r["mx"]) for r in rows.collect()]
     assert got == [(4, 4), (4, 1), (0, 0)]
+
+
+def test_unicode_parity_with_duckdb(spark):
+    """Rolling hash (codepoints), fingerprint (utf8 md5), and token
+    counts agree with DuckDB on non-ASCII text — accents, CJK, and an
+    astral-plane emoji (JVM surrogate pairs must not split)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_cpc_schema_spark.functions.text import fingerprint, rolling_hash, tokens
+
+    cases = ["café naïve", "日本語 テスト", "emoji 🙂 here", "Ünïcödé  mix\tends"]
+    df = spark.createDataFrame([(c,) for c in cases], "text string").select(
+        "text",
+        rolling_hash(F.col("text")).alias("rh"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(tokens(F.col("text"))).alias("nt"),
+    )
+    srows = {r["text"]: (r["rh"], r["fp"], r["nt"]) for r in df.collect()}
+    con = duckdb.connect()
+    for c in cases:
+        got = con.execute(
+            r"""
+            SELECT list_reduce([CAST(0 AS BIGINT)] ||
+                     list_transform(list_filter(split(?, ''), c -> c <> ''),
+                                    c -> CAST(ord(c) AS BIGINT)),
+                     (a,b) -> (a*31+b) % 2147483647),
+                   md5(lower(trim(regexp_replace(?, '\s+', ' ', 'g')))),
+                   len(list_filter(string_split_regex(trim(?), '\s+'), x -> x <> ''))
+            """,
+            [c, c, c],
+        ).fetchone()
+        assert srows[c] == got, f"{c!r}: spark={srows[c]} duck={got}"
