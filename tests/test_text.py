@@ -120,14 +120,19 @@ def test_unicode_parity_with_duckdb(spark):
 
     from etl_cpc_schema_spark.functions.text import fingerprint, rolling_hash, tokens
 
-    cases = ["café naïve", "日本語 テスト", "emoji 🙂 here", "Ünïcödé  mix\tends"]
+    from etl_cpc_schema_spark.functions.text import bpe_ish_token_count
+
+    cases = ["café naïve", "日本語 テスト!", "emoji 🙂 here.", "Ünïcödé  mix\tends"]
     df = spark.createDataFrame([(c,) for c in cases], "text string").select(
         "text",
         rolling_hash(F.col("text")).alias("rh"),
         fingerprint(F.col("text")).alias("fp"),
         F.size(tokens(F.col("text"))).alias("nt"),
+        bpe_ish_token_count(F.col("text")).alias("nb"),
     )
-    srows = {r["text"]: (r["rh"], r["fp"], r["nt"]) for r in df.collect()}
+    srows = {
+        r["text"]: (r["rh"], r["fp"], r["nt"], r["nb"]) for r in df.collect()
+    }
     con = duckdb.connect()
     for c in cases:
         got = con.execute(
@@ -137,8 +142,9 @@ def test_unicode_parity_with_duckdb(spark):
                                     c -> CAST(ord(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 2147483647),
                    md5(lower(trim(regexp_replace(?, '\s+', ' ', 'g')))),
-                   len(list_filter(string_split_regex(trim(?), '\s+'), x -> x <> ''))
+                   len(list_filter(string_split_regex(trim(?), '\s+'), x -> x <> '')),
+                   len(regexp_extract_all(?, '\w+|[^\w\s]'))
             """,
-            [c, c, c],
+            [c, c, c, c],
         ).fetchone()
         assert srows[c] == got, f"{c!r}: spark={srows[c]} duck={got}"
