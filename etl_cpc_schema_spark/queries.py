@@ -1435,6 +1435,34 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q54_exists_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface
+    (customers with open orders and no finished ones) — Catalyst
+    rewrites them to the semi/anti joins q04/q05 express directly; this
+    pins the subquery syntax path."""
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name FROM parquet.`{sf}/customer.parquet` c
+        WHERE EXISTS (SELECT 1 FROM parquet.`{sf}/orders.parquet` o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM parquet.`{sf}/orders.parquet` o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
     "q53_try_cast",
     """
     SELECT o_orderkey,
