@@ -464,3 +464,51 @@ def embedding_near_dup_pairs(
             )
 
     return embs.select(id_col, vec_col).mapInPandas(near, schema)
+
+
+def embedding_near_dup_lsh(
+    embs: DataFrame,
+    threshold_num: float,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the 100 TB scale path.
+
+    Composes ``similarity.hyperplane_lsh_buckets`` with an in-bucket
+    quantized cosine ≥ threshold.  Unlike ``embedding_near_dup_pairs``
+    (the brute-force baseline, which collects the corpus matrix to the
+    driver), this is a pure DataFrame plan: bucket assignment is a
+    map-only projection and the candidate join is an equi-join on
+    bucket — one shuffle, per-bucket pairwise work bounded by bucket
+    occupancy (raise ``planes`` to shrink buckets).  Pairs that LSH
+    places in different buckets are missed; that recall trade-off is
+    pinned by tests against the brute-force baseline.
+    """
+    from .similarity import hyperplane_lsh_buckets, quantized
+
+    q = quantized(embs, id_col, vec_col)
+    buckets = hyperplane_lsh_buckets(embs, planes, id_col, vec_col)
+    side = q.join(buckets, q.vid == buckets.vec_id).select(
+        "vid", "qv", "nsq", "bucket"
+    )
+    # both self-join sides read `side`; lazy checkpoint computes the
+    # literal-heavy bucket signature once per action (similarity.lsh_topk
+    # uses the same trick)
+    side = side.localCheckpoint(eager=False)
+    a, b = side.alias("a"), side.alias("b")
+    from ..functions import vectors as VE
+
+    dot = VE.dot_q(F.col("a.qv"), F.col("b.qv"))
+    cos = VE.cosine_q(dot, F.col("a.nsq"), F.col("b.nsq"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        # NULL cosine (zero-norm vector) fails the predicate — same as
+        # the oracle, where x/0 is NULL and NULL >= t is not TRUE
+        .filter(cos >= F.lit(threshold_num))
+        .select(F.col("a.vid").alias("v1"), F.col("b.vid").alias("v2"))
+    )

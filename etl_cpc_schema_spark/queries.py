@@ -2298,6 +2298,36 @@ def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _emb_lsh_oracle(planes: int = 8, threshold: float = 0.4) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq,
+         CAST({_lsh_bucket_terms(planes)} AS BIGINT) AS bucket
+  FROM q
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+      / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= {threshold}
+ORDER BY v1, v2
+"""
+
+
+@query("dedup_embedding_lsh", _emb_lsh_oracle())
+def dedup_emb_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup at quantized cosine ≥ 0.4 — the
+    declared scale path for embedding dedup (VERDICT round 2 #3): bucket
+    assignment is map-only, candidates come from an equi-join on bucket,
+    and nothing is collected to the driver (contrast
+    ``dedup_embedding_cosine``, the broadcast brute-force baseline)."""
+    return DD.embedding_near_dup_lsh(
+        _t(spark, sf, "embeddings"), threshold_num=0.4, planes=8
+    ).orderBy("v1", "v2")
+
+
 def _lsh_topk_oracle(planes: int = 8, k: int = 3) -> str:
     return f"""
 WITH q AS (
@@ -3055,9 +3085,73 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
     return session_counts_stream(spark, sf)
 
 
+#: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
+#: driver samples a subset of the registry per round; these are the
+#: queries with the least driver evidence (never sampled through round
+#: 2, per VERDICT r2 "What's missing" #1) plus queries new this round,
+#: so dict order puts them at the front of the sample.
+_DRIVER_PRIORITY: list[str] = [
+    # never appeared in any round's driver sample (r1 ∪ r2)
+    "ann_lsh_topk_probed",
+    "dedup_components",
+    "dedup_simhash_pairs",
+    "docs_chunk",
+    "docs_contamination",
+    "docs_dedup_clustered",
+    "docs_pack_sequences",
+    "docs_stratified_sample",
+    "docs_temperature_sample",
+    "multimodal_frames",
+    "multimodal_resize",
+    "q31_ancestor_paths",
+    "q34_udaf_geomean",
+    "q35_full_outer",
+    "q36_intersect",
+    "q43_variant_extract",
+    "stream_dedup_counts",
+    "stream_sessionize",
+    "stream_static_join",
+    "stream_stream_join",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_url_domains",
+    # new in round 3
+    "dedup_embedding_lsh",
+    # sampled in r1 but not re-sampled in r2
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "approx_distinct_users",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_lsh_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "docs_pipeline",
+    "docs_train_split",
+    "multimodal_meta",
+    "q27_json_extract",
+    "stream_hourly_counts",
+    "stream_user_counts_stateful",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_filter",
+    "text_rolling_hash",
+    "text_stats",
+    "text_token_bpe",
+    "text_token_freq",
+]
+
+
+def _prioritized(reg: dict) -> dict:
+    head = {n: reg[n] for n in _DRIVER_PRIORITY if n in reg}
+    return head | {n: v for n, v in reg.items() if n not in head}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(SPARK_QUERIES)
+    return _prioritized(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return _prioritized(ORACLE_SQL)

@@ -69,6 +69,23 @@ def test_no_decimal_or_hugeint_in_any_oracle_plan(sf_dir):
     assert not offenders, f"DECIMAL/HUGEINT in oracle plans: {offenders}"
 
 
+def test_driver_priority_names_enumerate_first():
+    """VERDICT r2 #1: the driver samples a subset of the registry per
+    round; queries()/oracle_sql() must enumerate the least-driver-
+    checked names first so they land in the sample."""
+    from etl_cpc_schema_spark import queries as Q
+
+    names = list(E.queries())
+    prio = [n for n in Q._DRIVER_PRIORITY if n in names]
+    assert names[: len(prio)] == prio
+    assert list(E.oracle_sql())[: len(prio)] == [
+        n for n in prio if n in E.oracle_sql()
+    ]
+    # every priority name must actually exist (no typo'd dead entries)
+    dead = [n for n in Q._DRIVER_PRIORITY if n not in Q.SPARK_QUERIES]
+    assert not dead, f"priority names not in registry: {dead}"
+
+
 def test_every_query_has_oracle_or_documented_waiver():
     qs = set(E.queries())
     oracles = set(E.oracle_sql())

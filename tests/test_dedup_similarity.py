@@ -161,6 +161,35 @@ def test_lsh_topk_multiprobe_superset(embs):
     assert cand_exact <= cand_probed
 
 
+def test_embedding_lsh_subset_and_recall(embs):
+    """LSH-bucketed near-dup pairs are a subset of brute force, and the
+    planted near-identical pair lands in the same bucket (recalled)."""
+    brute = {
+        (r["v1"], r["v2"])
+        for r in DD.embedding_near_dup_pairs(embs, 0.9).collect()
+    }
+    lsh = {
+        (r["v1"], r["v2"])
+        for r in DD.embedding_near_dup_lsh(embs, 0.9).collect()
+    }
+    assert lsh <= brute
+    assert (0, 1) in lsh  # near-identical vectors share every plane sign
+
+
+def test_embedding_lsh_no_driver_collect(embs, monkeypatch):
+    """The scale path must never collect the corpus to the driver
+    (VERDICT round 2 #3): poison the brute-force build-side collector
+    and assert the LSH plan still executes, with no Python stage."""
+    def _boom(*a, **k):
+        raise AssertionError("embedding_near_dup_lsh collected the corpus")
+
+    monkeypatch.setattr(SIM, "_collect_matrix", _boom)
+    df = DD.embedding_near_dup_lsh(embs, 0.9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    assert df.count() >= 1
+
+
 def test_lsh_topk_subset_of_bucket(embs):
     got = SIM.lsh_topk(embs, k=3).collect()
     pairs = {(r["q_id"], r["neighbor_id"]) for r in got}
