@@ -33,26 +33,70 @@ from ..functions.validation import normalize_symbol, symbol_list_status, validit
 #: per-file operations like header dropping.
 _LINES_SCHEMA = "file_name string, source_file string, line string"
 
-#: events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's footer
-#: converter rejects.  Reading with an explicit INT64 schema bypasses
-#: footer conversion regardless of session config; ``read_events``
-#: then restores a proper timestamp at microsecond precision.
+#: Raw-INT64 override used when events.parquet stores TIMESTAMP(NANOS)
+#: or a plain INT64 epoch column: Spark's footer converter rejects
+#: NANOS, so reading with an explicit ``long`` schema bypasses footer
+#: conversion and ``read_events`` restores a µs timestamp itself.
 EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
+_EVENTS_SCHEMA_TEMPLATE = (
+    "event_id long, ts {ts}, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def probe_events_ts(events_path: str) -> tuple[str, bool]:
+    """Inspect the parquet footer and return ``(read_schema, needs_div)``.
+
+    The events table has shipped with two encodings of ``ts``: a raw
+    INT64 epoch-nanoseconds column and a logical ``timestamp[us]``.
+    Assuming either one silently corrupts the other (µs divided by
+    1000 lands in January 1970), so the reader derives the contract
+    from the file footer instead of hard-coding it:
+
+    * logical timestamp (``us``/``ms``/``s``) → read natively
+      (``timestamp_ntz`` when the footer is not UTC-adjusted, matching
+      how DuckDB reads the same file); no conversion.
+    * logical timestamp ``ns`` or plain INT64 → read as ``long`` and
+      truncate to µs with integer ``div`` (float division of an
+      ~1.7e18 ns value would lose precision past double's mantissa).
+
+    Driver-side footer read only — no Spark job, and the streaming
+    source reuses the same probe (readStream needs an explicit schema
+    anyway).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(events_path).field("ts").type
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            return EVENTS_RAW_SCHEMA, True
+        ts_ddl = "timestamp" if t.tz else "timestamp_ntz"
+        return _EVENTS_SCHEMA_TEMPLATE.format(ts=ts_ddl), False
+    return EVENTS_RAW_SCHEMA, True
+
+
+def _with_micro_ts(df: DataFrame, needs_div: bool) -> DataFrame:
+    """Normalize the probed ``ts`` column to a session-tz TimestampType
+    at µs precision (UTC session tz makes the NTZ cast an identity, so
+    values line up exactly with the DuckDB oracle's naive timestamps).
+    """
+    if needs_div:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ``ts`` as a TimestampType (µs, truncated from ns).
-
-    Truncation (integer div) matches how µs-native engines read the
-    same nanos column, so oracle comparisons line up exactly.
+    """events table with ``ts`` as a TimestampType at µs precision,
+    whatever the file's physical encoding (see :func:`probe_events_ts`).
     """
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    # integer `div`, not `/`: float division of an ~1.7e18 ns value
-    # would lose precision past double's 53-bit mantissa.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = f"{sf_dir}/events.parquet"
+    schema, needs_div = probe_events_ts(path)
+    return _with_micro_ts(spark.read.schema(schema).parquet(path), needs_div)
 
 
 def read_text_lines(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

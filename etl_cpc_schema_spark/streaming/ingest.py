@@ -27,21 +27,27 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import EVENTS_RAW_SCHEMA  # noqa: F401 — re-export
+from ..sources.readers import (  # noqa: F401 — EVENTS_RAW_SCHEMA re-exported
+    EVENTS_RAW_SCHEMA,
+    _with_micro_ts,
+    probe_events_ts,
+)
 
 
 def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Streaming twin of ``sources.readers.read_events``: raw INT64
-    nanos schema + ``ts div 1000`` truncation (integer div — float
-    division would lose precision past double's mantissa).  File
-    streaming sources require a directory; the glob narrows the scan
-    to the events table within it."""
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    """Streaming twin of ``sources.readers.read_events``: the explicit
+    schema readStream requires is derived from the parquet footer by
+    the same :func:`probe_events_ts` helper the batch reader uses, so
+    both paths agree on the ``ts`` encoding.  File streaming sources
+    require a directory; the glob narrows the scan to the events table
+    within it."""
+    schema, needs_div = probe_events_ts(f"{events_dir}/events.parquet")
+    raw = (
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return _with_micro_ts(raw, needs_div)
 
 
 def run_to_memory(

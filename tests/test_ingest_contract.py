@@ -1,0 +1,51 @@
+"""Events-ingest contract: Spark's view of events.ts must equal DuckDB's.
+
+The events table has shipped with two physical encodings of ``ts``
+(raw INT64 epoch-nanos and logical ``timestamp[us]``); the readers
+probe the footer instead of assuming one (readers.probe_events_ts).
+This test pins the contract end-to-end — min/max/count through BOTH
+the batch reader and the streaming source must match DuckDB on the
+same file — so a future testdata re-encoding breaks pytest
+immediately instead of a driver correctness round.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from etl_cpc_schema_spark.sources.readers import probe_events_ts, read_events
+from etl_cpc_schema_spark.streaming.ingest import events_stream, run_to_memory
+
+
+def _oracle_bounds(sf_dir: str):
+    return duckdb.sql(
+        f"SELECT min(ts), max(ts), count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+
+
+def _spark_bounds(df):
+    row = df.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    # session tz is UTC, so naive datetimes compare directly with DuckDB's
+    return (row["lo"], row["hi"], row["n"])
+
+
+def test_probe_detects_current_encoding(sf_dir):
+    schema, needs_div = probe_events_ts(f"{sf_dir}/events.parquet")
+    # whichever encoding the data ships with, exactly one branch applies
+    assert ("ts long" in schema) == needs_div
+
+
+def test_batch_events_ts_matches_duckdb(spark, sf_dir):
+    assert _spark_bounds(read_events(spark, sf_dir)) == _oracle_bounds(sf_dir)
+
+
+def test_stream_events_ts_matches_duckdb(spark, sf_dir):
+    out = run_to_memory(
+        events_stream(spark, sf_dir).select("ts", "event_id"),
+        "append",
+        prefix="ingest_contract",
+    )
+    assert _spark_bounds(out) == _oracle_bounds(sf_dir)
