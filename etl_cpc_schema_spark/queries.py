@@ -3086,62 +3086,67 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
-#: driver samples a subset of the registry per round; these are the
-#: queries with the least driver evidence (never sampled through round
-#: 2, per VERDICT r2 "What's missing" #1) plus queries new this round,
-#: so dict order puts them at the front of the sample.
+#: driver samples a subset of the registry per round; this list points
+#: the sample at the current evidence gap (VERDICT r3 "Next round" #3):
+#: first the ten queries broken by the events-timestamp bug and fixed
+#: this round (they need a green r04 row), then every query whose most
+#: recent driver sample is round 2 — the longest-stale names.  Fixed
+#: tier + stale tier = exactly the 50-query sample size.
 _DRIVER_PRIORITY: list[str] = [
-    # never appeared in any round's driver sample (r1 ∪ r2)
-    "ann_lsh_topk_probed",
-    "dedup_components",
-    "dedup_simhash_pairs",
-    "docs_chunk",
-    "docs_contamination",
-    "docs_dedup_clustered",
-    "docs_pack_sequences",
-    "docs_stratified_sample",
-    "docs_temperature_sample",
-    "multimodal_frames",
-    "multimodal_resize",
-    "q31_ancestor_paths",
-    "q34_udaf_geomean",
-    "q35_full_outer",
-    "q36_intersect",
-    "q43_variant_extract",
-    "stream_dedup_counts",
-    "stream_sessionize",
-    "stream_static_join",
-    "stream_stream_join",
-    "text_pii_scrub",
-    "text_repetition",
-    "text_url_domains",
-    # new in round 3
-    "dedup_embedding_lsh",
-    # sampled in r1 but not re-sampled in r2
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "approx_distinct_users",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_lsh_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "docs_pipeline",
-    "docs_train_split",
-    "multimodal_meta",
-    "q27_json_extract",
+    # fixed this round (events ts ingestion) — re-verify first
+    "q15_tumbling_window",
+    "q22_sessionize",
+    "q23_asof_join",
+    "q29_interval_join",
+    "q37_range_window",
+    "q44_asof_forward",
+    "q48_resample_gapfill",
     "stream_hourly_counts",
-    "stream_user_counts_stateful",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_filter",
-    "text_rolling_hash",
-    "text_stats",
-    "text_token_bpe",
-    "text_token_freq",
+    "stream_sessionize",
+    "stream_stream_join",
+    # last driver sample was round 2
+    "approx_hll_mergeable",
+    "approx_quantiles_bounded",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_left_join_default",
+    "q07_distinct_sort",
+    "q08_max_per_group",
+    "q09_group_count",
+    "q10_topn_rank",
+    "q11_conditional_status",
+    "q12_parent_lookup",
+    "q13_normalize_split",
+    "q14_pipeline_composite",
+    "q16_dedup_last_wins",
+    "q17_pricing_summary",
+    "q18_join_agg",
+    "q19_rollup",
+    "q20_set_ops",
+    "q21_running_window",
+    "q24_pivot_counts",
+    "q25_cube",
+    "q26_distinct_exact",
+    "q28_unpivot",
+    "q30_skewed_agg",
+    "q32_quantiles",
+    "q33_grouped_topk",
+    "q38_window_misc",
+    "q39_grouping_sets",
+    "q40_stats_agg",
+    "q41_string_funcs",
+    "q42_datetime_funcs",
+    "q45_salted_join",
+    "q46_nullsafe_join",
+    "q47_udtf_enumerate",
+    "q49_snapshot_diff",
+    "q50_map_type",
+    "q51_regex_rewrite",
+    "q52_union_by_name",
+    "q53_try_cast",
+    "q54_exists_subquery",
 ]
+
 
 
 def _prioritized(reg: dict) -> dict:

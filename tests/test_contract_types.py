@@ -92,3 +92,15 @@ def test_every_query_has_oracle_or_documented_waiver():
     assert oracles <= qs, f"orphan oracles: {oracles - qs}"
     # round 2: every declared query is oracle-checked — no rows-only waivers
     assert qs == oracles, f"rows-only queries without oracle: {qs - oracles}"
+
+
+def test_survey_query_count_matches_registry():
+    """VERDICT r3 #8: SURVEY.md's declared-query count must track
+    ``len(queries())`` — doc drift here misleads the coverage audit."""
+    import re
+
+    n = len(E.queries())
+    text = open("/root/repo/SURVEY.md").read()
+    stated = {int(m) for m in re.findall(r"(\d+) declared quer", text)}
+    stated |= {int(m) for m in re.findall(r"declared query \((\d+)\)", text)}
+    assert stated == {n}, f"SURVEY.md says {stated}, registry has {n}"
