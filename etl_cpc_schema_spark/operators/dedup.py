@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .iterutils import iter_checkpoint
+
 from ..functions import hashing as H
 from ..functions import text as TX
 
@@ -399,7 +401,8 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bk"),
-    ).localCheckpoint(eager=False)
+    )
+    banded = iter_checkpoint(banded, eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -495,7 +498,7 @@ def embedding_near_dup_lsh(
     # both self-join sides read `side`; lazy checkpoint computes the
     # literal-heavy bucket signature once per action (similarity.lsh_topk
     # uses the same trick)
-    side = side.localCheckpoint(eager=False)
+    side = iter_checkpoint(side, eager=False)
     a, b = side.alias("a"), side.alias("b")
     from ..functions import vectors as VE
 

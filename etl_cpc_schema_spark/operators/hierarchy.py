@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterutils import iter_checkpoint
+
 
 def ancestor_paths(edges: DataFrame, max_depth: int = 16) -> DataFrame:
     """(symbol, ancestor, depth) for every ancestor within max_depth.
@@ -23,7 +25,8 @@ def ancestor_paths(edges: DataFrame, max_depth: int = 16) -> DataFrame:
     depth 1 = parent, 2 = grandparent, …  Stops early when a level
     produces no rows.
 
-    Each level is eagerly ``localCheckpoint``-ed: the per-depth
+    Each level is eagerly checkpointed (``iterutils.iter_checkpoint`` —
+    reliable tier on a cluster, local in tests): the per-depth
     emptiness probe and the next hop's join read the materialized
     level instead of re-running the whole join chain (round 1 this was
     up to ``max_depth`` blocking mini-jobs each recomputing every
@@ -32,24 +35,24 @@ def ancestor_paths(edges: DataFrame, max_depth: int = 16) -> DataFrame:
     dimension-sized (they live on the edge table), so the checkpoint
     storage is trivial.
     """
-    level = (
+    level = iter_checkpoint(
         edges.filter(F.col("parent").isNotNull())
         .select("symbol", F.col("parent").alias("ancestor"))
         .withColumn("depth", F.lit(1))
-    ).localCheckpoint(eager=True)
+    )
     out = level
     parent_of = edges.filter(F.col("parent").isNotNull()).select(
         F.col("symbol").alias("ancestor"), F.col("parent").alias("next_ancestor")
     )
     for depth in range(2, max_depth + 1):
-        level = (
+        level = iter_checkpoint(
             level.join(F.broadcast(parent_of), "ancestor")
             .select(
                 "symbol",
                 F.col("next_ancestor").alias("ancestor"),
                 F.lit(depth).alias("depth"),
             )
-        ).localCheckpoint(eager=True)
+        )
         if level.isEmpty():
             break
         out = out.unionByName(level)

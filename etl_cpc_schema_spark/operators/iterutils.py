@@ -20,11 +20,22 @@ round so far and the job cannot recompute the truncated lineage.
 
 Callers opt in to durability purely through session configuration;
 operator signatures stay unchanged.
+
+Checkpoint-file hygiene: reliable checkpoint files are deleted by the
+context cleaner only when ``spark.cleaner.referenceTracking
+.cleanCheckpoints`` is ``true`` — Spark's DEFAULT IS FALSE, so
+``session.get_spark`` sets it; a session built elsewhere should do the
+same or a multi-round cluster job leaks checkpoint-dir files for its
+whole lifetime.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 
 def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -32,23 +43,35 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
 
     Uses a cluster-durable ``checkpoint`` when the session has a
     checkpoint dir (survives executor loss), else ``localCheckpoint``.
+    The sparkContext probe is wrapped because Spark Connect sessions
+    raise ``PySparkNotImplementedError`` on ``sparkContext`` access —
+    there the local tier is the only one reachable from the client.
     """
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
+    try:
+        checkpoint_dir = df.sparkSession.sparkContext.getCheckpointDir()
+    except Exception:  # Spark Connect: no sparkContext on the client
+        checkpoint_dir = None
+    if checkpoint_dir is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 
 
 def release(df: DataFrame) -> None:
-    """Drop a superseded checkpoint's storage, ignoring failures.
+    """Drop a superseded checkpoint's storage.
 
     Each propagation round produces a new materialized state; without
     an explicit unpersist the superseded blocks accumulate in the
     block manager for the lifetime of the session (ADVICE round 2).
-    Reliable checkpoints clean up via ``spark.cleaner.referenceTracking``;
-    local ones are unpersisted here.
+
+    MUST be called only after the LAST action that touches the
+    superseded state (e.g. after the convergence probe comparing old
+    vs new labels has run): a localCheckpoint-ed DataFrame has no
+    replayable lineage, so any later action on a released handle
+    recomputes nothing — it fails or silently rescans empty blocks.
+    Failures are logged, not raised — a missed unpersist degrades
+    memory, not correctness.
     """
     try:
         df.unpersist()
-    except Exception:  # pragma: no cover - best-effort storage release
-        pass
+    except Exception as exc:  # pragma: no cover - best-effort storage release
+        _log.debug("release(): unpersist failed (ignored): %s", exc)

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .iterutils import iter_checkpoint
 from pyspark.sql.window import Window
 
 from ..functions import vectors as VE
@@ -155,12 +157,35 @@ def cosine_topk_bruteforce(
     )
 
 
+def _bucket_expr(qv_col, planes: int, dims: int, plane_offset: int = 0):
+    """``planes``-bit hyperplane signature Column over a quantized
+    vector column; plane p uses the GLOBAL plane family index
+    ``plane_offset + p`` so independent hash tables draw disjoint
+    plane sets from one deterministic stream."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        wts = F.array(
+            *[
+                F.lit(plane_weight(plane_offset + p, d)).cast("bigint")
+                for d in range(dims)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(qv_col, wts, lambda x, w: x * w),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
 def hyperplane_lsh_buckets(
     embs: DataFrame,
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    plane_offset: int = 0,
 ) -> DataFrame:
     """(vec_id, bucket): ``planes``-bit random-hyperplane signature.
 
@@ -179,17 +204,7 @@ def hyperplane_lsh_buckets(
     q = embs.select(
         F.col(id_col).alias("vec_id"), VE.quantize(F.col(vec_col)).alias("qv")
     )
-    bucket = F.lit(0).cast("bigint")
-    for p in range(planes):
-        wts = F.array(
-            *[F.lit(plane_weight(p, d)).cast("bigint") for d in range(dims)]
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col("qv"), wts, lambda x, w: x * w),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
+    bucket = _bucket_expr(F.col("qv"), planes, dims, plane_offset)
     return q.select("vec_id", bucket.alias("bucket"))
 
 
@@ -200,6 +215,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_bits: int = 0,
+    tables: int = 1,
+    query_pred=None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the same LSH bucket.
 
@@ -213,17 +230,77 @@ def lsh_topk(
     per-bucket work is the bottleneck), and recover the recall that
     extra planes would otherwise cost by probing adjacent buckets.
     With ``probe_bits == planes`` the candidate set is exactly all
-    pairs within bucket-Hamming <= 1.  Each candidate pair still
-    arises once (the index side keeps a single bucket per vector), so
-    no distinct is needed.
+    pairs within bucket-Hamming <= 1 (per table).
+
+    ``tables`` is the RECALL lever: L independent hash tables, each
+    drawing ``planes`` fresh hyperplanes from the deterministic plane
+    stream (table t uses global plane ids ``t*planes .. (t+1)*planes
+    -1``).  A true near neighbor at angle θ collides in one table with
+    probability r; across L tables recall is ``1-(1-r)^L`` — the
+    standard LSH amplification (e.g. ~0.25 per 6-plane probed table at
+    70° → ~0.90 with 8 tables).  Bucket keys are disjoint across
+    tables (table id in the high bits) so all tables share ONE
+    shuffle; a pair colliding in several tables is deduped before
+    ranking.
+
+    ``query_pred`` (a Column predicate on the internal ``vid`` id
+    column, e.g. ``F.col("vid") < 64``) restricts the
+    PROBE side to a query workload while the full corpus stays
+    indexed — at scale the probe volume is then queries × tables ×
+    (1+probe_bits) × bucket-occupancy, independent of corpus².
     """
     q = quantized(embs, id_col, vec_col)
-    buckets = hyperplane_lsh_buckets(embs, planes, id_col, vec_col)
-    side = q.join(buckets, q.vid == buckets.vec_id).select("vid", "qv", "nsq", "bucket")
+    row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
+    dims = int(row["d"]) if row else 0
+    # ONE nested-array literal holds every table's plane weights: a
+    # per-plane F.array(*64 literals) tree costs Catalyst ~seconds of
+    # analysis at 48 planes (measured 15 s/action at tables=8), while a
+    # single array<array> literal is one plan node and the same integer
+    # math runs in the higher-order-function interpreter
+    plane_mat = F.lit(
+        [
+            [plane_weight(t * planes + p, d) for d in range(dims)]
+            for t in range(tables)
+            for p in range(planes)
+        ]
+    )
+    powers = F.lit([2**p for p in range(planes)])
+    dots = F.transform(
+        plane_mat,
+        lambda w: F.aggregate(
+            F.zip_with(F.col("qv"), w, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # sig is projected once per row so the per-table bucket fold below
+    # reads a column, not 8 re-evaluations of the 48-dot transform
+    sig = q.withColumn("sig", dots)
+    bucket_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: (
+            t.cast("bigint") * F.lit(2**planes)
+            + F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("sig"), t * planes + 1, planes),
+                    powers,
+                    lambda d, pw: F.when(d > 0, pw.cast("bigint")).otherwise(
+                        F.lit(0).cast("bigint")
+                    ),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    side = sig.select(
+        "vid", "qv", "nsq", F.explode(bucket_keys).alias("bucket")
+    )
     # both the probe and index sides of the self-join read `side`; the
     # lazy checkpoint computes the (wide, literal-heavy) bucket
     # signatures ONCE per action instead of once per join side
-    side = side.localCheckpoint(eager=False)
+    side = iter_checkpoint(side, eager=False)
+    probing = side if query_pred is None else side.filter(query_pred)
     if probe_bits > 0:
         probe_keys = F.array(
             F.col("bucket"),
@@ -232,11 +309,11 @@ def lsh_topk(
                 for p in range(min(probe_bits, planes))
             ],
         )
-        probing = side.select(
+        probing = probing.select(
             "vid", "qv", "nsq", F.explode(probe_keys).alias("probe")
         )
     else:
-        probing = side.select("vid", "qv", "nsq", F.col("bucket").alias("probe"))
+        probing = probing.select("vid", "qv", "nsq", F.col("bucket").alias("probe"))
     a, b = probing.alias("a"), side.alias("b")
     dot = VE.dot_q(F.col("a.qv"), F.col("b.qv"))
     cos = VE.cosine_q(dot, F.col("a.nsq"), F.col("b.nsq"))
@@ -252,6 +329,10 @@ def lsh_topk(
             cos.alias("cos"),
         )
     )
+    if tables > 1:
+        # a pair colliding in several tables scores identically each
+        # time (deterministic integer math) — collapse before ranking
+        scored = scored.distinct()
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

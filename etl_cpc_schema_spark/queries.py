@@ -2273,10 +2273,12 @@ def ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_bucket_terms(planes: int = 8) -> str:
+def _lsh_bucket_terms(planes: int = 8, plane_offset: int = 0) -> str:
+    # plane ids are GLOBAL (offset + p) so multi-table oracles draw the
+    # same deterministic plane stream as similarity.plane_weight
     return " + ".join(
         f"""(CASE WHEN list_sum(list_transform(range(len(qv)),
-               d -> qv[d+1] * ({portable_hash64_sql("CAST(d AS VARCHAR)", f"pl:{p}")} % 7 - 3))) > 0
+               d -> qv[d+1] * ({portable_hash64_sql("CAST(d AS VARCHAR)", f"pl:{plane_offset + p}")} % 7 - 3))) > 0
              THEN {2 ** p} ELSE 0 END)"""
         for p in range(planes)
     )
@@ -2363,23 +2365,43 @@ def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_topk_probed_oracle(planes: int = 12, k: int = 3) -> str:
-    # multi-probe with every bit flipped once == all candidate pairs
-    # within bucket-Hamming distance 1
+#: ann_lsh_topk_probed parameters, shared by the Spark query, the
+#: DuckDB oracle, and the recall-pin test (tests/test_dedup_similarity)
+ANN_PROBED_PLANES = 6
+ANN_PROBED_TABLES = 8
+ANN_PROBED_K = 3
+ANN_PROBED_QMAX = 64
+
+
+def _lsh_topk_probed_oracle(
+    planes: int = ANN_PROBED_PLANES,
+    tables: int = ANN_PROBED_TABLES,
+    k: int = ANN_PROBED_K,
+    qmax: int = ANN_PROBED_QMAX,
+) -> str:
+    # multi-table multi-probe LSH: candidates are the pairs within
+    # bucket-Hamming distance 1 in ANY of the `tables` independent
+    # plane families (table t draws global plane ids t*planes..)
+    bks = ", ".join(
+        f"CAST({_lsh_bucket_terms(planes, t * planes)} AS BIGINT)"
+        for t in range(tables)
+    )
     return f"""
 WITH q AS (
   SELECT vec_id, {_QUANT} AS qv FROM embeddings
 ), n AS (
   SELECT vec_id, qv,
          list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq,
-         CAST({_lsh_bucket_terms(planes)} AS BIGINT) AS bucket
+         [{bks}] AS bks
   FROM q
 ), scored AS (
   SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
          CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
          / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
   FROM n a JOIN n b
-    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id != b.vec_id
+    ON a.vec_id < {qmax} AND a.vec_id != b.vec_id
+   AND len(list_filter(range({tables}),
+           t -> bit_count(xor(a.bks[t+1], b.bks[t+1])) <= 1)) > 0
 )
 SELECT q_id, neighbor_id, rn AS rank FROM (
   SELECT q_id, neighbor_id,
@@ -2391,13 +2413,25 @@ SELECT q_id, neighbor_id, rn AS rank FROM (
 
 @query("ann_lsh_topk_probed", _lsh_topk_probed_oracle())
 def ann_lsh_topk_probed_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Multi-probe ANN top-3: 12 hyperplanes (4096 buckets — bounded
-    per-bucket occupancy at scale) with every 1-bit-adjacent bucket
-    probed to recover recall (VERDICT round 1 #7).  Candidates are
-    exactly the pairs within bucket-Hamming <= 1."""
+    """Multi-table multi-probe ANN top-3 for the query workload
+    (vec_id < 64) over the full corpus index: 8 independent 6-plane
+    hash tables, every 1-bit-adjacent bucket probed.  One table at 12
+    planes recalled ~2% of the exact top-3 on the 64-dim corpus
+    (neighbors sit at ~70°, where a single plane family almost never
+    agrees 12 times); 8×6-plane probed tables amplify per-table ~0.25
+    collision probability to ~0.90 recall — pinned vs the exact
+    baseline in tests/test_dedup_similarity.py.  Candidates are
+    exactly the pairs within bucket-Hamming <= 1 in ANY table; at
+    100 TB raise ``planes`` (occupancy) and keep ``tables`` (recall).
+    """
     return (
         SIM.lsh_topk(
-            _t(spark, sf, "embeddings"), k=3, planes=12, probe_bits=12
+            _t(spark, sf, "embeddings"),
+            k=ANN_PROBED_K,
+            planes=ANN_PROBED_PLANES,
+            probe_bits=ANN_PROBED_PLANES,
+            tables=ANN_PROBED_TABLES,
+            query_pred=F.col("vid") < ANN_PROBED_QMAX,
         )
         .select("q_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
         .orderBy("q_id", "rank")

@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # reliable checkpoint files (operators.iterutils.iter_checkpoint)
+        # are only garbage-collected when this is on — Spark defaults it
+        # to false, which leaks checkpoint-dir files on long-lived jobs
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -271,3 +271,38 @@ def test_simhash_pairs_rejects_incomplete_banding(spark):
     d = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="pigeonhole"):
         DD.simhash_near_pairs(d, bits=16, band_bits=8, max_hamming=2)
+
+
+def test_ann_probed_recall_pinned(spark, sf_dir):
+    """VERDICT r3 #7: pin recall@k of the multi-table probed LSH path
+    against the exact brute-force baseline on the real test corpus —
+    plane/table/probe tuning must not silently destroy quality.  The
+    registry parameters measure ~0.88 on the 64-dim corpus (single
+    12-plane table measured 0.02 — that regression is what this pin
+    catches)."""
+    from etl_cpc_schema_spark.queries import (
+        ANN_PROBED_K,
+        ANN_PROBED_PLANES,
+        ANN_PROBED_QMAX,
+        ANN_PROBED_TABLES,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < ANN_PROBED_QMAX)
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_bruteforce(embs, qs, k=ANN_PROBED_K).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(
+            embs,
+            k=ANN_PROBED_K,
+            planes=ANN_PROBED_PLANES,
+            probe_bits=ANN_PROBED_PLANES,
+            tables=ANN_PROBED_TABLES,
+            query_pred=F.col("vid") < ANN_PROBED_QMAX,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.80, f"ANN recall@{ANN_PROBED_K} collapsed to {recall:.3f}"
