@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk_probed",
+    "ann_ivf_topk",
     "text_stats",
     "text_token_freq",
     "docs_pack_sequences",

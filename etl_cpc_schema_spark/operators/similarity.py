@@ -339,3 +339,90 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank")
     )
+
+
+def ivf_assign(
+    embs: DataFrame,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_limit: int = 1,
+) -> DataFrame:
+    """(vid, qv, nsq, cell[, cell_rank]) — IVF cell assignment.
+
+    Centroids are the ``n_centroids`` lowest-id vectors: a
+    deterministic "training sample" both Spark and the SQL oracle can
+    reproduce exactly (a k-means refinement would sharpen the cells
+    but breaks cross-engine determinism; the inverted-file structure
+    and the query plan are identical either way).  Every vector joins
+    the BROADCAST centroid set (dimension-sized by construction),
+    scores all centroids with quantized-integer cosine, and keeps its
+    ``rank_limit`` nearest cells — one map-side pass over the corpus
+    plus one window shuffle, no driver collect.
+    """
+    q = quantized(embs, id_col, vec_col)
+    cents = q.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cell"),
+        F.col("qv").alias("cqv"),
+        F.col("nsq").alias("cnsq"),
+    )
+    dot = VE.dot_q(F.col("qv"), F.col("cqv"))
+    cos = VE.cosine_q(dot, F.col("nsq"), F.col("cnsq"))
+    scored = q.join(F.broadcast(cents)).select(
+        "vid", "qv", "nsq", "cell", cos.alias("ccos")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    ranked = scored.withColumn("cell_rank", F.row_number().over(w)).filter(
+        F.col("cell_rank") <= rank_limit
+    )
+    return ranked.select("vid", "qv", "nsq", "cell", "cell_rank")
+
+
+def ivf_topk(
+    embs: DataFrame,
+    k: int,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred=None,
+) -> DataFrame:
+    """Approximate top-k via an inverted file (IVF): the corpus is
+    partitioned into ``n_centroids`` cells by nearest centroid; each
+    query scores only the vectors in its ``nprobe`` nearest cells.
+
+    The 100 TB shape: cell assignment is one broadcast-join pass, the
+    index is shuffled ONCE on cell id (well-distributed, bounded
+    occupancy ~corpus/n_centroids), and probe volume is queries ×
+    nprobe × occupancy — independent of corpus².  Raise
+    ``n_centroids`` with corpus size to hold occupancy constant.
+    Cells partition the corpus (each vector lives in exactly one), so
+    a candidate pair arises at most once and no dedup is needed —
+    unlike multi-table LSH.
+
+    ``query_pred`` restricts the probe side (predicate over ``vid``),
+    mirroring ``lsh_topk``.
+    """
+    index = ivf_assign(embs, n_centroids, id_col, vec_col, rank_limit=1)
+    index = iter_checkpoint(index.select("vid", "qv", "nsq", "cell"), eager=False)
+    probes = ivf_assign(embs, n_centroids, id_col, vec_col, rank_limit=nprobe)
+    if query_pred is not None:
+        probes = probes.filter(query_pred)
+    a = probes.select("vid", "qv", "nsq", "cell").alias("a")
+    b = index.alias("b")
+    dot = VE.dot_q(F.col("a.qv"), F.col("b.qv"))
+    cos = VE.cosine_q(dot, F.col("a.nsq"), F.col("b.nsq"))
+    scored = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") != F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("q_id"),
+        F.col("b.vid").alias("neighbor_id"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank")
+    )

@@ -2438,6 +2438,84 @@ def ann_lsh_topk_probed_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: ann_ivf_topk parameters (shared by query, oracle, recall-pin test).
+#: nprobe=8 of 32 cells probes ~25% of the corpus for recall ~0.78 on
+#: the synthetic test embeddings — near-uniform vectors are the
+#: adversarial case for IVF (no cluster structure for cells to
+#: capture); on clustered real embeddings the same shape reaches the
+#: usual >0.9 at far smaller probe fractions.
+ANN_IVF_CENTROIDS = 32
+ANN_IVF_NPROBE = 8
+ANN_IVF_K = 3
+ANN_IVF_QMAX = 64
+
+_IVF_COS = (
+    "CAST(list_sum(list_transform(range(len({a}.qv)), i -> {a}.qv[i+1] * {b}.{bv}[i+1])) AS DOUBLE)"
+    " / (sqrt(CAST({a}.nsq AS DOUBLE)) * sqrt(CAST({b}.{bn} AS DOUBLE)))"
+)
+
+
+def _ivf_topk_oracle(
+    n_centroids: int = ANN_IVF_CENTROIDS,
+    nprobe: int = ANN_IVF_NPROBE,
+    k: int = ANN_IVF_K,
+    qmax: int = ANN_IVF_QMAX,
+) -> str:
+    cent_cos = _IVF_COS.format(a="a", b="c", bv="cqv", bn="cnsq")
+    pair_cos = _IVF_COS.format(a="a", b="b", bv="qv", bn="nsq")
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq
+  FROM q
+), cents AS (
+  SELECT vec_id AS cell, qv AS cqv, nsq AS cnsq FROM n WHERE vec_id < {n_centroids}
+), assign AS (
+  SELECT vec_id, qv, nsq, cell, row_number() OVER (
+           PARTITION BY vec_id ORDER BY ccos DESC, cell) AS cell_rank
+  FROM (
+    SELECT a.vec_id, a.qv, a.nsq, c.cell, {cent_cos} AS ccos
+    FROM n a CROSS JOIN cents c
+  )
+), scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {pair_cos} AS cos
+  FROM (SELECT * FROM assign WHERE cell_rank <= {nprobe} AND vec_id < {qmax}) a
+  JOIN (SELECT * FROM assign WHERE cell_rank = 1) b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+)
+SELECT q_id, neighbor_id, rn AS rank FROM (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= {k} ORDER BY q_id, rank
+"""
+
+
+@query("ann_ivf_topk", _ivf_topk_oracle())
+def ann_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-3 for the query workload (vec_id < 64): the
+    corpus is partitioned into 32 cells by nearest centroid (the 32
+    lowest-id vectors — deterministic, so the SQL oracle reproduces
+    the exact cells); each query probes its 4 nearest cells.  The
+    inverted-file counterpart to the LSH scale path: one broadcast
+    assignment pass, one cell-keyed shuffle with bounded occupancy
+    (~corpus/32), probe volume independent of corpus².  Recall pinned
+    vs the exact baseline in tests/test_dedup_similarity.py."""
+    return (
+        SIM.ivf_topk(
+            _t(spark, sf, "embeddings"),
+            k=ANN_IVF_K,
+            n_centroids=ANN_IVF_CENTROIDS,
+            nprobe=ANN_IVF_NPROBE,
+            query_pred=F.col("vid") < ANN_IVF_QMAX,
+        )
+        .select("q_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("q_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------
@@ -3127,6 +3205,8 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 #: recent driver sample is round 2 — the longest-stale names.  Fixed
 #: tier + stale tier = exactly the 50-query sample size.
 _DRIVER_PRIORITY: list[str] = [
+    # new this round
+    "ann_ivf_topk",
     # fixed this round (events ts ingestion) — re-verify first
     "q15_tumbling_window",
     "q22_sessionize",

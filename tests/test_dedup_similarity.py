@@ -306,3 +306,48 @@ def test_ann_probed_recall_pinned(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.80, f"ANN recall@{ANN_PROBED_K} collapsed to {recall:.3f}"
+
+
+def test_ann_ivf_recall_pinned(spark, sf_dir):
+    """IVF recall pin: nprobe=8 of 32 cells measures ~0.78 on the
+    near-uniform synthetic corpus (IVF's adversarial case — no cluster
+    structure).  A drop below 0.70 means the assignment or probing
+    broke, not the data."""
+    from etl_cpc_schema_spark.queries import (
+        ANN_IVF_CENTROIDS,
+        ANN_IVF_K,
+        ANN_IVF_NPROBE,
+        ANN_IVF_QMAX,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < ANN_IVF_QMAX)
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_bruteforce(embs, qs, k=ANN_IVF_K).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(
+            embs,
+            k=ANN_IVF_K,
+            n_centroids=ANN_IVF_CENTROIDS,
+            nprobe=ANN_IVF_NPROBE,
+            query_pred=F.col("vid") < ANN_IVF_QMAX,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.70, f"IVF recall@{ANN_IVF_K} collapsed to {recall:.3f}"
+
+
+def test_ivf_cells_partition_corpus(spark, sf_dir):
+    """Each vector lands in exactly one cell (rank_limit=1) and every
+    cell id is a centroid id — the invariant that makes IVF candidate
+    pairs unique without a distinct."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = SIM.ivf_assign(embs, n_centroids=32)
+    n = embs.count()
+    assert assign.count() == n
+    assert assign.select("vid").distinct().count() == n
+    cells = {r["cell"] for r in assign.select("cell").distinct().collect()}
+    assert cells <= set(range(32))
