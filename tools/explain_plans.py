@@ -36,6 +36,8 @@ INSPECT = [
     "dedup_simhash_pairs",
     "ann_lsh_topk",
     "ann_lsh_topk_probed",
+    "ann_ivf_topk",
+    "dedup_components",
     "q23_asof_join",
     "docs_pack_sequences",
     "docs_contamination",
