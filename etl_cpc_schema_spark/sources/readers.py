@@ -68,9 +68,19 @@ def probe_events_ts(events_path: str) -> tuple[str, bool]:
     source reuses the same probe (readStream needs an explicit schema
     anyway).
     """
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # the table may arrive as one file or a directory of part-files;
+    # any single footer carries the column type (local-FS probe — on a
+    # cluster the same role is played by the catalog/first-footer read)
+    if os.path.isdir(events_path):
+        for name in sorted(os.listdir(events_path)):
+            if name.endswith(".parquet"):
+                events_path = os.path.join(events_path, name)
+                break
     t = pq.read_schema(events_path).field("ts").type
     if pa.types.is_timestamp(t):
         if t.unit == "ns":

@@ -49,3 +49,17 @@ def test_stream_events_ts_matches_duckdb(spark, sf_dir):
         prefix="ingest_contract",
     )
     assert _spark_bounds(out) == _oracle_bounds(sf_dir)
+
+
+def test_probe_handles_directory_layout(spark, sf_dir, tmp_path):
+    """A future testdata round may ship events as a directory of
+    part-files; the footer probe and reader must handle both layouts."""
+    events_dir = tmp_path / "events.parquet"
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(
+        str(events_dir)
+    )
+    schema_dir, div_dir = probe_events_ts(str(events_dir))
+    schema_file, div_file = probe_events_ts(f"{sf_dir}/events.parquet")
+    assert div_dir == div_file
+    got = read_events(spark, str(tmp_path))
+    assert _spark_bounds(got) == _oracle_bounds(sf_dir)
