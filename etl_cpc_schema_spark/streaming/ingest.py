@@ -50,24 +50,53 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return _with_micro_ts(raw, needs_div)
 
 
+#: default state-store partition count for the local streaming queries.
+#: Stateful operators create one state store per shuffle partition and
+#: pay a per-partition commit (delta file + fsync) every micro-batch —
+#: at the test scale that fixed cost dominates (measured: the
+#: stream-stream join dropped 5.6 s → 2.1 s going 32 → 8 partitions at
+#: sf0.1).  On a cluster, size this to keyed-state cardinality ×
+#: executor count instead; a checkpointed query keeps its partition
+#: count for life, so the value is chosen at first start.
+STATE_PARTITIONS = 8
+
+
 def run_to_memory(
-    df: DataFrame, output_mode: str, prefix: str = "stream_out"
+    df: DataFrame,
+    output_mode: str,
+    prefix: str = "stream_out",
+    state_partitions: int | None = STATE_PARTITIONS,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into a
     memory sink and return the final result table.  The throwaway
-    checkpoint directory is removed after termination."""
+    checkpoint directory is removed after termination.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (a streaming query captures it at first start —
+    this is the state-store layout knob, not a result-affecting
+    setting); the session value is restored afterwards so batch plans
+    are untouched.
+    """
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(checkpoint, ignore_errors=True)
+    spark = df.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return df.sparkSession.table(name)
 
 
