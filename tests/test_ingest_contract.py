@@ -63,3 +63,26 @@ def test_probe_handles_directory_layout(spark, sf_dir, tmp_path):
     assert div_dir == div_file
     got = read_events(spark, str(tmp_path))
     assert _spark_bounds(got) == _oracle_bounds(sf_dir)
+
+
+def test_every_table_reads_consistently_with_duckdb(spark, sf_dir):
+    """Cross-engine read contract for ALL tables (not just events):
+    row counts and column names must agree between Spark's reader and
+    DuckDB on the same parquet.  Catches the next silent re-encoding
+    (the round-3 events bug's whole class) at pytest time."""
+    from etl_cpc_schema_spark.queries import _t
+    from tests.conftest import ORACLE_TABLES
+
+    for name in ORACLE_TABLES:
+        df = _t(spark, sf_dir, name)
+        duck_cols = [
+            r[0]
+            for r in duckdb.sql(
+                f"DESCRIBE SELECT * FROM '{sf_dir}/{name}.parquet'"
+            ).fetchall()
+        ]
+        assert df.columns == duck_cols, f"{name}: column drift"
+        n_duck = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/{name}.parquet'"
+        ).fetchone()[0]
+        assert df.count() == n_duck, f"{name}: row-count drift"
