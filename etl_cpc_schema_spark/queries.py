@@ -2156,6 +2156,130 @@ def docs_dedup_clustered_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _corpus_build_oracle(contam_threshold: int = 5) -> str:
+    from .operators.sampling import split_sql
+
+    case = split_sql("doc_id", {"train": 80, "val": 10, "test": 10})
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+), fp AS (
+  SELECT doc_id, lang,
+         len({_TOKS_SQL}) AS n_tokens,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+  FROM documents
+  WHERE len({_TOKS_SQL}) BETWEEN 10 AND 10000
+    AND len(list_filter({_TOKS_SQL},
+          x -> list_contains(['the','a','and','of','to'], x))) > 0
+), keepx AS (
+  SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint
+), surv AS (
+  SELECT f.doc_id, f.lang, f.n_tokens
+  FROM fp f JOIN keepx k ON f.fingerprint = k.fingerprint AND f.doc_id = k.keep_id
+), sc AS (
+  SELECT s.doc_id, s.lang, s.n_tokens, c.node, c.component
+  FROM surv s LEFT JOIN comp c ON s.doc_id = c.node
+), canon AS (
+  SELECT component, min(doc_id) AS canon_id
+  FROM sc WHERE component IS NOT NULL GROUP BY component
+), surv2 AS (
+  SELECT sc.doc_id, sc.lang, sc.n_tokens
+  FROM sc LEFT JOIN canon ON sc.component = canon.component
+  WHERE sc.node IS NULL OR sc.doc_id = canon.canon_id
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(t)-2, 0)),
+           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+), bsh AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0
+), contam AS (
+  SELECT c.doc_id FROM ex c JOIN bsh USING (s)
+  WHERE c.doc_id % 50 <> 0
+  GROUP BY c.doc_id HAVING count(*) >= {contam_threshold}
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, {case} AS split
+FROM surv2
+WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+ORDER BY doc_id
+"""
+
+
+@query("docs_corpus_build", _corpus_build_oracle())
+def docs_corpus_build_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END corpus materialization a training pipeline ships:
+    quality gate → exact dedup (keep lowest id per fingerprint) →
+    near-dup CLUSTER dedup (MinHash-LSH pairs → connected components →
+    keep each cluster's lowest SURVIVING member) → benchmark
+    decontamination (drop the held-out slice and anything sharing ≥5
+    trigram shingles with it) → deterministic train/val/test split.
+    One composition of the family's operators, one output table.
+
+    100 TB shape: every stage is the already-audited plan of its
+    standalone query (window dedup, banded LSH shuffle, iterative
+    hash-min with checkpoints, broadcast benchmark shingles, map-only
+    split); the composition adds joins on doc_id only.
+    """
+    from .operators.components import connected_components
+    from .operators.sampling import deterministic_split
+
+    d = _t(spark, sf, "documents")
+    filtered = d.filter(TX.quality_ok(F.col("text"))).select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    surv = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    comp = connected_components(
+        DD.minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4)
+    )
+    sc = surv.join(comp, surv.doc_id == comp.node, "left")
+    canon = (
+        sc.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("canon_id"))
+    )
+    surv2 = (
+        sc.join(canon, "component", "left")
+        .filter(F.col("node").isNull() | (F.col("doc_id") == F.col("canon_id")))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    contam_ids = (
+        DD.benchmark_contamination(corpus, bench, n=3)
+        .filter(F.col("n_shared") >= 5)
+        .select("doc_id")
+    )
+    clean = surv2.filter(F.col("doc_id") % 50 != 0).join(
+        contam_ids, "doc_id", "left_anti"
+    )
+    return (
+        deterministic_split(clean, "doc_id", {"train": 80, "val": 10, "test": 10})
+        .select("doc_id", "lang", "n_tokens", "split")
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     bit_terms = " + ".join(
         f"""(CASE WHEN list_sum(list_transform(t,
@@ -3207,6 +3331,7 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # new this round
     "ann_ivf_topk",
+    "docs_corpus_build",
     # fixed this round (events ts ingestion) — re-verify first
     "q15_tumbling_window",
     "q22_sessionize",
