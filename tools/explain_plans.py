@@ -41,6 +41,7 @@ INSPECT = [
     "q23_asof_join",
     "docs_pack_sequences",
     "docs_contamination",
+    "docs_corpus_build",
     "docs_stratified_sample",
     "text_pii_scrub",
     "q48_resample_gapfill",
