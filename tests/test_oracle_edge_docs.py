@@ -51,6 +51,7 @@ DOC_QUERIES = [
     "multimodal_resize",
     "multimodal_frames",
     "docs_chunk",
+    "docs_corpus_build",
 ]
 
 EDGE_ROWS = [
