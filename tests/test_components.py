@@ -83,3 +83,25 @@ def test_star_reversed_and_selfloop_edges(spark):
     }
     # self-loop (5,5) is dropped; 9-2-1 collapses to min 1
     assert got == {1: 1, 2: 1, 9: 1}
+
+
+def test_star_matches_hashmin_on_random_graph(spark):
+    """Randomized (but deterministic) parity: 150 nodes, ~200 md5-derived
+    edges — star contraction and hash-min must produce identical labels
+    on a graph with mixed component shapes."""
+    import hashlib
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    pairs = [
+        (h(i, "a") % 150, h(i, "b") % 150) for i in range(200)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "d1 bigint, d2 bigint")
+    hm = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    st = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert hm == st and len(hm) > 100

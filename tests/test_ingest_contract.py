@@ -86,3 +86,49 @@ def test_every_table_reads_consistently_with_duckdb(spark, sf_dir):
             f"SELECT count(*) FROM '{sf_dir}/{name}.parquet'"
         ).fetchone()[0]
         assert df.count() == n_duck, f"{name}: row-count drift"
+
+
+def test_probe_legacy_nanos_encodings(spark, tmp_path):
+    """Both legacy encodings — logical timestamp[ns] and raw INT64
+    epoch-nanos — must still take the div-1000 branch and produce the
+    same instants as the native timestamp[us] read."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    instants = [
+        datetime.datetime(2024, 1, 1, 0, 9, 58, 778549),
+        datetime.datetime(2024, 1, 30, 23, 26, 16, 220708),
+    ]
+    nanos = [int(dt.timestamp() * 1_000_000) * 1000 for dt in instants]
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "purchase"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    for label, ts_arr in {
+        "ns_logical": pa.array(nanos, type=pa.timestamp("ns")),
+        "int64_raw": pa.array(nanos, type=pa.int64()),
+    }.items():
+        d = tmp_path / label
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": base["event_id"],
+                "ts": ts_arr,
+                "user_id": base["user_id"],
+                "event_type": base["event_type"],
+                "value": base["value"],
+                "props": base["props"],
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        schema, needs_div = probe_events_ts(str(d / "events.parquet"))
+        assert needs_div, f"{label}: expected the nanos div branch"
+        got = sorted(
+            r["ts"] for r in read_events(spark, str(d)).select("ts").collect()
+        )
+        assert got == instants, f"{label}: {got}"
