@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_lsh_jaccard",
     "dedup_components",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "ann_cosine_topk",
     "ann_lsh_topk_probed",
     "ann_ivf_topk",
