@@ -206,3 +206,54 @@ def ngram_repetition_stats(text: Column, n: int = 3) -> tuple[Column, Column]:
 
     max_freq = F.aggregate(srt, zero, merge, lambda acc: acc["best"])
     return F.size(all_sh), max_freq
+
+
+def cdc_chunks(toks: Column, divisor: int = 16) -> Column:
+    """Content-defined chunk ranges over a token array.
+
+    A token whose seeded portable hash is ``0 mod divisor`` CLOSES the
+    current chunk (expected chunk length ≈ ``divisor`` tokens).  Unlike
+    fixed-size windows, boundaries move with the content, so inserting
+    or deleting a sentence shifts only the chunks it touches — chunk
+    hashes of the untouched remainder still match, which is what makes
+    chunk-granular dedup robust to edits (the rsync/LBFS splitting
+    idea applied to token streams).
+
+    Returns ``array<struct<start:int, end:int>>`` (0-based,
+    end-exclusive); empty token arrays produce no chunks.  Pure
+    higher-order-function expressions — JVM-side, no shuffle.
+    """
+    from .hashing import portable_hash64
+
+    # indices whose token closes a chunk (guard: sequence(0, -1) on an
+    # empty array would yield a DESCENDING [0, -1], not [])
+    idx = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    closes = F.filter(
+        idx,
+        lambda i: portable_hash64(F.element_at(toks, i + 1), "cdc") % divisor == 0,
+    )
+    ends = F.concat(
+        F.transform(closes, lambda i: i + 1),
+        F.when(
+            (F.size(toks) > 0)
+            & (
+                (F.size(closes) == 0)
+                | (F.element_at(closes, -1) != F.size(toks) - 1)
+            ),
+            F.array(F.size(toks)),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    starts = F.concat(
+        F.array(F.lit(0)),
+        F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0))),
+    )
+    return F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(s.cast("int").alias("start"), e.cast("int").alias("end")),
+        ),
+        lambda c: c["end"] > c["start"],
+    )

@@ -3005,6 +3005,69 @@ def docs_chunk_q(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def _cdc_chunk_oracle(divisor: int = 16) -> str:
+    close_pred = f"{portable_hash64_sql('t[i+1]', 'cdc')} % {divisor} = 0"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), b AS (
+  SELECT doc_id, t,
+         list_filter(range(len(t)), i -> {close_pred}) AS closes
+  FROM toks
+), r AS (
+  SELECT doc_id, t,
+         list_concat(list_transform(closes, i -> i + 1),
+           CASE WHEN len(t) > 0 AND (len(closes) = 0 OR closes[-1] != len(t) - 1)
+                THEN [len(t)] ELSE [] END) AS ends
+  FROM b
+), s AS (
+  SELECT doc_id, t, ends,
+         list_prepend(0, ends[1:len(ends) - 1]) AS starts
+  FROM r WHERE len(ends) > 0
+), chunks AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY starts[i + 1]) - 1 AS chunk_idx,
+         starts[i + 1] AS start_tok,
+         ends[i + 1] - starts[i + 1] AS n_tokens,
+         md5(array_to_string(t[starts[i + 1] + 1 : ends[i + 1]], ' ')) AS chunk_hash
+  FROM s, UNNEST(range(len(ends))) AS u(i)
+  WHERE ends[i + 1] > starts[i + 1]
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(n_tokens AS BIGINT) AS n_tokens, chunk_hash
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("docs_cdc_chunk", _cdc_chunk_oracle())
+def docs_cdc_chunk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (functions/text.py::cdc_chunks): a
+    token whose seeded hash is 0 mod 16 closes the chunk, so boundaries
+    move WITH the content — insert a sentence and only the touched
+    chunks change hash, which makes chunk-granular dedup robust to
+    edits (the rsync/LBFS splitting idea on token streams; the
+    fixed-window twin is ``docs_chunk``).  Map-only explode, no shuffle
+    before the final sort; per-chunk md5 over the token slice."""
+    d = _t(spark, sf, "documents")
+    t = d.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    c = t.select(
+        "doc_id",
+        "t",
+        F.posexplode(TX.cdc_chunks(F.col("t"))).alias("chunk_idx", "c"),
+    )
+    chunk = F.slice(
+        F.col("t"), F.col("c.start") + 1, F.col("c.end") - F.col("c.start")
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.start").cast("bigint").alias("start_tok"),
+        (F.col("c.end") - F.col("c.start")).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def _temperature_oracle() -> str:
     from .functions.hashing import portable_hash64_sql
 
@@ -3332,6 +3395,7 @@ _DRIVER_PRIORITY: list[str] = [
     # new this round
     "ann_ivf_topk",
     "docs_corpus_build",
+    "docs_cdc_chunk",
     # fixed this round (events ts ingestion) — re-verify first
     "q15_tumbling_window",
     "q22_sessionize",

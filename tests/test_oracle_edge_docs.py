@@ -52,6 +52,7 @@ DOC_QUERIES = [
     "multimodal_frames",
     "docs_chunk",
     "docs_corpus_build",
+    "docs_cdc_chunk",
 ]
 
 EDGE_ROWS = [
