@@ -2742,6 +2742,59 @@ def text_token_freq_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "text_rare_tokens",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), rare AS (
+      SELECT tok FROM tk GROUP BY tok HAVING count(*) <= 2
+    ), r AS (
+      SELECT doc_id, count(*) AS n_rare FROM tk JOIN rare USING (tok)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_rare, 0) AS BIGINT) AS n_rare
+    FROM documents d LEFT JOIN r USING (doc_id) ORDER BY doc_id
+    """,
+)
+def text_rare_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Rare/OOV-token counts per document (CCNet-style quality signal:
+    a high rare fraction flags garbled or boilerplate-heavy text) —
+    exact integers, no float aggregates.
+
+    Skew-safe plan: joining every exploded token against the full
+    frequency table would funnel the stopword keys into single
+    partitions; instead the RARE vocabulary (corpus frequency <= 2 —
+    small by definition, it's the distribution's tail) is the
+    broadcast-semi-join side, so the exploded corpus streams map-side
+    and the only shuffles are the two doc_id/token aggregations."""
+    d = _t(spark, sf, "documents")
+    tk = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    rare = (
+        tk.groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+        .filter(F.col("tf") <= 2)
+        .select("tok")
+    )
+    n_rare = (
+        tk.join(F.broadcast(rare), "tok", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_rare"))
+    )
+    return (
+        d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+        .join(n_rare, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_rare"), F.lit(0)).cast("bigint").alias("n_rare"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _split_oracle() -> str:
     from .operators.sampling import split_sql
 
@@ -3396,6 +3449,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivf_topk",
     "docs_corpus_build",
     "docs_cdc_chunk",
+    "text_rare_tokens",
     # fixed this round (events ts ingestion) — re-verify first
     "q15_tumbling_window",
     "q22_sessionize",

@@ -53,6 +53,7 @@ DOC_QUERIES = [
     "docs_chunk",
     "docs_corpus_build",
     "docs_cdc_chunk",
+    "text_rare_tokens",
 ]
 
 EDGE_ROWS = [
