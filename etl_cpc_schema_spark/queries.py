@@ -3058,10 +3058,11 @@ def docs_chunk_q(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
-def _cdc_chunk_oracle(divisor: int = 16) -> str:
+def _cdc_chunks_cte(divisor: int = 16) -> str:
+    """The shared chunk-derivation CTE chain (through ``chunks``) used
+    by both CDC queries' oracles."""
     close_pred = f"{portable_hash64_sql('t[i+1]', 'cdc')} % {divisor} = 0"
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {_TOKS_SQL} AS t FROM documents
 ), b AS (
   SELECT doc_id, t,
@@ -3085,7 +3086,12 @@ WITH toks AS (
          md5(array_to_string(t[starts[i + 1] + 1 : ends[i + 1]], ' ')) AS chunk_hash
   FROM s, UNNEST(range(len(ends))) AS u(i)
   WHERE ends[i + 1] > starts[i + 1]
-)
+)"""
+
+
+def _cdc_chunk_oracle(divisor: int = 16) -> str:
+    return f"""
+WITH {_cdc_chunks_cte(divisor)}
 SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(start_tok AS BIGINT) AS start_tok,
        CAST(n_tokens AS BIGINT) AS n_tokens, chunk_hash
@@ -3093,15 +3099,25 @@ FROM chunks ORDER BY doc_id, chunk_idx
 """
 
 
-@query("docs_cdc_chunk", _cdc_chunk_oracle())
-def docs_cdc_chunk_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Content-defined chunking (functions/text.py::cdc_chunks): a
-    token whose seeded hash is 0 mod 16 closes the chunk, so boundaries
-    move WITH the content — insert a sentence and only the touched
-    chunks change hash, which makes chunk-granular dedup robust to
-    edits (the rsync/LBFS splitting idea on token streams; the
-    fixed-window twin is ``docs_chunk``).  Map-only explode, no shuffle
-    before the final sort; per-chunk md5 over the token slice."""
+def _cdc_dedup_oracle(divisor: int = 16) -> str:
+    return f"""
+WITH {_cdc_chunks_cte(divisor)}, dup AS (
+  SELECT chunk_hash FROM chunks
+  GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1
+), shared AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM chunks c JOIN dup USING (chunk_hash) GROUP BY c.doc_id
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(coalesce(max(s.n_shared), 0) AS BIGINT) AS n_shared
+FROM chunks c LEFT JOIN shared s ON c.doc_id = s.doc_id
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
+def _cdc_chunks_df(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_tokens, chunk_hash) — shared
+    by the CDC chunking queries.  Map-only explode, no shuffle."""
     d = _t(spark, sf, "documents")
     t = d.select("doc_id", TX.tokens(F.col("text")).alias("t"))
     c = t.select(
@@ -3118,7 +3134,53 @@ def docs_cdc_chunk_q(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c.start").cast("bigint").alias("start_tok"),
         (F.col("c.end") - F.col("c.start")).cast("bigint").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query("docs_cdc_chunk", _cdc_chunk_oracle())
+def docs_cdc_chunk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (functions/text.py::cdc_chunks): a
+    token whose seeded hash is 0 mod 16 closes the chunk, so boundaries
+    move WITH the content — insert a sentence and only the touched
+    chunks change hash, which makes chunk-granular dedup robust to
+    edits (the rsync/LBFS splitting idea on token streams; the
+    fixed-window twin is ``docs_chunk``).  Map-only explode, no shuffle
+    before the final sort; per-chunk md5 over the token slice."""
+    return _cdc_chunks_df(spark, sf).orderBy("doc_id", "chunk_idx")
+
+
+@query("docs_cdc_dedup", _cdc_dedup_oracle())
+def docs_cdc_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-granular duplicate detection — the reason CDC chunking
+    exists: per document, how many of its content-defined chunks also
+    appear in ANOTHER document (boilerplate headers, quoted passages,
+    shifted near-copies that whole-document fingerprints miss).
+    Duplicated chunk hashes are the distribution's tail, so they
+    broadcast as the semi-join build side; the only shuffles are the
+    two hash/doc aggregations."""
+    chunks = _cdc_chunks_df(spark, sf)
+    dup = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("chunk_hash")
+    )
+    shared = (
+        chunks.join(F.broadcast(dup), "chunk_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _temperature_oracle() -> str:
@@ -3449,6 +3511,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivf_topk",
     "docs_corpus_build",
     "docs_cdc_chunk",
+    "docs_cdc_dedup",
     "text_rare_tokens",
     # fixed this round (events ts ingestion) — re-verify first
     "q15_tumbling_window",

@@ -54,6 +54,7 @@ DOC_QUERIES = [
     "docs_corpus_build",
     "docs_cdc_chunk",
     "text_rare_tokens",
+    "docs_cdc_dedup",
 ]
 
 EDGE_ROWS = [
