@@ -42,6 +42,8 @@ INSPECT = [
     "docs_pack_sequences",
     "docs_contamination",
     "docs_corpus_build",
+    "docs_cdc_dedup",
+    "text_rare_tokens",
     "docs_stratified_sample",
     "text_pii_scrub",
     "q48_resample_gapfill",
