@@ -63,3 +63,48 @@ def user_counts_stateful(spark: SparkSession, events_dir: str) -> DataFrame:
         .drop("__rn")
         .orderBy("user_id")
     )
+
+
+def inactivity_close_stream(
+    stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user activity bundles CLOSED BY EVENT-TIME TIMEOUT — the
+    keyed-state pattern the built-in aggregations cannot express:
+    nothing is emitted while a user stays active; when the WATERMARK
+    passes their last event + gap, the timeout fires, the bundle
+    (user_id, n_events) is emitted once, and the state is freed.
+
+    ``stream`` must be a streaming DataFrame with ``ts timestamp,
+    user_id bigint`` columns and a watermark already applied (the
+    event-time timeout clock IS the watermark).  Emission timing
+    detail: a key's timeout fires in the first micro-batch whose
+    watermark exceeds the timeout timestamp, so results are
+    deterministic for a given file/batch split.
+    """
+
+    # Nested (pickled BY VALUE): executors don't share the driver's
+    # sys.path, so the state function must not reference this module.
+    def close_fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, _last = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+        else:
+            n, last = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                # event-time millis for the timeout clock
+                last = max(last, int(pdf["ts"].max().value // 1_000_000))
+            state.update((n, last))
+            state.setTimeoutTimestamp(last + gap_minutes * 60_000)
+            yield pd.DataFrame({"user_id": [], "n_events": []})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        close_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType="n bigint, last_ms bigint",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
