@@ -382,7 +382,7 @@ def ivf_topk(
     embs: DataFrame,
     k: int,
     n_centroids: int = 32,
-    nprobe: int = 4,
+    nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred=None,
@@ -403,9 +403,18 @@ def ivf_topk(
     ``query_pred`` restricts the probe side (predicate over ``vid``),
     mirroring ``lsh_topk``.
     """
-    index = ivf_assign(embs, n_centroids, id_col, vec_col, rank_limit=1)
-    index = iter_checkpoint(index.select("vid", "qv", "nsq", "cell"), eager=False)
-    probes = ivf_assign(embs, n_centroids, id_col, vec_col, rank_limit=nprobe)
+    # ONE corpus-by-centroid scoring pass serves both sides: rank 1 is
+    # the cell assignment, ranks 1..nprobe are the probe targets —
+    # computing them separately would double the broadcast-scoring work
+    # and add a second full-corpus window shuffle
+    ranked = iter_checkpoint(
+        ivf_assign(embs, n_centroids, id_col, vec_col, rank_limit=nprobe),
+        eager=False,
+    )
+    index = ranked.filter(F.col("cell_rank") == 1).select(
+        "vid", "qv", "nsq", "cell"
+    )
+    probes = ranked
     if query_pred is not None:
         probes = probes.filter(query_pred)
     a = probes.select("vid", "qv", "nsq", "cell").alias("a")

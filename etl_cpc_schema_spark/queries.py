@@ -2622,7 +2622,9 @@ def ann_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate top-3 for the query workload (vec_id < 64): the
     corpus is partitioned into 32 cells by nearest centroid (the 32
     lowest-id vectors — deterministic, so the SQL oracle reproduces
-    the exact cells); each query probes its 4 nearest cells.  The
+    the exact cells); each query probes its 8 nearest cells (~25% of
+    the corpus — the near-uniform synthetic embeddings are IVF's
+    adversarial case; clustered real data needs far fewer).  The
     inverted-file counterpart to the LSH scale path: one broadcast
     assignment pass, one cell-keyed shuffle with bounded occupancy
     (~corpus/32), probe volume independent of corpus².  Recall pinned
@@ -2766,10 +2768,12 @@ def text_rare_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
 
     Skew-safe plan: joining every exploded token against the full
     frequency table would funnel the stopword keys into single
-    partitions; instead the RARE vocabulary (corpus frequency <= 2 —
-    small by definition, it's the distribution's tail) is the
-    broadcast-semi-join side, so the exploded corpus streams map-side
-    and the only shuffles are the two doc_id/token aggregations."""
+    partitions; the semi-join against the RARE vocabulary has no such
+    hot keys (every join key occurs <= 2 times by construction).  The
+    rare set is NOT broadcast-forced: by type count hapax legomena are
+    the largest slice of a Zipfian vocabulary (~half of all distinct
+    tokens), so at 100 TB it is shuffle-join material — AQE picks the
+    strategy from the actual size."""
     d = _t(spark, sf, "documents")
     tk = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     rare = (
@@ -2779,7 +2783,7 @@ def text_rare_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
         .select("tok")
     )
     n_rare = (
-        tk.join(F.broadcast(rare), "tok", "left_semi")
+        tk.join(rare, "tok", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_rare"))
     )
@@ -3502,10 +3506,12 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
 #: driver samples a subset of the registry per round; this list points
 #: the sample at the current evidence gap (VERDICT r3 "Next round" #3):
-#: first the ten queries broken by the events-timestamp bug and fixed
-#: this round (they need a green r04 row), then every query whose most
-#: recent driver sample is round 2 — the longest-stale names.  Fixed
-#: tier + stale tier = exactly the 50-query sample size.
+#: first the five queries new this round and the ten broken by the
+#: events-timestamp bug and fixed this round (all need a green r04
+#: row), then the longest-stale names (last sampled round 2), trimmed
+#: so new + fixed + stale = exactly the 50-query sample size (the five
+#: stale names that no longer fit — q50..q54 — were green in r02 and
+#: rotate back in next round).
 _DRIVER_PRIORITY: list[str] = [
     # new this round
     "ann_ivf_topk",
@@ -3560,11 +3566,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q46_nullsafe_join",
     "q47_udtf_enumerate",
     "q49_snapshot_diff",
-    "q50_map_type",
-    "q51_regex_rewrite",
-    "q52_union_by_name",
-    "q53_try_cast",
-    "q54_exists_subquery",
 ]
 
 

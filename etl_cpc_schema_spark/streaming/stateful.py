@@ -98,8 +98,17 @@ def inactivity_close_stream(
                 # event-time millis for the timeout clock
                 last = max(last, int(pdf["ts"].max().value // 1_000_000))
             state.update((n, last))
-            state.setTimeoutTimestamp(last + gap_minutes * 60_000)
-            yield pd.DataFrame({"user_id": [], "n_events": []})
+            # clamp: a valid late event (late-row filter runs one batch
+            # behind the current watermark) can make last+gap fall below
+            # the watermark, and setTimeoutTimestamp rejects that with
+            # PySparkValueError, killing the query — fire next batch
+            # instead
+            state.setTimeoutTimestamp(
+                max(
+                    last + gap_minutes * 60_000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
 
     return stream.groupBy("user_id").applyInPandasWithState(
         close_fn,
