@@ -110,7 +110,17 @@ qs = E.queries()
 oracles = E.oracle_sql()
 print(f"== {len(qs)} queries, {len(oracles)} oracles ==")
 failures = []
-for name in sorted(qs):
+# optional name filters: `python tools/drive_contract.py q15 stream_`
+# runs only queries whose name contains one of the given substrings —
+# the fast loop while iterating on a single operator
+_only = [a for a in sys.argv[1:] if not a.startswith("-")]
+_selected = sorted(
+    n for n in qs if not _only or any(tok in n for tok in _only)
+)
+if _only:
+    print(f"== filtered to {len(_selected)} of {len(qs)} queries: {_only} ==")
+
+for name in _selected:
     t0 = time.perf_counter()
     try:
         sdf = qs[name](spark, SF)
@@ -164,4 +174,7 @@ if failures:
     for n, m in failures:
         print("FAIL", n, m)
     sys.exit(1)
-print(f"ALL {len(qs)} QUERIES OK (oracle-matched: {len(oracles)})")
+if _only:
+    print(f"ALL {len(_selected)} FILTERED QUERIES OK (of {len(qs)} declared)")
+else:
+    print(f"ALL {len(qs)} QUERIES OK (oracle-matched: {len(oracles)})")
