@@ -179,9 +179,14 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # diameter > max_iter: hand the ORIGINAL edge list to the
-        # O(log n) star-contraction path rather than erroring out
+        # diameter > max_iter: fall back to the O(log n) star-contraction
+        # path, feeding it the already-checkpointed symmetrized edges so
+        # the full upstream pair-generation lineage (e.g. LSH candidate
+        # emission) is not re-executed.  Star's first iter_checkpoint is
+        # eager and the convergence loop runs entirely inside the call,
+        # so sym is safe to release once it returns.
         release(labels)
+        result = connected_components_star(sym, "src", "dst")
         release(sym)
-        return connected_components_star(edges, a_col, b_col)
+        return result
     return labels.select("node", F.col("label").alias("component"))

@@ -3159,9 +3159,11 @@ def docs_cdc_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     exists: per document, how many of its content-defined chunks also
     appear in ANOTHER document (boilerplate headers, quoted passages,
     shifted near-copies that whole-document fingerprints miss).
-    Duplicated chunk hashes are the distribution's tail, so they
-    broadcast as the semi-join build side; the only shuffles are the
-    two hash/doc aggregations."""
+    The duplicated-hash set is usually the distribution's tail, but on
+    boilerplate-heavy corpora it is unbounded — so the join strategy is
+    left to AQE (which broadcasts only when the built side measures
+    small at runtime) rather than force-broadcast; the only shuffles
+    are the two hash/doc aggregations."""
     chunks = _cdc_chunks_df(spark, sf)
     dup = (
         chunks.groupBy("chunk_hash")
@@ -3170,7 +3172,7 @@ def docs_cdc_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
         .select("chunk_hash")
     )
     shared = (
-        chunks.join(F.broadcast(dup), "chunk_hash", "left_semi")
+        chunks.join(dup, "chunk_hash", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
@@ -3505,67 +3507,65 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
 #: driver samples a subset of the registry per round; this list points
-#: the sample at the current evidence gap (VERDICT r3 "Next round" #3):
-#: first the five queries new this round and the ten broken by the
-#: events-timestamp bug and fixed this round (all need a green r04
-#: row), then the longest-stale names (last sampled round 2), trimmed
-#: so new + fixed + stale = exactly the 50-query sample size (the five
-#: stale names that no longer fit — q50..q54 — were green in r02 and
-#: rotate back in next round).
+#: the sample at the current evidence gap (VERDICT r4 "Next round" #1):
+#: q50-q54 (last driver-sampled round 2) first, then every name whose
+#: latest sample was round 3, in registry order.  Queries new in round
+#: 5 are prepended as they land so they get a first-round row.
 _DRIVER_PRIORITY: list[str] = [
-    # new this round
-    "ann_ivf_topk",
-    "docs_corpus_build",
-    "docs_cdc_chunk",
-    "docs_cdc_dedup",
-    "text_rare_tokens",
-    # fixed this round (events ts ingestion) — re-verify first
-    "q15_tumbling_window",
-    "q22_sessionize",
-    "q23_asof_join",
-    "q29_interval_join",
-    "q37_range_window",
-    "q44_asof_forward",
-    "q48_resample_gapfill",
-    "stream_hourly_counts",
-    "stream_sessionize",
-    "stream_stream_join",
-    # last driver sample was round 2
-    "approx_hll_mergeable",
-    "approx_quantiles_bounded",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q06_left_join_default",
-    "q07_distinct_sort",
-    "q08_max_per_group",
-    "q09_group_count",
-    "q10_topn_rank",
-    "q11_conditional_status",
-    "q12_parent_lookup",
-    "q13_normalize_split",
-    "q14_pipeline_composite",
-    "q16_dedup_last_wins",
-    "q17_pricing_summary",
-    "q18_join_agg",
-    "q19_rollup",
-    "q20_set_ops",
-    "q21_running_window",
-    "q24_pivot_counts",
-    "q25_cube",
-    "q26_distinct_exact",
-    "q28_unpivot",
-    "q30_skewed_agg",
-    "q32_quantiles",
-    "q33_grouped_topk",
-    "q38_window_misc",
-    "q39_grouping_sets",
-    "q40_stats_agg",
-    "q41_string_funcs",
-    "q42_datetime_funcs",
-    "q45_salted_join",
-    "q46_nullsafe_join",
-    "q47_udtf_enumerate",
-    "q49_snapshot_diff",
+    # stale since round 2 — verify first
+    "q50_map_type",
+    "q51_regex_rewrite",
+    "q52_union_by_name",
+    "q53_try_cast",
+    "q54_exists_subquery",
+    # last sampled round 3, registry order
+    "q01_regex_parse",
+    "q02_filter_predicates",
+    "q03_project_cast_lit",
+    "q43_variant_extract",
+    "q35_full_outer",
+    "q36_intersect",
+    "q34_udaf_geomean",
+    "q31_ancestor_paths",
+    "q27_json_extract",
+    "approx_distinct_users",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_lsh_jaccard",
+    "docs_dedup_clustered",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "dedup_embedding_lsh",
+    "ann_lsh_topk",
+    "ann_lsh_topk_probed",
+    "text_stats",
+    "text_quality_filter",
+    "text_langid",
+    "text_fingerprint",
+    "text_token_freq",
+    "docs_train_split",
+    "docs_pipeline",
+    "text_token_bpe",
+    "text_pii_scrub",
+    "text_url_domains",
+    "text_repetition",
+    "docs_pack_sequences",
+    "docs_stratified_sample",
+    "docs_chunk",
+    "docs_temperature_sample",
+    "docs_contamination",
+    "text_rolling_hash",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frames",
+    "stream_user_counts_stateful",
+    "stream_static_join",
+    "stream_dedup_counts",
 ]
 
 

@@ -87,7 +87,16 @@ def probe_events_ts(events_path: str) -> tuple[str, bool]:
             return EVENTS_RAW_SCHEMA, True
         ts_ddl = "timestamp" if t.tz else "timestamp_ntz"
         return _EVENTS_SCHEMA_TEMPLATE.format(ts=ts_ddl), False
-    return EVENTS_RAW_SCHEMA, True
+    if pa.types.is_int64(t):
+        # plain INT64 has shipped as epoch-nanos; truncate to µs
+        return EVENTS_RAW_SCHEMA, True
+    # int32/string/decimal/... — assuming epoch-nanos here would yield
+    # silent nulls or garbage instants; fail fast instead.
+    raise TypeError(
+        f"events.ts has unrecognized parquet type {t!r} (expected a "
+        "logical timestamp or INT64 epoch-nanos); refusing to guess "
+        f"an encoding for {events_path}"
+    )
 
 
 def _with_micro_ts(df: DataFrame, needs_div: bool) -> DataFrame:

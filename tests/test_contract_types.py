@@ -99,8 +99,11 @@ def test_survey_query_count_matches_registry():
     ``len(queries())`` — doc drift here misleads the coverage audit."""
     import re
 
+    import os
+
     n = len(E.queries())
-    text = open("/root/repo/SURVEY.md").read()
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    text = open(survey).read()
     stated = {int(m) for m in re.findall(r"(\d+) declared quer", text)}
     stated |= {int(m) for m in re.findall(r"declared query \((\d+)\)", text)}
     assert stated == {n}, f"SURVEY.md says {stated}, registry has {n}"

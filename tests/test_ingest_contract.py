@@ -71,7 +71,7 @@ def test_every_table_reads_consistently_with_duckdb(spark, sf_dir):
     DuckDB on the same parquet.  Catches the next silent re-encoding
     (the round-3 events bug's whole class) at pytest time."""
     from etl_cpc_schema_spark.queries import _t
-    from tests.conftest import ORACLE_TABLES
+    from conftest import ORACLE_TABLES
 
     for name in ORACLE_TABLES:
         df = _t(spark, sf_dir, name)
