@@ -208,6 +208,70 @@ def hyperplane_lsh_buckets(
     return q.select("vec_id", bucket.alias("bucket"))
 
 
+def _signature_frame(
+    embs: DataFrame,
+    planes: int,
+    tables: int,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+) -> DataFrame:
+    """(vid, qv, nsq, bks) — quantized vector, squared norm, and the
+    per-table bucket keys, in ONE Arrow-batched BLAS pass.
+
+    The expression formulation (48 zip_with/aggregate dots per row over
+    a 48×64 nested literal) is dominated by Catalyst analysis + the
+    HOF interpreter — ~3.5 s of a 4 s query at sf0.1.  One
+    ``mat @ W.T`` per Arrow batch computes the same integers exactly
+    (quantized values and plane weights keep every product and sum
+    < 2^53, so float64 BLAS is bit-identical to sequential integer
+    math), and the map-only pass is the right 100 TB shape: no
+    shuffle, vectorized per batch, plan size independent of
+    planes×dims."""
+    import numpy as np
+
+    W = np.array(
+        [
+            [plane_weight(t * planes + p, d) for d in range(dims)]
+            for t in range(tables)
+            for p in range(planes)
+        ],
+        dtype=np.float64,
+    )
+    scale = float(_SCALE)
+    n_planes, n_tables = planes, tables
+    schema = "vid long, qv array<bigint>, nsq bigint, bks array<bigint>"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        pw = 2 ** np.arange(n_planes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
+            )
+            nsq = (mat * mat).sum(axis=1).astype(np.int64)
+            bits = (mat @ W.T) > 0  # (n, tables*planes)
+            keys = np.empty((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                keys[:, t] = t * (2**n_planes) + (
+                    bits[:, t * n_planes : (t + 1) * n_planes] * pw
+                ).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].astype("int64"),
+                    "qv": list(mat.astype(np.int64)),
+                    "nsq": nsq,
+                    "bks": list(keys),
+                }
+            )
+
+    return embs.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
 def lsh_topk(
     embs: DataFrame,
     k: int,
@@ -249,58 +313,20 @@ def lsh_topk(
     indexed — at scale the probe volume is then queries × tables ×
     (1+probe_bits) × bucket-occupancy, independent of corpus².
     """
-    q = quantized(embs, id_col, vec_col)
     row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
     dims = int(row["d"]) if row else 0
-    # ONE nested-array literal holds every table's plane weights: a
-    # per-plane F.array(*64 literals) tree costs Catalyst ~seconds of
-    # analysis at 48 planes (measured 15 s/action at tables=8), while a
-    # single array<array> literal is one plan node and the same integer
-    # math runs in the higher-order-function interpreter
-    plane_mat = F.lit(
-        [
-            [plane_weight(t * planes + p, d) for d in range(dims)]
-            for t in range(tables)
-            for p in range(planes)
-        ]
-    )
-    powers = F.lit([2**p for p in range(planes)])
-    dots = F.transform(
-        plane_mat,
-        lambda w: F.aggregate(
-            F.zip_with(F.col("qv"), w, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    # sig is projected once per row so the per-table bucket fold below
-    # reads a column, not 8 re-evaluations of the 48-dot transform
-    sig = q.withColumn("sig", dots)
-    bucket_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(tables - 1)),
-        lambda t: (
-            t.cast("bigint") * F.lit(2**planes)
-            + F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("sig"), t * planes + 1, planes),
-                    powers,
-                    lambda d, pw: F.when(d > 0, pw.cast("bigint")).otherwise(
-                        F.lit(0).cast("bigint")
-                    ),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-        ),
-    )
+    sig = _signature_frame(embs, planes, tables, id_col, vec_col, dims)
+    # both the probe and index sides of the self-join read `sig`; the
+    # lazy checkpoint runs the Arrow signature pass ONCE per action
+    # instead of once per join side
+    sig = iter_checkpoint(sig, eager=False)
     side = sig.select(
-        "vid", "qv", "nsq", F.explode(bucket_keys).alias("bucket")
+        "vid", "qv", "nsq", "bks", F.explode("bks").alias("bucket")
     )
-    # both the probe and index sides of the self-join read `side`; the
-    # lazy checkpoint computes the (wide, literal-heavy) bucket
-    # signatures ONCE per action instead of once per join side
-    side = iter_checkpoint(side, eager=False)
-    probing = side if query_pred is None else side.filter(query_pred)
+    probing = sig if query_pred is None else sig.filter(query_pred)
+    probing = probing.select(
+        "vid", "qv", "nsq", "bks", F.explode("bks").alias("bucket")
+    )
     if probe_bits > 0:
         probe_keys = F.array(
             F.col("bucket"),
@@ -310,29 +336,46 @@ def lsh_topk(
             ],
         )
         probing = probing.select(
-            "vid", "qv", "nsq", F.explode(probe_keys).alias("probe")
+            "vid", "qv", "nsq", "bks", F.explode(probe_keys).alias("probe")
         )
     else:
-        probing = probing.select("vid", "qv", "nsq", F.col("bucket").alias("probe"))
+        probing = probing.select(
+            "vid", "qv", "nsq", "bks", F.col("bucket").alias("probe")
+        )
     a, b = probing.alias("a"), side.alias("b")
-    dot = VE.dot_q(F.col("a.qv"), F.col("b.qv"))
-    cos = VE.cosine_q(dot, F.col("a.nsq"), F.col("b.nsq"))
-    scored = (
-        a.join(
-            b,
-            (F.col("a.probe") == F.col("b.bucket"))
-            & (F.col("a.vid") != F.col("b.vid")),
-        )
-        .select(
-            F.col("a.vid").alias("q_id"),
-            F.col("b.vid").alias("neighbor_id"),
-            cos.alias("cos"),
-        )
+    joined = a.join(
+        b,
+        (F.col("a.probe") == F.col("b.bucket"))
+        & (F.col("a.vid") != F.col("b.vid")),
     )
     if tables > 1:
-        # a pair colliding in several tables scores identically each
-        # time (deterministic integer math) — collapse before ranking
-        scored = scored.distinct()
+        # min-colliding-table bookkeeping replaces the former
+        # ``scored.distinct()``: within ONE table a pair collides at
+        # most once (every probe key is a distinct value and the index
+        # row carries a single bucket per table), so duplicates arise
+        # only when SEVERAL tables match the same pair.  Keep a match
+        # only when its table is the FIRST whose keys sit within
+        # Hamming<=1 — an exact, per-row ``tables``-element filter
+        # instead of a full extra shuffle of the candidate set.  The
+        # per-table keys carry the table id in the high bits, which
+        # cancels in the xor at equal positions.
+        ham = F.zip_with(
+            F.col("a.bks"),
+            F.col("b.bks"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        )
+        first_hit = F.array_position(
+            F.transform(ham, lambda h: h <= F.lit(1)), F.lit(True)
+        )
+        t_matched = F.shiftright(F.col("b.bucket"), planes)
+        joined = joined.filter(first_hit == t_matched + F.lit(1))
+    dot = VE.dot_q(F.col("a.qv"), F.col("b.qv"))
+    cos = VE.cosine_q(dot, F.col("a.nsq"), F.col("b.nsq"))
+    scored = joined.select(
+        F.col("a.vid").alias("q_id"),
+        F.col("b.vid").alias("neighbor_id"),
+        cos.alias("cos"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
