@@ -384,41 +384,160 @@ def lsh_topk(
     )
 
 
+def _ivf_partial_sums(embs: DataFrame, cells, C, id_col: str, vec_col: str) -> DataFrame:
+    """One Lloyd accumulation pass: assign every vector to its nearest
+    centroid (cos desc, cell asc — ``np.argmax`` returns the FIRST
+    max, and ``C``'s rows are in ascending cell order, so ties break
+    exactly like the SQL oracle) and emit per-batch per-cell
+    per-dimension partial sums.  Output is cells × dims rows per Arrow
+    batch regardless of batch size, so the following groupBy shuffles
+    a dimension-sized table, never the corpus."""
+    import numpy as np
+
+    n_cells, dims = C.shape
+    cells = np.asarray(cells, dtype=np.int64)
+    Cm = C.astype(np.float64)
+    scale = float(_SCALE)
+    schema = "cell long, pos int, s long, cnt long"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cn = np.sqrt((Cm * Cm).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
+            )
+            an = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ Cm.T) / (an[:, None] * cn[None, :])
+            best = np.argmax(cos, axis=1)
+            S = np.zeros((n_cells, dims))
+            np.add.at(S, best, mat)
+            cnt = np.bincount(best, minlength=n_cells)
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(cells, dims),
+                    "pos": np.tile(np.arange(dims, dtype=np.int32), n_cells),
+                    "s": S.ravel().astype(np.int64),
+                    "cnt": np.repeat(cnt, dims).astype(np.int64),
+                }
+            )
+
+    return embs.select(vec_col).mapInPandas(gen, schema)
+
+
+def _ivf_rank_cells(
+    embs: DataFrame, cells, C, rank_limit: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vid, qv, nsq, cell, cell_rank): every vector's ``rank_limit``
+    nearest centroids, ranked (cos desc, cell asc) INSIDE the Arrow
+    worker — no window shuffle; a stable argsort over ascending-cell
+    columns reproduces the SQL tie-break exactly."""
+    import numpy as np
+
+    n_cells, dims = C.shape
+    cells = np.asarray(cells, dtype=np.int64)
+    Cm = C.astype(np.float64)
+    scale = float(_SCALE)
+    limit = min(rank_limit, n_cells)
+    schema = "vid long, qv array<bigint>, nsq bigint, cell long, cell_rank int"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cn = np.sqrt((Cm * Cm).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
+            )
+            nsq = (mat * mat).sum(axis=1).astype(np.int64)
+            an = np.sqrt(nsq.astype(np.float64))
+            cos = (mat @ Cm.T) / (an[:, None] * cn[None, :])
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :limit]
+            vid = pdf[id_col].astype("int64").to_numpy()
+            qv = list(mat.astype(np.int64))
+            frames = []
+            for r in range(limit):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vid": vid,
+                            "qv": qv,
+                            "nsq": nsq,
+                            "cell": cells[order[:, r]],
+                            "cell_rank": np.int32(r + 1),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return embs.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
 def ivf_assign(
     embs: DataFrame,
     n_centroids: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rank_limit: int = 1,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
-    """(vid, qv, nsq, cell[, cell_rank]) — IVF cell assignment.
+    """(vid, qv, nsq, cell, cell_rank) — IVF cell assignment.
 
-    Centroids are the ``n_centroids`` lowest-id vectors: a
+    Seed centroids are the ``n_centroids`` lowest-id vectors: a
     deterministic "training sample" both Spark and the SQL oracle can
-    reproduce exactly (a k-means refinement would sharpen the cells
-    but breaks cross-engine determinism; the inverted-file structure
-    and the query plan are identical either way).  Every vector joins
-    the BROADCAST centroid set (dimension-sized by construction),
-    scores all centroids with quantized-integer cosine, and keeps its
-    ``rank_limit`` nearest cells — one map-side pass over the corpus
-    plus one window shuffle, no driver collect.
+    reproduce exactly.  ``lloyd_iters`` > 0 sharpens them with that
+    many deterministic Lloyd (k-means) steps: assign to the nearest
+    centroid, recompute each non-empty cell's centroid as the
+    per-dimension ROUNDED mean (``floor(sum/count + 0.5)`` in float64
+    — sums < 2^53 keep the division correctly rounded, so the result
+    is bit-identical to the unrolled SQL oracle), empty cells keep
+    their previous centroid.
+
+    Physical shape: the centroid set is a guarded dimension-sized
+    build side (collected via ``_collect_matrix``, capped at
+    MAX_BUILD_ROWS); each Lloyd round is ONE Arrow/BLAS pass over the
+    corpus emitting cells × dims partial-sum rows per batch, reduced
+    by a dimension-sized groupBy — the corpus itself is never
+    shuffled.  The final ranking pass emits each vector's
+    ``rank_limit`` nearest cells directly from the worker (stable
+    argsort == (cos desc, cell asc)), so there is no window shuffle
+    at all.  At 100 TB: ``1 + lloyd_iters`` map passes, shuffles
+    bounded by n_centroids × dims.
     """
-    q = quantized(embs, id_col, vec_col)
-    cents = q.filter(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("cell"),
-        F.col("qv").alias("cqv"),
-        F.col("nsq").alias("cnsq"),
+    import numpy as np
+
+    ids, C = _collect_matrix(
+        embs.filter(F.col(id_col) < n_centroids), id_col, vec_col
     )
-    dot = VE.dot_q(F.col("qv"), F.col("cqv"))
-    cos = VE.cosine_q(dot, F.col("nsq"), F.col("cnsq"))
-    scored = q.join(F.broadcast(cents)).select(
-        "vid", "qv", "nsq", "cell", cos.alias("ccos")
-    )
-    w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cell"))
-    ranked = scored.withColumn("cell_rank", F.row_number().over(w)).filter(
-        F.col("cell_rank") <= rank_limit
-    )
-    return ranked.select("vid", "qv", "nsq", "cell", "cell_rank")
+    order = np.argsort(ids)
+    cells, C = ids[order].astype(np.int64), C[order]
+    for _ in range(lloyd_iters):
+        part = (
+            _ivf_partial_sums(embs, cells, C, id_col, vec_col)
+            .groupBy("cell", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+        # dimension-sized collect (n_centroids × dims rows) — the same
+        # control-plane role as a broadcast build side
+        rows = part.collect()
+        C = C.copy()
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], []).append(r)
+        cell_index = {int(c): i for i, c in enumerate(cells)}
+        for c, rs in by_cell.items():
+            i = cell_index[int(c)]
+            for r in rs:
+                C[i, r["pos"]] = np.floor(float(r["s"]) / float(r["cnt"]) + 0.5)
+    return _ivf_rank_cells(embs, cells, C, rank_limit, id_col, vec_col)
 
 
 def ivf_topk(
@@ -429,12 +548,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred=None,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an inverted file (IVF): the corpus is
     partitioned into ``n_centroids`` cells by nearest centroid; each
     query scores only the vectors in its ``nprobe`` nearest cells.
 
-    The 100 TB shape: cell assignment is one broadcast-join pass, the
+    The 100 TB shape: cell assignment is one Arrow/BLAS map pass per
+    Lloyd round plus one for ranking (see :func:`ivf_assign`), the
     index is shuffled ONCE on cell id (well-distributed, bounded
     occupancy ~corpus/n_centroids), and probe volume is queries ×
     nprobe × occupancy — independent of corpus².  Raise
@@ -451,7 +572,14 @@ def ivf_topk(
     # computing them separately would double the broadcast-scoring work
     # and add a second full-corpus window shuffle
     ranked = iter_checkpoint(
-        ivf_assign(embs, n_centroids, id_col, vec_col, rank_limit=nprobe),
+        ivf_assign(
+            embs,
+            n_centroids,
+            id_col,
+            vec_col,
+            rank_limit=nprobe,
+            lloyd_iters=lloyd_iters,
+        ),
         eager=False,
     )
     index = ranked.filter(F.col("cell_rank") == 1).select(

@@ -2572,6 +2572,7 @@ ANN_IVF_CENTROIDS = 32
 ANN_IVF_NPROBE = 8
 ANN_IVF_K = 3
 ANN_IVF_QMAX = 64
+ANN_IVF_LLOYD = 2
 
 _IVF_COS = (
     "CAST(list_sum(list_transform(range(len({a}.qv)), i -> {a}.qv[i+1] * {b}.{bv}[i+1])) AS DOUBLE)"
@@ -2579,14 +2580,53 @@ _IVF_COS = (
 )
 
 
+def _ivf_lloyd_ctes(n_iters: int, cent_cos: str) -> str:
+    """Unrolled Lloyd CTE chain: c0 (lowest-id seeds) -> a0 -> c1 ->
+    a1 -> c2 ...; returns the SQL fragment and leaves ``c{n_iters}``
+    as the final centroid table.  Mirrors operators.similarity
+    ``_lloyd_update`` exactly: per-dim rounded mean
+    ``floor(sum/count + 0.5)`` in float64, empty cells keep the
+    previous centroid, assignment tie-break (cos desc, cell asc)."""
+    parts = []
+    for i in range(n_iters):
+        parts.append(f"""
+, a{i} AS (
+  SELECT vec_id, qv, nsq, cell FROM (
+    SELECT a.vec_id, a.qv, a.nsq, c.cell, {cent_cos.replace('{C}', f'c{i}')} AS ccos
+    FROM n a CROSS JOIN c{i} c
+  ) t QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+), m{i} AS (
+  SELECT cell, pos,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
+  FROM (
+    SELECT cell, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a{i}
+  ) u GROUP BY cell, pos
+), c{i + 1} AS (
+  SELECT c.cell,
+         coalesce(nc.cqv, c.cqv) AS cqv,
+         coalesce(nc.cnsq, c.cnsq) AS cnsq
+  FROM c{i} c LEFT JOIN (
+    SELECT cell, cqv, list_sum(list_transform(cqv, x -> x * x)) AS cnsq
+    FROM (SELECT cell, list(m ORDER BY pos) AS cqv FROM m{i} GROUP BY cell) s
+  ) nc USING (cell)
+)""")
+    return "".join(parts)
+
+
 def _ivf_topk_oracle(
     n_centroids: int = ANN_IVF_CENTROIDS,
     nprobe: int = ANN_IVF_NPROBE,
     k: int = ANN_IVF_K,
     qmax: int = ANN_IVF_QMAX,
+    lloyd_iters: int = ANN_IVF_LLOYD,
 ) -> str:
-    cent_cos = _IVF_COS.format(a="a", b="c", bv="cqv", bn="cnsq")
+    cent_cos_t = (
+        "CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * c.cqv[i+1])) AS DOUBLE)"
+        " / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE)))"
+    )
     pair_cos = _IVF_COS.format(a="a", b="b", bv="qv", bn="nsq")
+    lloyd = _ivf_lloyd_ctes(lloyd_iters, cent_cos_t)
+    cf = f"c{lloyd_iters}"
     return f"""
 WITH q AS (
   SELECT vec_id, {_QUANT} AS qv FROM embeddings
@@ -2594,14 +2634,14 @@ WITH q AS (
   SELECT vec_id, qv,
          list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq
   FROM q
-), cents AS (
+), c0 AS (
   SELECT vec_id AS cell, qv AS cqv, nsq AS cnsq FROM n WHERE vec_id < {n_centroids}
-), assign AS (
+){lloyd}, assign AS (
   SELECT vec_id, qv, nsq, cell, row_number() OVER (
            PARTITION BY vec_id ORDER BY ccos DESC, cell) AS cell_rank
   FROM (
-    SELECT a.vec_id, a.qv, a.nsq, c.cell, {cent_cos} AS ccos
-    FROM n a CROSS JOIN cents c
+    SELECT a.vec_id, a.qv, a.nsq, c.cell, {cent_cos_t} AS ccos
+    FROM n a CROSS JOIN {cf} c
   )
 ), scored AS (
   SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {pair_cos} AS cos
@@ -2620,15 +2660,18 @@ SELECT q_id, neighbor_id, rn AS rank FROM (
 @query("ann_ivf_topk", _ivf_topk_oracle())
 def ann_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate top-3 for the query workload (vec_id < 64): the
-    corpus is partitioned into 32 cells by nearest centroid (the 32
-    lowest-id vectors — deterministic, so the SQL oracle reproduces
-    the exact cells); each query probes its 8 nearest cells (~25% of
-    the corpus — the near-uniform synthetic embeddings are IVF's
+    corpus is partitioned into 32 cells by nearest centroid — seeded
+    from the 32 lowest-id vectors, then sharpened by TWO deterministic
+    Lloyd (k-means) steps (integer rounded-mean centroids, fixed
+    tie-breaks — the SQL oracle unrolls the identical iterations, so
+    the exact cells reproduce cross-engine); each query probes its 8
+    nearest cells (the near-uniform synthetic embeddings are IVF's
     adversarial case; clustered real data needs far fewer).  The
     inverted-file counterpart to the LSH scale path: one broadcast
-    assignment pass, one cell-keyed shuffle with bounded occupancy
-    (~corpus/32), probe volume independent of corpus².  Recall pinned
-    vs the exact baseline in tests/test_dedup_similarity.py."""
+    assignment pass per Lloyd round, one cell-keyed shuffle with
+    bounded occupancy (~corpus/32), probe volume independent of
+    corpus².  Lloyd raised measured recall ~0.78 → ~0.83; pinned
+    ≥0.80 vs the exact baseline in tests/test_dedup_similarity.py."""
     return (
         SIM.ivf_topk(
             _t(spark, sf, "embeddings"),
@@ -2636,6 +2679,7 @@ def ann_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
             n_centroids=ANN_IVF_CENTROIDS,
             nprobe=ANN_IVF_NPROBE,
             query_pred=F.col("vid") < ANN_IVF_QMAX,
+            lloyd_iters=ANN_IVF_LLOYD,
         )
         .select("q_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
         .orderBy("q_id", "rank")

@@ -309,13 +309,15 @@ def test_ann_probed_recall_pinned(spark, sf_dir):
 
 
 def test_ann_ivf_recall_pinned(spark, sf_dir):
-    """IVF recall pin: nprobe=8 of 32 cells measures ~0.78 on the
-    near-uniform synthetic corpus (IVF's adversarial case — no cluster
-    structure).  A drop below 0.70 means the assignment or probing
+    """IVF recall pin: nprobe=8 of 32 Lloyd-refined cells measures
+    ~0.83 on the near-uniform synthetic corpus (IVF's adversarial case
+    — no cluster structure; seed-only cells measured ~0.78).  A drop
+    below 0.80 means the assignment, Lloyd refinement, or probing
     broke, not the data."""
     from etl_cpc_schema_spark.queries import (
         ANN_IVF_CENTROIDS,
         ANN_IVF_K,
+        ANN_IVF_LLOYD,
         ANN_IVF_NPROBE,
         ANN_IVF_QMAX,
     )
@@ -334,10 +336,11 @@ def test_ann_ivf_recall_pinned(spark, sf_dir):
             n_centroids=ANN_IVF_CENTROIDS,
             nprobe=ANN_IVF_NPROBE,
             query_pred=F.col("vid") < ANN_IVF_QMAX,
+            lloyd_iters=ANN_IVF_LLOYD,
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.70, f"IVF recall@{ANN_IVF_K} collapsed to {recall:.3f}"
+    assert recall >= 0.80, f"IVF recall@{ANN_IVF_K} collapsed to {recall:.3f}"
 
 
 def test_ivf_cells_partition_corpus(spark, sf_dir):
