@@ -2843,6 +2843,104 @@ def text_rare_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bpe_ctes(n_merges: int) -> str:
+    """Unrolled BPE training CTE chain mirroring operators.bpe exactly:
+    s0 = char-spaced word vocabulary; per round, b{i} = winning pair
+    (count DESC, pair ASC) and s{i+1} = merge applied via left-to-right
+    non-overlapping ``replace`` (= greedy BPE).  Leaves ``s{n_merges}``
+    as the final vocabulary."""
+    parts = [
+        f"""
+WITH s0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents) t
+  GROUP BY word
+)"""
+    ]
+    for i in range(n_merges):
+        parts.append(f"""
+, b{i} AS MATERIALIZED (
+  SELECT pair, cnt FROM (
+    SELECT pair, sum(freq) AS cnt FROM (
+      SELECT unnest(list_transform(range(len(toks) - 1),
+                    j -> toks[j+1] || ' ' || toks[j+2])) AS pair, freq
+      FROM (SELECT freq, string_split(seq, ' ') AS toks FROM s{i}) u
+    ) p GROUP BY pair
+  ) q ORDER BY cnt DESC, pair LIMIT 1
+), s{i + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN b.pair IS NULL THEN s.seq
+              ELSE trim(replace(' ' || s.seq || ' ',
+                                ' ' || b.pair || ' ',
+                                ' ' || replace(b.pair, ' ', '') || ' '))
+         END AS seq
+  FROM s{i} s LEFT JOIN b{i} b ON true
+)""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = 10) -> str:
+    rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, "
+        f"string_split(pair, ' ')[1] AS lhs, string_split(pair, ' ')[2] AS rhs, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"""{_bpe_ctes(n_merges)}
+SELECT merge_rank, lhs, rhs, pair_count FROM (
+  {rows}
+) m ORDER BY merge_rank
+"""
+
+
+def _bpe_encode_oracle(n_merges: int = 10) -> str:
+    return f"""{_bpe_ctes(n_merges)}
+, enc AS (
+  SELECT word, len(string_split(seq, ' ')) AS n_sym FROM s{n_merges}
+), tk AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_sym) AS BIGINT) AS n_bpe
+  FROM tk JOIN enc USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_bpe, 0) AS n_bpe
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+
+@query("text_bpe_train", _bpe_train_oracle())
+def text_bpe_train_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL distributed BPE training (operators/bpe.py — the learned
+    upgrade of functions/text.py's ``bpe_ish`` heuristic): 10 rounds of
+    freq-weighted adjacent-pair counting over the word vocabulary, each
+    winner applied by greedy left-to-right merge.  The corpus collapses
+    to (word, freq) in ONE shuffle; every training round then works on
+    the dimension-sized vocabulary — the shape that holds when the
+    corpus is 100 TB but the vocabulary is millions of rows.  Output is
+    the learned merge table itself; the DuckDB oracle unrolls the
+    identical 10 rounds as a CTE chain."""
+    from .operators import bpe as BPE
+
+    docs = _t(spark, sf, "documents")
+    return BPE.merge_table(spark, docs).orderBy("merge_rank")
+
+
+@query("text_bpe_encode", _bpe_encode_oracle())
+def text_bpe_encode_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenize with the LEARNED merges: per document, whitespace-token
+    and BPE-symbol counts under the 10-merge table of
+    ``text_bpe_train``.  The final vocabulary is the join build side
+    (AQE-chosen strategy — a heavy-tailed vocabulary is unbounded);
+    zero-token documents survive with zero counts."""
+    from .operators import bpe as BPE
+
+    return BPE.encode_counts(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
 def _split_oracle() -> str:
     from .operators.sampling import split_sql
 
@@ -3556,6 +3654,9 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 #: latest sample was round 3, in registry order.  Queries new in round
 #: 5 are prepended as they land so they get a first-round row.
 _DRIVER_PRIORITY: list[str] = [
+    # new this round — need a first driver row
+    "text_bpe_train",
+    "text_bpe_encode",
     # stale since round 2 — verify first
     "q50_map_type",
     "q51_regex_rewrite",

@@ -1,0 +1,82 @@
+"""Distributed BPE trainer/encoder behavior pins.
+
+The two execution tiers (driver-side merge loop for collected
+vocabularies, fully distributed per-round loop) must be bit-for-bit
+interchangeable — same merges, same final sequences — because
+``bpe_train`` picks between them by vocabulary size alone.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cpc_schema_spark.operators import bpe as BPE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "low lower newest widest widest newest low"),
+        (3, ""),
+        (4, "   "),
+        (5, "x"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_driver_and_distributed_tiers_agree(spark, docs, monkeypatch):
+    merges_drv, vocab_drv = BPE.bpe_train(docs, n_merges=6)
+    monkeypatch.setattr(BPE, "DRIVER_VOCAB_ROWS", -1)
+    merges_dist, vocab_dist = BPE.bpe_train(docs, n_merges=6)
+    assert merges_drv == merges_dist
+    assert sorted(map(tuple, vocab_drv.collect())) == sorted(
+        map(tuple, vocab_dist.collect())
+    )
+
+
+def test_merges_are_greedy_left_to_right(spark):
+    """'a a a' under merge (a,a) becomes '(aa) a' — the leftmost pair
+    wins, exactly like replace()'s non-overlapping forward scan."""
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    merges, vocab = BPE.bpe_train(docs, n_merges=1)
+    assert merges == [(1, "a", "a", 4)]
+    [row] = vocab.collect()
+    assert row["seq"] == "aa a"
+
+
+def test_merge_ranks_and_counts(spark, docs):
+    mt = BPE.merge_table(spark, docs, n_merges=6).collect()
+    assert [r["merge_rank"] for r in mt] == list(range(1, 7))
+    # pair counts never increase as merges consume pair mass
+    counts = [r["pair_count"] for r in mt]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # the most frequent first merge on this corpus: 'e s' (newest x6,
+    # widest x3 → 9) beats 'l o' (low x4, lower x3 → 7)... verify by
+    # recomputing, not hardcoding:
+    assert mt[0]["pair_count"] == max(r["pair_count"] for r in mt)
+
+
+def test_encode_counts_zero_token_docs(spark, docs):
+    out = {r["doc_id"]: r for r in BPE.encode_counts(docs, n_merges=4).collect()}
+    assert out[3]["n_words"] == 0 and out[3]["n_bpe"] == 0
+    assert out[4]["n_words"] == 0 and out[4]["n_bpe"] == 0
+    assert out[5]["n_words"] == 1 and out[5]["n_bpe"] == 1  # single char "x"
+    # BPE never yields more symbols than characters, never fewer than words
+    for d in (1, 2):
+        assert out[d]["n_bpe"] >= out[d]["n_words"]
+
+
+def test_early_stop_on_empty_vocab(spark):
+    docs = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    merges, vocab = BPE.bpe_train(docs, n_merges=5)
+    assert merges == []
+    assert vocab.count() == 0
+    assert BPE.merge_table(spark, docs, n_merges=5).count() == 0
+
+
+def test_single_symbol_words_have_no_pairs(spark):
+    docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    merges, _ = BPE.bpe_train(docs, n_merges=3)
+    assert merges == []
