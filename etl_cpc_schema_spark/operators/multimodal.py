@@ -2,12 +2,15 @@
 
 Media are opaque ``binary`` columns with typed metadata structs; the
 compute pattern is Arrow-batched ``mapInPandas`` so decoders see whole
-byte buffers, never row-at-a-time Python.  The actual codecs
-(Pillow/ffmpeg/librosa) are NOT in this container, so the decode step
-is STUBBED: ``decode_image_real`` raises ``NotImplementedError`` and
-the pipeline uses ``fake_decode_meta`` — a deterministic stand-in that
-derives pseudo width/height from the payload's md5, keeping every
-Spark-side contract (schema, batching, partitioning) real and testable.
+byte buffers, never row-at-a-time Python.  The decode step is
+REAL-WHEN-POSSIBLE: each worker try-imports Pillow and decodes any
+payload it can; on ImportError or an undecodable payload it falls back
+to a deterministic stand-in deriving pseudo width/height from the
+payload's md5.  In codec-less sandboxes (no Pillow; payloads are text
+bytes) every row takes the fallback — so the oracle rows are stable —
+while the same code exercises the real path wherever Pillow exists.
+Every Spark-side contract (schema, batching, partitioning) is real
+either way.
 
 At 100 TB the shape matters more than the codec: binary payloads ride
 in their own column (parquet keeps them out of unrelated scans via
@@ -38,12 +41,25 @@ def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - stub
-    """STUB — real image decode requires Pillow/libjpeg, absent here."""
-    raise NotImplementedError(
-        "image decoding libraries are not available in this environment; "
-        "use fake_decode_meta for the deterministic stand-in"
-    )
+def try_decode_image(payload: bytes):
+    """Real-when-possible image decode: (width, height) via Pillow, or
+    ``None`` when Pillow is absent OR the payload is not a decodable
+    image.  The operators below call this FIRST and fall back to the
+    deterministic fake only on ``None`` — so the same code runs the
+    real path on a cluster with Pillow installed and stays
+    deterministic in codec-less sandboxes (where the stand-in payloads
+    are text bytes no decoder accepts anyway)."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 - worker-side optional dep
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            return int(img.width), int(img.height)
+    except Exception:
+        return None
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:
@@ -72,8 +88,24 @@ def extract_meta(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # the repo isn't on the executors' PYTHONPATH.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import io as _io
 
         import pandas as _pd
+
+        try:  # worker-side optional dependency — decide once per task
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+
+        def dims(buf: bytes):
+            if _Image is not None:
+                try:
+                    with _Image.open(_io.BytesIO(buf)) as img:
+                        return int(img.width), int(img.height)
+                except Exception:
+                    pass
+            h = int(_hashlib.md5(buf).hexdigest()[:15], 16)
+            return h % 64 + 1, (h >> 6) % 64 + 1
 
         for pdf in batches:
             widths: list[int] = []
@@ -81,10 +113,10 @@ def extract_meta(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
             lens: list[int] = []
             for payload in pdf["payload"]:
                 buf = bytes(payload)
-                h = int(_hashlib.md5(buf).hexdigest()[:15], 16)
+                w, hh = dims(buf)
                 lens.append(len(buf))
-                widths.append(h % 64 + 1)
-                heights.append((h >> 6) % 64 + 1)
+                widths.append(w)
+                heights.append(hh)
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -113,20 +145,41 @@ def resize_images(
 
     def run(batches):
         import hashlib as _hashlib
+        import io as _io
 
         import pandas as _pd
+
+        try:  # worker-side optional dependency — decide once per task
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
 
         for pdf in batches:
             ids, ws, hs, thumbs = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 buf = bytes(payload)
-                h = int(_hashlib.md5(buf).hexdigest()[:15], 16)
-                w0, h0 = h % 64 + 1, (h >> 6) % 64 + 1
-                scale = min(1.0, max_side / max(w0, h0))
-                ids.append(doc_id)
-                ws.append(max(1, int(w0 * scale)))
-                hs.append(max(1, int(h0 * scale)))
-                thumbs.append(_hashlib.md5(buf).digest())
+                done = False
+                if _Image is not None:
+                    try:
+                        with _Image.open(_io.BytesIO(buf)) as img:
+                            img.thumbnail((max_side, max_side))
+                            out = _io.BytesIO()
+                            img.save(out, format="PNG")
+                            ids.append(doc_id)
+                            ws.append(int(img.width))
+                            hs.append(int(img.height))
+                            thumbs.append(out.getvalue())
+                            done = True
+                    except Exception:
+                        done = False
+                if not done:
+                    h = int(_hashlib.md5(buf).hexdigest()[:15], 16)
+                    w0, h0 = h % 64 + 1, (h >> 6) % 64 + 1
+                    scale = min(1.0, max_side / max(w0, h0))
+                    ids.append(doc_id)
+                    ws.append(max(1, int(w0 * scale)))
+                    hs.append(max(1, int(h0 * scale)))
+                    thumbs.append(_hashlib.md5(buf).digest())
             yield _pd.DataFrame(
                 {"doc_id": ids, "out_width": ws, "out_height": hs, "thumb": thumbs}
             )

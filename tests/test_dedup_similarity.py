@@ -210,9 +210,30 @@ def test_multimodal_meta_shapes(docs):
     assert by_id[1]["fake_width"] == by_id[2]["fake_width"]
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image_real(b"\x89PNG")
+_HAS_PIL = True
+try:
+    import PIL  # noqa: F401
+except ImportError:
+    _HAS_PIL = False
+
+
+def test_try_decode_returns_none_without_codec_or_image():
+    # undecodable payload falls back regardless of Pillow presence
+    assert MM.try_decode_image(b"\x89PNG but not really") is None
+    assert MM.try_decode_image(b"plain text bytes") is None
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this sandbox")
+def test_try_decode_real_image_path():
+    """Wherever Pillow exists, the REAL decode path runs: a generated
+    3x2 PNG round-trips through try_decode_image and resize_images."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2), (255, 0, 0)).save(buf, format="PNG")
+    assert MM.try_decode_image(buf.getvalue()) == (3, 2)
 
 
 def test_multimodal_resize_clamps_dims(docs):
