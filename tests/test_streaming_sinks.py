@@ -1,8 +1,11 @@
-"""Streaming sink patterns: foreachBatch idempotent upsert and the
-Observation metrics API."""
+"""Streaming sink patterns: foreachBatch idempotent upsert, the
+Observation metrics API, and crash/restart exactly-once recovery."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from etl_cpc_schema_spark.streaming.ingest import EVENTS_RAW_SCHEMA
@@ -83,3 +86,68 @@ def test_observation_metrics_single_pass(spark, sf_dir):
     got = obs.get
     assert got["n_rows"] == n_collected
     assert got["n_empty"] >= 0
+
+
+def test_restart_recovery_exactly_once(spark, tmp_path):
+    """VERDICT r4 #7: kill a stream MID-RUN and resume from the
+    checkpoint — the one streaming property availableNow-to-completion
+    tests don't pin.  A 4-file source is consumed one file per
+    micro-batch; the sink crashes before committing batch 1 on the
+    first run.  The restarted query must replay exactly the
+    uncommitted batch (same batch id, same file offsets from the WAL)
+    and finish the rest, with per-batch-id overwrite making the replay
+    idempotent — every source row lands in the sink exactly once."""
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    crash_flag = str(tmp_path / "crash_once")
+    os.makedirs(out)
+
+    all_ids = []
+    for part in range(4):
+        ids = list(range(part * 100, part * 100 + 100))
+        all_ids.extend(ids)
+        spark.createDataFrame(
+            [(i, i % 7) for i in ids], "event_id long, user_id long"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    open(crash_flag, "w").write("1")
+
+    def sink(batch_df, batch_id):
+        if batch_id >= 1 and os.path.exists(crash_flag):
+            os.remove(crash_flag)
+            raise RuntimeError("injected mid-stream crash")
+        # idempotent-by-batch-id: a replayed batch overwrites its own
+        # directory instead of appending duplicates
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_{batch_id}")
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected mid-stream crash"):
+        run()
+
+    committed = sorted(os.listdir(out))
+    assert committed == ["batch_0"], f"partial progress wrong: {committed}"
+
+    run()  # resume from the same checkpoint — no crash flag now
+
+    batch_dirs = [f"{out}/{d}" for d in sorted(os.listdir(out))]
+    assert len(batch_dirs) == 4  # one replayed + the rest, no extras
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(*batch_dirs).collect()
+    )
+    assert got == sorted(all_ids)  # exactly once: no dups, none missing
