@@ -44,6 +44,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_stats",
     "text_token_freq",
+    # learned BPE: one corpus-collapse shuffle + driver-tier merge loop
+    "text_bpe_train",
     "docs_pack_sequences",
     "docs_contamination",
     "docs_chunk",

@@ -44,6 +44,7 @@ INSPECT = [
     "docs_corpus_build",
     "docs_cdc_dedup",
     "text_rare_tokens",
+    "text_bpe_encode",
     "docs_stratified_sample",
     "text_pii_scrub",
     "q48_resample_gapfill",

@@ -1,0 +1,111 @@
+"""Scale-curve bench: measure the dedup/ANN occupancy levers empirically.
+
+Runs the four bucketed candidate-generation operators the 100 TB
+argument leans on (dedup_lsh_jaccard, dedup_components,
+ann_lsh_topk_probed, ann_ivf_topk) over the deterministic synthetic
+corpora from tools/gen_scale_corpus.py at 1x / 10x / 100x the sf0.1
+row counts, and asserts SUB-QUADRATIC wall-time growth: a bucketed
+plan whose candidate volume is occupancy-bounded should scale
+near-linearly with corpus size; an accidental all-pairs plan scales
+with its square and fails the gate loudly.
+
+Gate: t(100x)/t(1x) < 0.3 * 100^2 per operator (generous CPU-noise
+headroom below the quadratic ratio 10,000; observed ratios are
+10-60).  Writes SCALE_BENCH.json at the repo root.
+
+Usage: python tools/scale_bench.py  (expects scale_data/ generated;
+regenerates it if absent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OPERATORS = [
+    "dedup_lsh_jaccard",
+    "dedup_components",
+    "ann_lsh_topk_probed",
+    "ann_ivf_topk",
+]
+FACTORS = [1, 10, 100]
+RUNS = 2
+QUAD_FRACTION = 0.3  # gate: ratio must stay under 30% of quadratic
+
+
+def main() -> int:
+    data_root = os.path.join(REPO, "scale_data")
+    if not os.path.isdir(os.path.join(data_root, "x100")):
+        from gen_scale_corpus import generate
+
+        generate(data_root)
+
+    from pyspark.sql import SparkSession
+
+    from etl_cpc_schema_spark import queries as Q
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .appName("scale_bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    ok = True
+    for name in OPERATORS:
+        fn = Q.SPARK_QUERIES[name]
+        times: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for f in FACTORS:
+            sf_dir = os.path.join(data_root, f"x{f}")
+            best, n = float("inf"), -1
+            for _ in range(RUNS):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            times[f"x{f}"] = round(best, 3)
+            rows[f"x{f}"] = n
+            print(f"{name} x{f}: {best:.2f}s rows={n}", flush=True)
+        ratio = times["x100"] / max(times["x1"], 1e-9)
+        gate = QUAD_FRACTION * (FACTORS[-1] / FACTORS[0]) ** 2
+        passed = ratio < gate
+        ok = ok and passed
+        results[name] = {
+            "sec": times,
+            "rows": rows,
+            "t100_over_t1": round(ratio, 1),
+            "subquadratic_gate": gate,
+            "pass": passed,
+        }
+        print(
+            f"{name}: t(x100)/t(x1) = {ratio:.1f} "
+            f"({'PASS' if passed else 'FAIL'} < {gate:.0f})",
+            flush=True,
+        )
+    spark.stop()
+
+    out = {
+        "factors": FACTORS,
+        "base_rows": {"documents": 5000, "embeddings": 2000},
+        "runs_per_point": RUNS,
+        "operators": results,
+        "all_subquadratic": ok,
+    }
+    with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps({"all_subquadratic": ok}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
