@@ -15,12 +15,9 @@ _SKIP = tuple(
     n for n in Q.SPARK_QUERIES if n.startswith("stream_")
 )
 
-#: NB: IVF's cell-assignment pass deliberately scores the corpus
-#: against the BROADCAST centroid set (a bounded nested-loop — build
-#: side capped at n_centroids rows).  It no longer appears here
-#: because the shared ranked-assignment DataFrame is checkpointed, so
-#: the guarded final plan starts at the checkpoint scan; the interior
-#: pass is pinned by tests/test_dedup_similarity.py instead.
+#: Round 5 moved IVF cell assignment to an Arrow/BLAS map pass, so the
+#: one former documented exception (its bounded broadcast-NLJ centroid
+#: scoring) no longer exists in ANY plan — the ban is now absolute.
 BANNED = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
 
