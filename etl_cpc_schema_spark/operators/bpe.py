@@ -16,12 +16,16 @@ Spark's execution model:
   plane), and a map-only ``replace`` applying the winning merge.
   Rounds are checkpointed so round N reads materialized vocab state,
   not an N-deep lineage.
-* Merge application uses single-space-joined symbol strings:
-  ``replace(' '||seq||' ', ' l r ', ' lr ')``.  Both engines'
-  ``replace`` scans left-to-right non-overlapping, which IS greedy
-  BPE application, and the merged token cannot re-create the pattern
-  (it contains no interior space) — so Spark and the unrolled DuckDB
-  oracle CTE chain produce identical sequences.
+* Merge application uses space-joined symbol strings re-joined with
+  DOUBLE spaces for the replace pass: a single-space needle shares
+  its boundary space with the next occurrence, so ``'b b b b'`` would
+  merge only every other pair — with double separators each match
+  keeps one space on each side and forward-scanning non-overlapping
+  ``replace`` is EXACTLY the greedy left-to-right scan (fuzzed
+  against an explicit token-scan model in tests/test_bpe.py).  The
+  result re-normalizes to single spaces.  Identical in Python string
+  ops, Spark ``replace``, and DuckDB ``replace``, so all tiers and
+  the unrolled oracle CTE chain produce the same sequences.
 * Determinism: the winning pair is (count DESC, pair ASC) under
   binary string collation in both engines.
 
@@ -112,11 +116,13 @@ def _train_driver(
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Driver-side merge loop over a collected vocabulary.
 
-    Python ``str.replace`` is left-to-right non-overlapping — the
-    same greedy application as the SQL ``replace`` — and Python
-    string comparison orders by code point, which equals DuckDB's
-    binary UTF-8 collation (UTF-8 preserves code-point order), so
-    tie-breaks agree."""
+    Applies merges with the same double-space ``replace`` pass as the
+    other tiers (module docstring), so Python/Spark/DuckDB agree
+    exactly; Python string comparison orders by code point, which
+    equals DuckDB's binary UTF-8 collation (UTF-8 preserves
+    code-point order), so tie-breaks agree too."""
+    import re as _re
+
     rows = [
         [r["word"], int(r["freq"]), r["seq"]] for r in vocab.collect()
     ]
@@ -133,9 +139,10 @@ def _train_driver(
         pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         left, right = pair.split(" ", 1)
         merges.append((r + 1, left, right, cnt))
-        pat, rep = f" {left} {right} ", f" {left}{right} "
+        pat, rep = f" {left}  {right} ", f" {left}{right} "
         for row in rows:
-            row[2] = (" " + row[2] + " ").replace(pat, rep).strip(" ")
+            dbl = " " + row[2].replace(" ", "  ") + " "
+            row[2] = _re.sub(" +", " ", dbl.replace(pat, rep)).strip(" ")
     final = spark.createDataFrame(
         [tuple(r) for r in rows], _VOCAB_SCHEMA
     )
@@ -162,14 +169,23 @@ def _train_distributed(
             break
         left, right = best["pair"].split(" ", 1)
         merges.append((r + 1, left, right, int(best["cnt"])))
+        dbl = F.concat(
+            F.lit(" "),
+            F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
         new_vocab = iter_checkpoint(
             vocab.withColumn(
                 "seq",
                 F.trim(
-                    F.replace(
-                        F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
-                        F.lit(f" {left} {right} "),
-                        F.lit(f" {left}{right} "),
+                    F.regexp_replace(
+                        F.replace(
+                            dbl,
+                            F.lit(f" {left}  {right} "),
+                            F.lit(f" {left}{right} "),
+                        ),
+                        " +",
+                        " ",
                     )
                 ),
             ),

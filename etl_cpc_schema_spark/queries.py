@@ -2846,8 +2846,9 @@ def text_rare_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
 def _bpe_ctes(n_merges: int) -> str:
     """Unrolled BPE training CTE chain mirroring operators.bpe exactly:
     s0 = char-spaced word vocabulary; per round, b{i} = winning pair
-    (count DESC, pair ASC) and s{i+1} = merge applied via left-to-right
-    non-overlapping ``replace`` (= greedy BPE).  Leaves ``s{n_merges}``
+    (count DESC, pair ASC) and s{i+1} = merge applied via the
+    double-space-separated ``replace`` pass (= exact greedy BPE; see
+    operators/bpe.py module docstring).  Leaves ``s{n_merges}``
     as the final vocabulary."""
     parts = [
         f"""
@@ -2871,9 +2872,11 @@ WITH s0 AS MATERIALIZED (
 ), s{i + 1} AS MATERIALIZED (
   SELECT word, freq,
          CASE WHEN b.pair IS NULL THEN s.seq
-              ELSE trim(replace(' ' || s.seq || ' ',
-                                ' ' || b.pair || ' ',
-                                ' ' || replace(b.pair, ' ', '') || ' '))
+              ELSE trim(regexp_replace(
+                replace(' ' || replace(s.seq, ' ', '  ') || ' ',
+                        ' ' || replace(b.pair, ' ', '  ') || ' ',
+                        ' ' || replace(b.pair, ' ', '') || ' '),
+                ' +', ' ', 'g'))
          END AS seq
   FROM s{i} s LEFT JOIN b{i} b ON true
 )""")

@@ -80,3 +80,94 @@ def test_single_symbol_words_have_no_pairs(spark):
     docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
     merges, _ = BPE.bpe_train(docs, n_merges=3)
     assert merges == []
+
+
+# --- independent-model parity (hypothesis) --------------------------------
+#
+# bpe_train's merge loop must agree with a straight-line reference BPE
+# implementation (dict-of-tuples symbol sequences, no string-replace
+# tricks) on arbitrary small corpora — pinning that the space-joined
+# replace() formulation IS greedy BPE, not an approximation of it.
+
+from hypothesis import given, settings, strategies as st
+
+
+def _model_bpe(texts: list[str], n_merges: int):
+    """Reference BPE: tuple-of-symbols word table, explicit greedy
+    left-to-right merge application."""
+    freq: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in t.split():
+            k = tuple(w)
+            freq[k] = freq.get(k, 0) + 1
+    words = list(freq.items())
+    merges = []
+    for r in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, rgt), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((r + 1, l, rgt, cnt))
+        out = []
+        for syms, f in words:
+            new = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rgt:
+                    new.append(l + rgt)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            out.append((tuple(new), f))
+        words = out
+    return merges
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcxy ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_matches_reference_model(spark, texts):
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges, _ = BPE.bpe_train(docs, n_merges=4)
+    assert merges == _model_bpe(texts, 4)
+
+
+def test_scale_corpus_generator_deterministic(tmp_path):
+    """The scale-curve corpora must regenerate identically (fixed PCG64
+    seeds) or curve points stop being comparable across rounds."""
+    import hashlib
+    import sys
+
+    import pyarrow.parquet as pq
+
+    import os
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from gen_scale_corpus import generate
+
+    def content_hash(path):
+        t = pq.read_table(path)
+        return hashlib.md5(str(t.to_pylist()[:200]).encode()).hexdigest()
+
+    generate(str(tmp_path / "a"), factors=(1,))
+    generate(str(tmp_path / "b"), factors=(1,))
+    for name in ("documents.parquet", "embeddings.parquet"):
+        assert content_hash(str(tmp_path / "a" / "x1" / name)) == content_hash(
+            str(tmp_path / "b" / "x1" / name)
+        )

@@ -132,3 +132,27 @@ def test_probe_legacy_nanos_encodings(spark, tmp_path):
             r["ts"] for r in read_events(spark, str(d)).select("ts").collect()
         )
         assert got == instants, f"{label}: {got}"
+
+
+def test_probe_rejects_unrecognized_ts_type(tmp_path):
+    """ADVICE r4: a ts column that is neither a logical timestamp nor
+    INT64 (int32 / string / decimal) must raise instead of silently
+    yielding garbage epoch-nanos instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from etl_cpc_schema_spark.sources.readers import probe_events_ts
+
+    p = str(tmp_path / "events.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2, 3], type=pa.int32())}), p
+    )
+    with pytest.raises(TypeError, match="unrecognized parquet type"):
+        probe_events_ts(p)
+
+    # strings are equally unrecognizable
+    p2 = str(tmp_path / "events2.parquet")
+    pq.write_table(pa.table({"ts": pa.array(["2024-01-01"])}), p2)
+    with pytest.raises(TypeError, match="refusing to guess"):
+        probe_events_ts(p2)
