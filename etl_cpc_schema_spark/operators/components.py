@@ -148,34 +148,35 @@ def connected_components(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
     )
-    labels = iter_checkpoint(
+    ckpt = iter_checkpoint(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    labels = ckpt
     for _ in range(max_iter):
         nb_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
-        new_labels = iter_checkpoint(
+        # the convergence flag is computed DURING the update (labels
+        # only ever decrease, so changed ⟺ a neighbor label was
+        # smaller) — probing it is a filter over the checkpointed
+        # round, not a second old-vs-new shuffle join per round
+        new_ckpt = iter_checkpoint(
             labels.join(nb_min, labels.node == nb_min.src, "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nb_label") < F.col("label")).alias("changed"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        release(labels)  # probe above was the last read of the old round
-        labels = new_labels
+        changed = new_ckpt.filter(F.col("changed")).limit(1).count()
+        release(ckpt)  # release the materialized round, not a projection
+        ckpt = new_ckpt
+        labels = new_ckpt.select("node", "label")
         if changed == 0:
             break
     else:
@@ -185,7 +186,7 @@ def connected_components(
         # emission) is not re-executed.  Star's first iter_checkpoint is
         # eager and the convergence loop runs entirely inside the call,
         # so sym is safe to release once it returns.
-        release(labels)
+        release(ckpt)
         result = connected_components_star(sym, "src", "dst")
         release(sym)
         return result
