@@ -2137,6 +2137,63 @@ ORDER BY d.doc_id
 """
 
 
+def _leakage_safe_split_oracle() -> str:
+    from .operators.sampling import split_sql
+
+    case = split_sql("rep", {"train": 80, "val": 10, "test": 10})
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+), labeled AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, rep, {case} AS split
+FROM labeled ORDER BY doc_id
+"""
+
+
+@query("docs_leakage_safe_split", _leakage_safe_split_oracle())
+def docs_leakage_safe_split_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hashing each DOCUMENT id
+    (docs_train_split) lets two near-duplicates land in different
+    splits — i.e. test-set contamination by construction.  Here the
+    split hashes the duplicate-CLUSTER representative (LSH pairs →
+    connected components → min member id; singletons represent
+    themselves), so every member of a near-dup cluster lands in the
+    SAME split.  Composition of existing scale paths: bounded-occupancy
+    LSH candidates, O(rounds) hash-min components, map-only hash
+    bucketing — no new shuffle class."""
+    from .operators.components import connected_components
+    from .operators.sampling import deterministic_split
+
+    d = _t(spark, sf, "documents")
+    pairs = DD.minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4)
+    comp = connected_components(pairs)
+    labeled = (
+        d.join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("rep")
+        )
+    )
+    return (
+        deterministic_split(labeled, "rep", {"train": 80, "val": 10, "test": 10})
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    )
+
+
 @query("docs_dedup_clustered", _dedup_clustered_oracle())
 def docs_dedup_clustered_q(spark: SparkSession, sf: str) -> DataFrame:
     """The complete cluster-dedup materialization: LSH candidate pairs →
@@ -3660,6 +3717,7 @@ _DRIVER_PRIORITY: list[str] = [
     # new this round — need a first driver row
     "text_bpe_train",
     "text_bpe_encode",
+    "docs_leakage_safe_split",
     # stale since round 2 — verify first
     "q50_map_type",
     "q51_regex_rewrite",

@@ -55,6 +55,9 @@ DOC_QUERIES = [
     "docs_cdc_chunk",
     "text_rare_tokens",
     "docs_cdc_dedup",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "docs_leakage_safe_split",
 ]
 
 EDGE_ROWS = [
