@@ -2062,7 +2062,11 @@ def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_jaccard_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _verified_pairs_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """LSH-candidate + exact-verify pair query (d1, d2, shared, n1, n2),
+    Jaccard >= 4/5, NO final ORDER BY — embeddable as a CTE.  Shared by
+    dedup_lsh_jaccard and docs_incremental_dedup so the two cannot
+    drift."""
     # candidates come from the ONE minhash oracle builder (embedded as a
     # CTE, the _components_oracle pattern) — a second hand-expanded copy
     # of the signature/banding SQL would silently drift from it
@@ -2087,8 +2091,92 @@ JOIN exs x ON x.doc_id = c.d1
 JOIN exs y ON y.doc_id = c.d2 AND y.s = x.s
 GROUP BY c.d1, c.d2
 HAVING count(*) * 5 >= 4 * (any_value(x.n) + any_value(y.n) - count(*))
-ORDER BY d1, d2
 """
+
+
+def _lsh_jaccard_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    return _verified_pairs_sql(num_hashes, bands) + "ORDER BY d1, d2\n"
+
+
+def _incremental_dedup_oracle() -> str:
+    fp = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    return f"""
+WITH vp AS (
+  {_verified_pairs_sql()}
+), arrivals AS (
+  SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 5 = 0
+), corpus_fp AS (
+  SELECT DISTINCT {fp} AS fp FROM documents WHERE doc_id % 5 <> 0
+), near AS (
+  SELECT CASE WHEN d1 % 5 = 0 THEN d1 ELSE d2 END AS doc_id,
+         count(*) AS n_near
+  FROM vp WHERE (d1 % 5 = 0) <> (d2 % 5 = 0)
+  GROUP BY 1
+)
+SELECT a.doc_id,
+       (c.fp IS NOT NULL) AS exact_dup,
+       CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+       (c.fp IS NULL AND coalesce(n.n_near, 0) = 0) AS keep
+FROM arrivals a
+LEFT JOIN corpus_fp c USING (fp)
+LEFT JOIN near n USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("docs_incremental_dedup", _incremental_dedup_oracle())
+def docs_incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingestion dedup — the shape a production corpus
+    actually runs daily: dedup a NEW arrival batch (doc_id % 5 == 0
+    stands in for today's partition) against the EXISTING corpus,
+    without re-deduping the corpus against itself.  Exact layer:
+    arrival fingerprints semi-checked against the corpus fingerprint
+    index.  Near layer: LSH-verified Jaccard >= 0.8 pairs filtered to
+    CROSSING pairs only (one side arrival, one side corpus) — at scale
+    the corpus side's band index is precomputed and the probe volume
+    is arrivals x bands x occupancy, independent of corpus².
+    Arrival-vs-arrival (intra-batch) duplicates are deliberately out
+    of scope here — that is ``docs_dedup_clustered`` run on the batch
+    alone."""
+    d = _t(spark, sf, "documents")
+    fp = TX.fingerprint(F.col("text"))
+    arrivals = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    corpus_fp = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    pairs = DD.lsh_verified_jaccard_pairs(d, n=3).filter(
+        DD.jaccard_at_least(F.col("shared"), F.col("n1"), F.col("n2"), num=4, den=5)
+    )
+    crossing = pairs.filter(
+        (F.col("d1") % 5 == 0) != (F.col("d2") % 5 == 0)
+    )
+    near = (
+        crossing.select(
+            F.when(F.col("d1") % 5 == 0, F.col("d1"))
+            .otherwise(F.col("d2"))
+            .alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    exact = F.coalesce(F.col("hit"), F.lit(False))
+    n_near = F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint")
+    return (
+        arrivals.join(corpus_fp, "fp", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            exact.alias("exact_dup"),
+            n_near.alias("n_near"),
+            (~exact & (n_near == 0)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query("dedup_lsh_jaccard", _lsh_jaccard_oracle())
@@ -3718,6 +3806,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
+    "docs_incremental_dedup",
     # stale since round 2 — verify first
     "q50_map_type",
     "q51_regex_rewrite",

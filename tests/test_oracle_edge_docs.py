@@ -58,6 +58,7 @@ DOC_QUERIES = [
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
+    "docs_incremental_dedup",
 ]
 
 EDGE_ROWS = [
