@@ -32,6 +32,13 @@ OPERATORS = [
     "dedup_components",
     "ann_lsh_topk_probed",
     "ann_ivf_topk",
+    # round-5 widening: exact-dedup shuffle, two-phase cumulative-sum
+    # packing, vocab-bounded BPE training, and arrival-vs-corpus
+    # incremental dedup — each a distinct shuffle shape
+    "dedup_exact",
+    "docs_pack_sequences",
+    "text_bpe_train",
+    "docs_incremental_dedup",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -71,8 +78,14 @@ def main() -> int:
             best, n = float("inf"), -1
             for _ in range(RUNS):
                 t0 = time.time()
-                n = fn(spark, sf_dir).count()
+                df = fn(spark, sf_dir)
+                # noop sink, NOT count(): count() lets Catalyst eliminate
+                # row-preserving left joins (aggregated unique-key build
+                # sides), timing a plan that skips the actual operator —
+                # docs_incremental_dedup measured 0.6 s flat that way.
+                df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
+            n = fn(spark, sf_dir).count()
             times[f"x{f}"] = round(best, 3)
             rows[f"x{f}"] = n
             print(f"{name} x{f}: {best:.2f}s rows={n}", flush=True)
