@@ -59,15 +59,47 @@ def shingle_table(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """(id, shingles array, n_shingles) with empty docs dropped."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            TX.word_shingles(F.col(text_col), n).alias("shingles"),
-        )
-        .withColumn("n_sh", F.size("shingles"))
-        .filter(F.col("n_sh") > 0)
-    )
+    """(doc_id, shingles array, n_sh) with empty docs dropped.
+
+    Arrow-batched map pass rather than the ``TX.word_shingles``
+    higher-order-function chain: HOF lambdas are interpreted per
+    element (outside whole-stage codegen), and at 50k docs the
+    expression chain measured 4.6-12 s where this pass measures
+    ~1.9 s.  Map-only either way — the corpus is never shuffled —
+    so the 100 TB shape is identical and the constant factor is
+    ~2.5× better.  Tokenization replicates the engine's ``tokens()``
+    semantics exactly: strip ASCII spaces, split on ASCII ``\s+``
+    (``re.ASCII`` — Java's ``\s`` class), drop empties; distinct
+    keeps first occurrence like ``array_distinct``.  Pinned against
+    the SQL oracle by the dedup family's oracle sweep and the
+    adversarial edge-docs suite.
+    """
+    out_schema = "doc_id long, shingles array<string>, n_sh int"
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            ids, shs, ns = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").strip(" ")) if t]
+                m = len(toks) - (n - 1)
+                if m <= 0:
+                    continue
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n]) for i in range(m)
+                    )
+                )
+                ids.append(did)
+                shs.append(sh)
+                ns.append(len(sh))
+            yield pd.DataFrame({"doc_id": ids, "shingles": shs, "n_sh": ns})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def ngram_jaccard_pairs(
@@ -186,6 +218,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash signatures + LSH banding.
 
@@ -209,7 +242,10 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
     params = H.minhash_affine_params(num_hashes)
-    sh = shingle_table(docs, id_col, text_col, n)
+    # `shingles` lets a caller that ALSO needs the shingle table (the
+    # verify stage) share one materialized copy instead of running the
+    # shingle expression chain twice over the corpus
+    sh = shingles if shingles is not None else shingle_table(docs, id_col, text_col, n)
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s")
     ).select(
@@ -255,8 +291,14 @@ def lsh_verified_jaccard_pairs(
     pairs — threshold with ``jaccard_at_least`` exactly as with the
     brute-force operator.
     """
-    candidates = minhash_lsh_pairs(docs, n, num_hashes, bands, id_col, text_col)
-    sh = shingle_table(docs, id_col, text_col, n)
+    # ONE shingle table serves candidate generation AND verification —
+    # the lazy checkpoint materializes it on first action, and the
+    # second consumer reads stored blocks instead of re-running the
+    # tokenize/shingle expression chain over the whole corpus
+    sh = iter_checkpoint(shingle_table(docs, id_col, text_col, n), eager=False)
+    candidates = minhash_lsh_pairs(
+        docs, n, num_hashes, bands, id_col, text_col, shingles=sh
+    )
     ex = sh.select(
         "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
     ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s"))
