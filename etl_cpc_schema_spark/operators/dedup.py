@@ -97,7 +97,14 @@ def shingle_table(
                 ids.append(did)
                 shs.append(sh)
                 ns.append(len(sh))
-            yield pd.DataFrame({"doc_id": ids, "shingles": shs, "n_sh": ns})
+            if ids:
+                # an all-filtered batch must yield NOTHING: an empty
+                # pandas frame types `shingles` as numpy float64, which
+                # Arrow cannot convert to list<string> (found by the
+                # hypothesis parity test on whitespace-only corpora)
+                yield pd.DataFrame(
+                    {"doc_id": ids, "shingles": shs, "n_sh": ns}
+                )
 
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 

@@ -171,3 +171,48 @@ def test_scale_corpus_generator_deterministic(tmp_path):
         assert content_hash(str(tmp_path / "a" / "x1" / name)) == content_hash(
             str(tmp_path / "b" / "x1" / name)
         )
+
+
+# --- shingle_table tokenization parity (hypothesis) ------------------------
+#
+# shingle_table's Arrow pass re-implements tokens() in Python; the
+# divergence risk is whitespace classes (Python \s is Unicode-aware by
+# default, Java's is ASCII) and trim semantics.  Generate texts mixing
+# ASCII and Unicode whitespace and assert the Arrow output equals the
+# higher-order-function formulation element-for-element.
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab \t\n\r\x0b\x0c\xa0 é",  # incl. NBSP + em-space
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_shingle_table_matches_hof_formulation(spark, texts):
+    from pyspark.sql import functions as F
+
+    from etl_cpc_schema_spark.functions import text as TX
+    from etl_cpc_schema_spark.operators.dedup import shingle_table
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    hof = {
+        r["doc_id"]: (list(r["sh"]), r["n"])
+        for r in docs.select(
+            "doc_id",
+            TX.word_shingles(F.col("text"), 3).alias("sh"),
+            F.size(TX.word_shingles(F.col("text"), 3)).alias("n"),
+        ).collect()
+        if r["n"] > 0
+    }
+    arrow = {
+        r["doc_id"]: (list(r["shingles"]), r["n_sh"])
+        for r in shingle_table(docs).collect()
+    }
+    assert arrow == hof
