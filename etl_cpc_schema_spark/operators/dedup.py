@@ -537,16 +537,21 @@ def embedding_near_dup_lsh(
     places in different buckets are missed; that recall trade-off is
     pinned by tests against the brute-force baseline.
     """
-    from .similarity import hyperplane_lsh_buckets, quantized
+    from .similarity import _signature_frame
 
-    q = quantized(embs, id_col, vec_col)
-    buckets = hyperplane_lsh_buckets(embs, planes, id_col, vec_col)
-    side = q.join(buckets, q.vid == buckets.vec_id).select(
-        "vid", "qv", "nsq", "bucket"
+    # one Arrow/BLAS pass yields (vid, qv, nsq, bucket) directly —
+    # with tables=1 the signature frame's bucket keys equal the
+    # hyperplane_lsh_buckets expression exactly (same plane family,
+    # same powers, zero table-id high bits), and the former
+    # quantized ⋈ buckets join disappears
+    row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
+    dims = int(row["d"]) if row else 0
+    sig = _signature_frame(embs, planes, 1, id_col, vec_col, dims)
+    side = sig.select(
+        "vid", "qv", "nsq", F.element_at("bks", 1).alias("bucket")
     )
-    # both self-join sides read `side`; lazy checkpoint computes the
-    # literal-heavy bucket signature once per action (similarity.lsh_topk
-    # uses the same trick)
+    # both self-join sides read `side`; lazy checkpoint runs the Arrow
+    # pass once per action (similarity.lsh_topk uses the same trick)
     side = iter_checkpoint(side, eager=False)
     a, b = side.alias("a"), side.alias("b")
     from ..functions import vectors as VE
