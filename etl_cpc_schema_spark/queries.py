@@ -3589,6 +3589,290 @@ def text_rolling_hash_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus assembly — shuffle/shard, domain mixing, retrieval scoring,
+# substring-level duplication (round 5 additions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_global_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {portable_hash64_sql("CAST(doc_id AS VARCHAR)", 'shuf')} AS hk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hk % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id)
+                AS BIGINT) AS pos
+    FROM h ORDER BY shard, pos
+    """,
+)
+def docs_global_shuffle_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    write-side of every training run: a reproducible random order that
+    is independent of input file layout (keyed on content id, not on
+    read order), split into shards for parallel consumption.
+
+    Scale shape: one hash projection + one shuffle on ``shard``; the
+    per-shard ``row_number`` sort is bounded by shard size, and shard
+    count is the lever (8 here for oracle compactness; thousands at
+    100 TB so each shard is a few GB and the per-shard sort never
+    exceeds a task).  No global sort, no driver state.
+    """
+    from .functions.hashing import portable_hash64
+
+    d = _t(spark, sf, "documents")
+    h = d.select(
+        "doc_id",
+        portable_hash64(F.col("doc_id").cast("string"), seed="shuf").alias("hk"),
+    )
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("shard", (F.col("hk") % 8).cast("bigint"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+@query(
+    "docs_domain_mix",
+    f"""
+    WITH rates AS (
+      SELECT source,
+             CAST(10 + {portable_hash64_sql('source', 'mixw')} % 90 AS BIGINT)
+               AS rate
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE {portable_hash64_sql("CAST(doc_id AS VARCHAR)", 'mix')} % 100 < r.rate
+    ORDER BY d.doc_id
+    """,
+)
+def docs_domain_mix_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture sampling: apply a per-source keep-rate table
+    (the Pile/Dolma "mixture weights" step) with deterministic hash
+    buckets, so the same doc set is kept on every run and on any
+    cluster.  The rate table here is derived from the source name
+    (10-99%) standing in for a user-supplied mixture config; the
+    operator shape — tiny rate dim broadcast against the corpus, no
+    RNG, no driver state — is the 100 TB path.
+    """
+    from .functions.hashing import portable_hash64
+
+    d = _t(spark, sf, "documents")
+    rates = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (10 + portable_hash64(F.col("source"), seed="mixw") % 90)
+            .cast("bigint")
+            .alias("rate"),
+        )
+    )
+    bucket = portable_hash64(F.col("doc_id").cast("string"), seed="mix") % 100
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate"))
+        .select("doc_id", "source", "rate")
+        .orderBy("doc_id")
+    )
+
+
+#: BM25 parameters — Lucene-style idf (always >= 0, safe when df ~ N)
+_BM25_TERMS = ("hash", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"""(ln(1 + (CAST(n_docs AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))
+             * (tf{i} * ({_BM25_K1} + 1))
+             / (tf{i} + {_BM25_K1} * (1 - {_BM25_B}
+                + {_BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, {tf_cols}
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM tk
+    ), scored AS (
+      SELECT doc_id,
+             CAST(round(({score_terms}) * 10000) AS BIGINT) AS score_e4
+      FROM tk CROSS JOIN stats
+    )
+    SELECT doc_id, score_e4,
+           CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored WHERE score_e4 > 0
+    ORDER BY rank LIMIT 20
+    """
+
+
+@query("text_bm25_topk", _bm25_oracle())
+def text_bm25_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75, Lucene idf) for a fixed
+    keyword query, top-20 docs — the quality/retrieval primitive behind
+    targeted corpus curation (e.g. pulling domain-relevant documents).
+
+    Hash-stability: the float score is quantized to an e4 integer
+    (``round(score*1e4)``) with doc_id tie-breaks, and the three
+    per-term scores are summed as explicit columns in fixed
+    left-to-right order, so Spark and DuckDB evaluate bit-identical
+    IEEE expressions — no partition-order float summation anywhere.
+
+    Scale shape: one corpus pass computes per-doc tf/dl; a single
+    global stats row (count/sum/df) is broadcast back; everything else
+    is per-row expression work in codegen.  The final top-k is
+    ``orderBy ... limit`` which Spark executes as TakeOrdered (per
+    -partition heaps + driver merge of k rows), not a global sort.
+    """
+    d = _t(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    def _tf(term: str) -> Column:
+        # closure, not a default-arg lambda: PySpark dispatches
+        # higher-order lambdas on ARITY, so a 2-param lambda would be
+        # (mis)read as the binary (value, index) form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"tf{i}") for i, term in enumerate(_BM25_TERMS)]
+    tk = d.select(
+        "doc_id", F.size(toks).cast("double").alias("dl"), *tf_cols
+    )
+    stats = tk.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = tk.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            1
+            + (F.col("n_docs").cast("double") - df + F.lit(0.5))
+            / (df + F.lit(0.5))
+        )
+        s = (
+            idf
+            * (tf * F.lit(_BM25_K1 + 1))
+            / (tf + F.lit(_BM25_K1) * (1 - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl))
+        )
+        score = s if score is None else score + s
+    return (
+        scored.select(
+            "doc_id",
+            F.round(score * 10000).cast("bigint").alias("score_e4"),
+        )
+        .filter(F.col("score_e4") > 0)
+        .orderBy(F.col("score_e4").desc(), "doc_id")
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_e4").desc(), "doc_id"))
+            .cast("bigint"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _dup_spans_oracle(n: int = 8) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(t)-{n - 1}, 0)),
+               i -> {gram})) AS gram
+      FROM tk
+    ), dup AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= 2
+    ), c AS (
+      SELECT doc_id, count(*) AS n_dup FROM g JOIN dup USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(greatest(len(t)-{n - 1}, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_spans
+    FROM tk LEFT JOIN c USING (doc_id) ORDER BY doc_id
+    """
+
+
+@query("docs_dup_spans", _dup_spans_oracle())
+def docs_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplication profile (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how many of its 8-gram spans also occur in some OTHER document —
+    the signal behind span-level dedup, as opposed to the whole-doc
+    near-dup families.
+
+    Scale shape: positional 8-grams via the O(len) zip_with shingle
+    chain (duplicates KEPT — each occurrence is a span); the
+    duplicated-gram vocabulary comes from a distinct (doc, gram)
+    projection so a gram repeated within one doc doesn't count as
+    cross-doc; the count-back join is a semi-join against that
+    vocabulary and is NOT broadcast-forced (duplicated-span tails are
+    unbounded on boilerplate-heavy corpora — same rationale as
+    text_rare_tokens; AQE picks the strategy and handles hot grams
+    with skew-join splitting).
+    """
+    d = _t(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        TX.all_word_shingles_from_tokens(toks, n=8).alias("grams"),
+    )
+    g = base.select("doc_id", F.explode("grams").alias("gram"))
+    dup = (
+        g.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    ndup = (
+        g.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        base.select(
+            "doc_id", F.size("grams").cast("bigint").alias("n_spans")
+        )
+        .join(ndup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing + streaming (weaker checks where noted)
 # ---------------------------------------------------------------------------
 
@@ -3803,6 +4087,10 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 #: 5 are prepended as they land so they get a first-round row.
 _DRIVER_PRIORITY: list[str] = [
     # new this round — need a first driver row
+    "docs_global_shuffle",
+    "docs_domain_mix",
+    "text_bm25_topk",
+    "docs_dup_spans",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
