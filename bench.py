@@ -49,6 +49,10 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_contamination",
     "docs_chunk",
+    # round-5 corpus-assembly additions: span-level duplication profile
+    # and BM25 retrieval scoring
+    "docs_dup_spans",
+    "text_bm25_topk",
     # streaming engine path (watermark + stream-stream join through
     # availableNow micro-batches) — VERDICT r3 #6: the state-store path
     # needs a tracked number, not just correctness rows

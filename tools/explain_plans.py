@@ -49,6 +49,10 @@ INSPECT = [
     "text_pii_scrub",
     "q48_resample_gapfill",
     "q49_snapshot_diff",
+    "docs_global_shuffle",
+    "docs_domain_mix",
+    "text_bm25_topk",
+    "docs_dup_spans",
 ]
 
 CHECKS = {
