@@ -109,6 +109,47 @@ def shingle_table(
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
+def span_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(doc_id, n_spans, grams) with ALL positional n-grams — duplicates
+    KEPT, order preserved (each occurrence is a span) — for
+    substring-level duplication analysis.  Docs with fewer than ``n``
+    tokens are dropped (zero spans).
+
+    Same Arrow-batched map pass as :func:`shingle_table` and for the
+    same reason: the n=8 zip_with chain evaluates interpreted HOF
+    lambdas with the tokenization subtree duplicated per shift — it
+    measured ~12 s at sf0.1 in the headline bench where this pass is
+    sub-second.  Map-only; the corpus is never shuffled here.
+    """
+    out_schema = "doc_id long, n_spans int, grams array<string>"
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            ids, ns, gs = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").strip(" ")) if t]
+                m = len(toks) - (n - 1)
+                if m <= 0:
+                    continue
+                ids.append(did)
+                ns.append(m)
+                gs.append([" ".join(toks[i : i + n]) for i in range(m)])
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "n_spans": ns, "grams": gs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

@@ -3810,6 +3810,79 @@ def text_bm25_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _keywords_oracle(topk: int = 3) -> str:
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok
+    ), idf AS (
+      SELECT tok,
+             CAST(round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                           / count(*)) * 10000) AS BIGINT) AS idf_e4
+      FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok
+    ), w AS (
+      SELECT doc_id, tok, tf * idf_e4 AS weight,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf * idf_e4 DESC, tok) AS rk
+      FROM tf JOIN idf USING (tok)
+    )
+    SELECT doc_id, tok AS keyword, CAST(weight AS BIGINT) AS weight,
+           CAST(rk AS BIGINT) AS rank
+    FROM w WHERE rk <= {topk} ORDER BY doc_id, rank
+    """
+
+
+@query("text_keywords", _keywords_oracle())
+def text_keywords_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 terms): the
+    doc-level term-salience twin of text_bm25_topk's corpus-level
+    retrieval — the primitive behind topic tagging and per-doc
+    metadata enrichment in curation pipelines.
+
+    Hash-stability: idf is quantized to an e4 integer per TOKEN
+    (``round(ln(N/df)*1e4)``) before the tf multiply, so every weight
+    is exact integer arithmetic and the per-doc ranking has no float
+    comparisons at all; ties break on the token string.
+
+    Scale shape: one explode + one (doc,tok) count, a distinct
+    projection for df, and an AQE-chosen tok join (the vocabulary is
+    Zipfian and unbounded — same no-force-broadcast posture as
+    text_rare_tokens); the per-doc top-3 is a partitioned window over
+    the doc's own distinct tokens, bounded by doc length.
+    """
+    d = _t(spark, sf, "documents")
+    tk = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tf = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # corpus cardinality: a metadata-only parquet count (row-group
+    # stats, no data read) — control-plane scalar, not a hot-path
+    # collect
+    n_docs = d.count()
+    idf = (
+        tk.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(
+            F.round(
+                F.log(F.lit(float(n_docs)) / F.count("*")) * 10000
+            )
+            .cast("bigint")
+            .alias("idf_e4")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), "tok"
+    )
+    return (
+        tf.join(idf, "tok")
+        .withColumn("weight", (F.col("tf") * F.col("idf_e4")).cast("bigint"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("tok").alias("keyword"), "weight", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def _dup_spans_oracle(n: int = 8) -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
     return f"""
@@ -3842,39 +3915,46 @@ def docs_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     the signal behind span-level dedup, as opposed to the whole-doc
     near-dup families.
 
-    Scale shape: positional 8-grams via the O(len) zip_with shingle
-    chain (duplicates KEPT — each occurrence is a span); the
-    duplicated-gram vocabulary comes from a distinct (doc, gram)
-    projection so a gram repeated within one doc doesn't count as
-    cross-doc; the count-back join is a semi-join against that
-    vocabulary and is NOT broadcast-forced (duplicated-span tails are
-    unbounded on boilerplate-heavy corpora — same rationale as
-    text_rare_tokens; AQE picks the strategy and handles hot grams
-    with skew-join splitting).
+    Scale shape: positional 8-grams via an Arrow-batched map pass
+    (duplicates KEPT — each occurrence is a span), hashed to 64 bits
+    before any shuffle; the duplicated-gram vocabulary comes from a
+    distinct (doc, hash) projection so a gram repeated within one doc
+    doesn't count as cross-doc; the count-back join is a semi-join
+    against that vocabulary and is NOT broadcast-forced
+    (duplicated-span tails are unbounded on boilerplate-heavy corpora
+    — same rationale as text_rare_tokens; AQE picks the strategy and
+    handles hot grams with skew-join splitting).
     """
     d = _t(spark, sf, "documents")
-    toks = TX.tokens(F.col("text"))
-    base = d.select(
-        "doc_id",
-        TX.all_word_shingles_from_tokens(toks, n=8).alias("grams"),
+    # Arrow span pass (not the zip_with HOF chain: interpreted lambdas
+    # with the tokenization subtree duplicated per shift measured 12 s
+    # at sf0.1 — see operators/dedup.py::span_table), then join on a
+    # 64-bit gram hash so the shuffles move 8 bytes per span, not the
+    # 8-token string (same posture as ngram_jaccard_pairs; xxhash64
+    # collisions across ~10^6 grams are ~1e-7-probability noise)
+    g = (
+        DD.span_table(d, n=8)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("h"))
     )
-    g = base.select("doc_id", F.explode("grams").alias("gram"))
     dup = (
-        g.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
+        g.distinct()
+        .groupBy("h")
         .agg(F.count("*").alias("ndocs"))
         .filter(F.col("ndocs") >= 2)
-        .select("gram")
+        .select("h")
     )
     ndup = (
-        g.join(dup, "gram", "left_semi")
+        g.join(dup, "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_dup"))
     )
     return (
-        base.select(
-            "doc_id", F.size("grams").cast("bigint").alias("n_spans")
+        d.select(
+            "doc_id",
+            F.greatest(F.size(TX.tokens(F.col("text"))) - 7, F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
         )
         .join(ndup, "doc_id", "left")
         .select(
@@ -4105,6 +4185,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_domain_mix",
     "text_bm25_topk",
     "docs_dup_spans",
+    "text_keywords",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
