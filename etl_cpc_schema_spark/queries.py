@@ -3810,6 +3810,117 @@ def text_bm25_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _scrub_spans_oracle(n: int = 8) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos, {gram} AS gram
+      FROM tk, unnest(range(greatest(len(t)-{n - 1}, 0))) AS u(i)
+    ), dup AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + d AS cpos
+      FROM (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+           unnest(range({n})) AS v(d)
+    ), tp AS (
+      SELECT doc_id, i AS tpos, t[i+1] AS tok
+      FROM tk, unnest(range(len(t))) AS u(i)
+    ), kept AS (
+      SELECT tp.doc_id,
+             array_to_string(list(tp.tok ORDER BY tp.tpos), ' ') AS clean_text,
+             count(*) AS n_kept
+      FROM tp ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.cpos
+      GROUP BY tp.doc_id
+    )
+    SELECT tk.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(len(t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tk LEFT JOIN kept k USING (doc_id) ORDER BY doc_id
+    """
+
+
+@query("docs_scrub_dup_spans", _scrub_spans_oracle())
+def docs_scrub_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level dedup MATERIALIZATION (the fix step after
+    docs_dup_spans' detection): drop every token covered by an 8-gram
+    that also occurs in another document, and rebuild the cleaned
+    token stream — Lee et al.'s ExactSubstr removal, word-granular.
+
+    Output is the cleaned text (tokens joined by single spaces —
+    whitespace-normalized by construction), plus the removed-token
+    count.
+
+    Scale shape: the span/dup machinery is shared with docs_dup_spans
+    (Arrow span pass, 64-bit gram hashes, AQE-chosen vocabulary
+    join).  Covered positions explode at most n per duplicated span
+    and dedupe on (doc, pos); the rebuild groups each doc's own
+    surviving tokens — per-group state bounded by doc length, with the
+    order restored by an in-group array_sort, not a global sort.
+    """
+    d = _t(spark, sf, "documents")
+    g = (
+        DD.span_table(d, n=8)
+        .select("doc_id", F.posexplode("grams").alias("pos", "gram"))
+        .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    )
+    dup = (
+        g.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    cov = (
+        g.join(dup, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("cpos"),
+        )
+        .distinct()
+    )
+    tp = d.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("tpos", "tok")
+    )
+    kept = (
+        tp.join(
+            cov,
+            (tp["doc_id"] == cov["doc_id"]) & (tp["tpos"] == cov["cpos"]),
+            "left_anti",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        d.select(
+            "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_toks")
+        )
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _keywords_oracle(topk: int = 3) -> str:
     return f"""
     WITH tk AS (
@@ -4185,6 +4296,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_domain_mix",
     "text_bm25_topk",
     "docs_dup_spans",
+    "docs_scrub_dup_spans",
     "text_keywords",
     "text_bpe_train",
     "text_bpe_encode",

@@ -53,6 +53,8 @@ INSPECT = [
     "docs_domain_mix",
     "text_bm25_topk",
     "docs_dup_spans",
+    "docs_scrub_dup_spans",
+    "text_keywords",
 ]
 
 CHECKS = {
