@@ -216,3 +216,45 @@ def test_shingle_table_matches_hof_formulation(spark, texts):
         for r in shingle_table(docs).collect()
     }
     assert arrow == hof
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab \t\n\r\x0b\x0c\xa0 é",  # incl. NBSP + em-space
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_span_table_matches_hof_formulation(spark, texts):
+    """span_table (positional n-grams, duplicates kept) must equal the
+    zip_with HOF chain element-for-element — same whitespace-class
+    divergence risk as shingle_table."""
+    from pyspark.sql import functions as F
+
+    from etl_cpc_schema_spark.functions import text as TX
+    from etl_cpc_schema_spark.operators.dedup import span_table
+
+    n = 3  # small n so short generated texts still produce spans
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    toks = TX.tokens(F.col("text"))
+    hof = {
+        r["doc_id"]: (list(r["g"]), r["m"])
+        for r in docs.select(
+            "doc_id",
+            TX.all_word_shingles_from_tokens(toks, n).alias("g"),
+            F.greatest(F.size(toks) - (n - 1), F.lit(0)).alias("m"),
+        ).collect()
+        if r["m"] > 0
+    }
+    arrow = {
+        r["doc_id"]: (list(r["grams"]), r["n_spans"])
+        for r in span_table(docs, n=n).collect()
+    }
+    assert arrow == hof
