@@ -3810,6 +3810,194 @@ def text_bm25_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: winnowing params: token 4-grams, window of 5 consecutive hashes
+_WIN_K = 4
+_WIN_W = 5
+_WIN_POSBITS = 1 << 20  # pos packed into the low 20 bits of the key
+
+
+def _winnowing_oracle() -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, _WIN_K + 1))
+    h40 = f"({portable_hash64_sql('(' + gram + ')', 'win')} % 1099511627776)"
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos, len(t) - {_WIN_K - 1} AS m,
+             {h40} * {_WIN_POSBITS} + i AS key
+      FROM tk, unnest(range(greatest(len(t)-{_WIN_K - 1}, 0))) AS u(i)
+    ), w AS (
+      SELECT doc_id, pos, m,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS sel
+      FROM g
+    ), f AS (
+      SELECT DISTINCT doc_id, sel FROM w WHERE pos <= m - {_WIN_W}
+    )
+    SELECT doc_id,
+           CAST(sel // {_WIN_POSBITS} AS BIGINT) AS fp_hash,
+           CAST(sel % {_WIN_POSBITS} AS BIGINT) AS fp_pos
+    FROM f ORDER BY doc_id, fp_pos, fp_hash
+    """
+
+
+@query("text_winnowing", _winnowing_oracle())
+def text_winnowing_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every token 4-gram, slide a
+    window of 5 consecutive hashes, keep each window's minimum — the
+    selected (hash, position) set is a local fingerprint guaranteeing
+    any shared run of >= w+k-1 tokens between two docs shares a
+    fingerprint.  The overlap primitive under plagiarism/clone
+    detection, complementary to MinHash (which has no locality
+    guarantee).
+
+    Determinism: ties inside a window break on POSITION (leftmost min)
+    by packing the 40-bit gram hash and the 20-bit position into one
+    integer key and taking the integer min — no arg-min/first-row
+    ambiguity in either engine; decomposition back uses exact integer
+    div/mod (a float divide would lose bits past 2^53).
+
+    Scale shape: positional grams via the Arrow span pass; the
+    windowed min is a per-doc bounded sliding window (state = w rows)
+    after one shuffle on doc_id; fingerprint density is ~2/(w+1) of
+    positions, so output volume is a fixed fraction of corpus size.
+    """
+    from .functions.hashing import portable_hash64
+
+    d = _t(spark, sf, "documents")
+    g = (
+        DD.span_table(d, n=_WIN_K)
+        .select(
+            "doc_id",
+            F.col("n_spans").alias("m"),
+            F.posexplode("grams").alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "m",
+            (
+                (portable_hash64(F.col("gram"), seed="win") % F.lit(1099511627776))
+                * _WIN_POSBITS
+                + F.col("pos")
+            ).alias("key"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    return (
+        g.withColumn("sel", F.min("key").over(w))
+        .filter(F.col("pos") <= F.col("m") - _WIN_W)
+        .select("doc_id", "sel")
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr(f"sel div {_WIN_POSBITS}").cast("bigint").alias("fp_hash"),
+            (F.col("sel") % _WIN_POSBITS).cast("bigint").alias("fp_pos"),
+        )
+        .orderBy("doc_id", "fp_pos", "fp_hash")
+    )
+
+
+def _lm_ppl_oracle() -> str:
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), uni AS (
+      SELECT tok, count(*) AS c1
+      FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok
+    ), v AS (
+      SELECT count(*) AS vocab FROM uni
+    ), bg AS (
+      SELECT doc_id, t[i+1] AS w1, t[i+1] || ' ' || t[i+2] AS bigram
+      FROM tk, unnest(range(greatest(len(t)-1, 0))) AS u(i)
+    ), c2 AS (
+      SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+    ), lp AS (
+      SELECT c2.bigram,
+             CAST(round(ln((c2.cnt + 1) / CAST(uni.c1 + v.vocab AS DOUBLE))
+                        * 10000) AS BIGINT) AS logp_e4
+      FROM c2 JOIN uni ON uni.tok = string_split(c2.bigram, ' ')[1]
+              CROSS JOIN v
+    ), scored AS (
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             -sum(lp.logp_e4) AS nll_e4
+      FROM bg JOIN lp USING (bigram) GROUP BY bg.doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s.nll_e4, 0) AS BIGINT) AS nll_e4
+    FROM tk LEFT JOIN scored s USING (doc_id) ORDER BY doc_id
+    """
+
+
+@query("text_lm_perplexity", _lm_ppl_oracle())
+def text_lm_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained bigram-LM scoring per document (the CCNet-style
+    LM quality signal): train add-one-smoothed bigram probabilities
+    P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) on the corpus itself, then score
+    each doc's total negative log-likelihood.  High NLL per bigram
+    flags garbled or out-of-distribution text.
+
+    Hash-stability: each bigram TYPE's log-prob is quantized to an e4
+    integer once (``round(ln(p)*1e4)``), so the per-doc score is an
+    exact integer sum — no partition-order float summation.
+
+    Scale shape: bigrams via the n=2 Arrow span pass; one groupBy for
+    bigram counts, one for unigram (history) counts; the vocab size is
+    a control-plane scalar from the unigram aggregate; the score-back
+    join on bigram is AQE-chosen (LM tables are Zipfian and unbounded
+    — never broadcast-forced), and hot bigrams fall to AQE skew
+    splitting.
+    """
+    d = _t(spark, sf, "documents")
+    bg = DD.span_table(d, n=2).select(
+        "doc_id", F.explode("grams").alias("bigram")
+    )
+    uni = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.count()  # control-plane scalar (distinct-token count)
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    lp = (
+        c2.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(uni, F.col("w1") == F.col("tok"))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1)
+                    / (F.col("c1") + F.lit(vocab)).cast("double")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("logp_e4"),
+        )
+    )
+    scored = (
+        bg.join(lp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-F.sum("logp_e4")).alias("nll_e4"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.col("nll_e4"), F.lit(0)).cast("bigint").alias("nll_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _scrub_spans_oracle(n: int = 8) -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
     return f"""
@@ -4298,6 +4486,8 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_dup_spans",
     "docs_scrub_dup_spans",
     "text_keywords",
+    "text_lm_perplexity",
+    "text_winnowing",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",

@@ -282,3 +282,30 @@ def compact_parquet(
     import pathlib
 
     return sum(1 for p in pathlib.Path(dest).glob("*.parquet"))
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """JSON-lines sink — the de-facto interchange format for LLM
+    corpora (one JSON object per line; gzip-splittable alternative:
+    per-file gzip, still parallel across files).  Spark's native json
+    writer emits exactly this shape.
+    """
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema — never inference for
+    contract tables (inference is a full extra pass over the data and
+    type-flips on corpora where a field is sometimes-numeric).
+    Corrupt lines land in ``_corrupt_record`` (PERMISSIVE) instead of
+    failing the 100 TB job; callers filter or quarantine them.
+    """
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

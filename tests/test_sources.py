@@ -143,3 +143,46 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["id"]: r.asDict() for r in merged.collect()}
     assert rows[1]["score"] is None  # old rows NULL-fill the new column
     assert rows[2]["score"] == 9.5
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    """JSONL (the LLM-corpus interchange format) round-trips the
+    documents table bit-exactly under an explicit schema, and corrupt
+    lines are quarantined, not fatal."""
+    from etl_cpc_schema_spark.sources.readers import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dest = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, dest)
+    back = read_jsonl(
+        spark,
+        dest,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).cache()  # Spark disallows querying ONLY _corrupt_record from raw JSON
+    assert back.filter("_corrupt_record is not null").count() == 0
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(
+        back.drop("_corrupt_record").collect(), key=lambda r: r["doc_id"]
+    )
+    assert a == b
+
+    # corrupt line → quarantined row, clean rows unaffected (fresh
+    # copy: appending to files Spark has already listed trips its
+    # modified-file detection, a different failure mode)
+    import pathlib
+    import shutil
+
+    dest2 = str(tmp_path / "docs_jsonl_corrupt")
+    shutil.copytree(dest, dest2)
+    for crc in pathlib.Path(dest2).glob(".*.crc"):
+        crc.unlink()  # stale Hadoop checksums would fail the read
+    part = next(pathlib.Path(dest2).glob("part-*.json"))
+    with open(part, "a") as fh:
+        fh.write('{"doc_id": "not-a-number", "text": 3\n')
+    back2 = read_jsonl(
+        spark,
+        dest2,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).cache()
+    assert back2.filter("_corrupt_record is not null").count() == 1
+    assert back2.filter("_corrupt_record is null").count() == len(a)

@@ -55,6 +55,8 @@ INSPECT = [
     "docs_dup_spans",
     "docs_scrub_dup_spans",
     "text_keywords",
+    "text_lm_perplexity",
+    "text_winnowing",
 ]
 
 CHECKS = {

@@ -39,6 +39,11 @@ OPERATORS = [
     "docs_pack_sequences",
     "text_bpe_train",
     "docs_incremental_dedup",
+    # late round-5: span-level duplication (Arrow span pass + hashed
+    # gram joins) — the duplicated-span tail grows with corpus size,
+    # so this is the operator most exposed to an accidental
+    # all-spans-broadcast or string-shuffle regression
+    "docs_dup_spans",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
