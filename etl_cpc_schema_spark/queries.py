@@ -2707,6 +2707,29 @@ def ann_lsh_topk_probed_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("ann_knn_join", _lsh_topk_probed_oracle(qmax=1 << 62))
+def ann_knn_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Full k-NN JOIN: every corpus vector's approximate top-3
+    neighbors (not just a query workload) — the k-NN-graph builder
+    behind semantic dedup (SemDeDup-style cluster pruning) and graph
+    ANN index construction.  Same 8×6-plane multi-probe machinery as
+    ann_lsh_topk_probed with the probe side unrestricted: candidate
+    volume is corpus × tables × (1+planes) × bucket-occupancy — the
+    occupancy lever keeps it linear in corpus size, never corpus².
+    """
+    return (
+        SIM.lsh_topk(
+            _t(spark, sf, "embeddings"),
+            k=ANN_PROBED_K,
+            planes=ANN_PROBED_PLANES,
+            probe_bits=ANN_PROBED_PLANES,
+            tables=ANN_PROBED_TABLES,
+        )
+        .select("q_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("q_id", "rank")
+    )
+
+
 #: ann_ivf_topk parameters (shared by query, oracle, recall-pin test).
 #: nprobe=8 of 32 cells probes ~25% of the corpus for recall ~0.78 on
 #: the synthetic test embeddings — near-uniform vectors are the
@@ -4488,6 +4511,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_keywords",
     "text_lm_perplexity",
     "text_winnowing",
+    "ann_knn_join",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
