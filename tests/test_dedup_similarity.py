@@ -375,3 +375,33 @@ def test_ivf_cells_partition_corpus(spark, sf_dir):
     assert assign.select("vid").distinct().count() == n
     cells = {r["cell"] for r in assign.select("cell").distinct().collect()}
     assert cells <= set(range(32))
+
+
+def test_ann_knn_join_recall_pinned(spark, sf_dir):
+    """Recall pin for the FULL k-NN join (every vector a query): same
+    machinery as the probed path, but the unrestricted probe side is a
+    different code path (no query_pred filter) — pin it independently
+    so a regression in either branch is caught."""
+    from etl_cpc_schema_spark.queries import (
+        ANN_PROBED_K,
+        ANN_PROBED_PLANES,
+        ANN_PROBED_TABLES,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_bruteforce(embs, embs, k=ANN_PROBED_K).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(
+            embs,
+            k=ANN_PROBED_K,
+            planes=ANN_PROBED_PLANES,
+            probe_bits=ANN_PROBED_PLANES,
+            tables=ANN_PROBED_TABLES,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.80, f"kNN-join recall@{ANN_PROBED_K} collapsed to {recall:.3f}"
