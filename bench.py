@@ -49,10 +49,13 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_contamination",
     "docs_chunk",
-    # round-5 corpus-assembly additions: span-level duplication profile
-    # and BM25 retrieval scoring
+    # round-5 corpus-assembly additions: span-level duplication profile,
+    # BM25 retrieval scoring, bigram-LM quality scoring, and the full
+    # k-NN join (every vector a query)
     "docs_dup_spans",
     "text_bm25_topk",
+    "text_lm_perplexity",
+    "ann_knn_join",
     # streaming engine path (watermark + stream-stream join through
     # availableNow micro-batches) — VERDICT r3 #6: the state-store path
     # needs a tracked number, not just correctness rows

@@ -47,6 +47,13 @@ def norm_sq_q(a: Column) -> Column:
     return dot_q(a, a)
 
 
+# NB: an element_at-unrolled dot product was tried and REJECTED: on a
+# 31k-pair in-bucket join the aggregate/zip_with form measured 0.86 s
+# vs 1.67 s unrolled (Spark 4's HOF evaluator is fine; the 127-node
+# generated expression pays codegen compilation per stage and
+# per-element null checks).  Keep the HOF form.
+
+
 def cosine_q(dot: Column, n1: Column, n2: Column) -> Column:
     """Deterministic cosine from exact integer dot/norms.
 

@@ -384,6 +384,100 @@ def lsh_topk(
     )
 
 
+def lsh_knn_join_blas(
+    embs: DataFrame,
+    k: int,
+    planes: int = 8,
+    tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full k-NN JOIN (every vector a query) with bucketed BLAS
+    scoring — same candidate semantics as ``lsh_topk(probe_bits=
+    planes)`` (pairs within bucket-Hamming <= 1 in ANY table), but the
+    in-bucket pairwise work runs as ONE numpy matmul per bucket group
+    instead of per-pair interpreted HOF dot products.
+
+    Why: with the whole corpus probing, candidate volume is
+    corpus × tables × (1+planes) × occupancy — at sf0.1 that is ~3.6M
+    pairs, where the per-pair ``aggregate``/``zip_with`` dot measured
+    ~12 s; the grouped matmul does the identical integer arithmetic
+    (quantized values keep every product and sum < 2^53, so float64
+    BLAS is bit-identical to sequential integer math — same argument
+    as ``_signature_frame``) in a fraction of the time, and each group
+    also PRUNES to its local top-k per probe vector before emitting:
+    any global top-k neighbor of q is top-k within whichever group
+    contains the pair, so the prune is lossless and the downstream
+    dedup + global rank touches tables×(1+planes)×k rows per vector,
+    not the full candidate set.
+
+    Scale shape: one Arrow signature pass (map-only), one shuffle on
+    the probe key (well-distributed, occupancy-bounded groups), one
+    dedup + rank over the pruned emission.  Group state is bounded by
+    bucket occupancy — the same 100 TB lever as every LSH family here.
+    """
+    row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
+    dims = int(row["d"]) if row else 0
+    sig = _signature_frame(embs, planes, tables, id_col, vec_col, dims)
+    exploded = sig.select(
+        "vid", "qv", "nsq", F.explode("bks").alias("bucket")
+    )
+    index = exploded.select(
+        "vid", "qv", "nsq", F.col("bucket").alias("gkey"), F.lit(0).alias("role")
+    )
+    probe_keys = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(planes)],
+    )
+    probes = exploded.select(
+        "vid", "qv", "nsq", F.explode(probe_keys).alias("gkey"), F.lit(1).alias("role")
+    )
+    both = index.unionByName(probes)
+    out_schema = "q_id long, neighbor_id long, cos double"
+    topk = k
+
+    def score_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        idx = pdf[pdf["role"] == 0]
+        prb = pdf[pdf["role"] == 1]
+        if len(idx) == 0 or len(prb) == 0:
+            return pd.DataFrame({"q_id": [], "neighbor_id": [], "cos": []})
+        I = np.vstack(idx["qv"].to_numpy()).astype(np.float64)
+        P = np.vstack(prb["qv"].to_numpy()).astype(np.float64)
+        i_ids = idx["vid"].to_numpy()
+        p_ids = prb["vid"].to_numpy()
+        i_n = np.sqrt(idx["nsq"].to_numpy().astype(np.float64))
+        p_n = np.sqrt(prb["nsq"].to_numpy().astype(np.float64))
+        # cos[i, j] = dot / (sqrt(nsq_p) * sqrt(nsq_i)) — identical op
+        # order to cosine_q / the SQL oracle; zero norms yield nan and
+        # are dropped like SQL NULLs
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (P @ I.T) / (p_n[:, None] * i_n[None, :])
+        out_q, out_n, out_c = [], [], []
+        for j in range(len(p_ids)):
+            row_c = cos[j]
+            mask = (i_ids != p_ids[j]) & ~np.isnan(row_c)
+            cand = np.flatnonzero(mask)
+            if len(cand) > topk:
+                order = np.lexsort((i_ids[cand], -row_c[cand]))[:topk]
+                cand = cand[order]
+            out_q.extend([p_ids[j]] * len(cand))
+            out_n.extend(i_ids[cand].tolist())
+            out_c.extend(row_c[cand].tolist())
+        return pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+    scored = both.groupBy("gkey").applyInPandas(score_group, out_schema)
+    ded = scored.dropDuplicates(["q_id", "neighbor_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        ded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank")
+    )
+
+
 def _ivf_partial_sums(embs: DataFrame, cells, C, id_col: str, vec_col: str) -> DataFrame:
     """One Lloyd accumulation pass: assign every vector to its nearest
     centroid (cos desc, cell asc — ``np.argmax`` returns the FIRST

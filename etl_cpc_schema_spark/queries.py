@@ -2718,11 +2718,10 @@ def ann_knn_join_q(spark: SparkSession, sf: str) -> DataFrame:
     occupancy lever keeps it linear in corpus size, never corpus².
     """
     return (
-        SIM.lsh_topk(
+        SIM.lsh_knn_join_blas(
             _t(spark, sf, "embeddings"),
             k=ANN_PROBED_K,
             planes=ANN_PROBED_PLANES,
-            probe_bits=ANN_PROBED_PLANES,
             tables=ANN_PROBED_TABLES,
         )
         .select("q_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))

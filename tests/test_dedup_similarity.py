@@ -395,6 +395,37 @@ def test_ann_knn_join_recall_pinned(spark, sf_dir):
     }
     approx = {
         (r["q_id"], r["neighbor_id"])
+        for r in SIM.lsh_knn_join_blas(
+            embs,
+            k=ANN_PROBED_K,
+            planes=ANN_PROBED_PLANES,
+            tables=ANN_PROBED_TABLES,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.80, f"kNN-join recall@{ANN_PROBED_K} collapsed to {recall:.3f}"
+
+
+def test_knn_join_blas_equals_expression_path(spark, sf_dir):
+    """The bucketed-BLAS k-NN join must emit EXACTLY the rows of the
+    expression-path lsh_topk with an unrestricted probe side — same
+    candidates (bucket-Hamming <= 1 in any table), same integer-exact
+    cosines, same (cos desc, neighbor_id) ranking."""
+    from etl_cpc_schema_spark.queries import (
+        ANN_PROBED_K,
+        ANN_PROBED_PLANES,
+        ANN_PROBED_TABLES,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    blas = sorted(
+        (r["q_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.lsh_knn_join_blas(
+            embs, k=ANN_PROBED_K, planes=ANN_PROBED_PLANES, tables=ANN_PROBED_TABLES
+        ).collect()
+    )
+    expr = sorted(
+        (r["q_id"], r["neighbor_id"], r["rank"])
         for r in SIM.lsh_topk(
             embs,
             k=ANN_PROBED_K,
@@ -402,6 +433,5 @@ def test_ann_knn_join_recall_pinned(spark, sf_dir):
             probe_bits=ANN_PROBED_PLANES,
             tables=ANN_PROBED_TABLES,
         ).collect()
-    }
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.80, f"kNN-join recall@{ANN_PROBED_K} collapsed to {recall:.3f}"
+    )
+    assert blas == expr
