@@ -57,6 +57,7 @@ INSPECT = [
     "text_keywords",
     "text_lm_perplexity",
     "text_winnowing",
+    "ann_knn_join",
 ]
 
 CHECKS = {
