@@ -435,3 +435,37 @@ def test_knn_join_blas_equals_expression_path(spark, sf_dir):
         ).collect()
     )
     assert blas == expr
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing GUARANTEE (Schleimer et al. §3): two documents
+    sharing a token run of length >= w + k - 1 share at least one
+    selected fingerprint.  Build doc pairs around planted common runs
+    (with distinct vocab elsewhere so no accidental overlap) and
+    assert the guarantee holds through the registry query machinery."""
+    from etl_cpc_schema_spark.queries import (
+        _WIN_K,
+        _WIN_W,
+        text_winnowing_q,
+    )
+    import tempfile
+
+    run_len = _WIN_W + _WIN_K - 1  # 8 tokens — the guarantee threshold
+    shared = [f"common{i}" for i in range(run_len)]
+    docs = [
+        (0, " ".join([f"alpha{i}" for i in range(10)] + shared)),
+        (1, " ".join(shared + [f"beta{i}" for i in range(10)])),
+        (2, " ".join([f"gamma{i}" for i in range(20)])),  # control
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        rows = text_winnowing_q(spark, td).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert fps[0] & fps[1], "shared 8-token run produced no shared fingerprint"
+    assert not (fps[0] & fps.get(2, set()))
+    assert not (fps[1] & fps.get(2, set()))
