@@ -4288,6 +4288,134 @@ def docs_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event analytics — funnel and cohort-retention query classes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q55_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           v.user_id IS NOT NULL AS did_view,
+           c.user_id IS NOT NULL AS did_click_after,
+           p.user_id IS NOT NULL AS did_purchase_after
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def q55_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential funnel analysis (view → click → purchase, each stage
+    strictly AFTER the previous): the classic event-analytics query
+    class.  Exact-arithmetic by construction — stage boundaries are
+    min() over microsecond-exact timestamps and the outputs are
+    booleans, so there is no float anywhere.
+
+    Scale shape: one filtered groupBy per stage (each smaller than the
+    last — funnels shrink), joined back on user_id; all shuffles share
+    the user_id key so AQE coalesces them, and no window over the raw
+    event stream is needed.
+    """
+    e = _t(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        e.select("user_id")
+        .distinct()
+        .join(v.select("user_id", F.lit(True).alias("did_view")), "user_id", "left")
+        .join(
+            c.select("user_id", F.lit(True).alias("did_click_after")),
+            "user_id",
+            "left",
+        )
+        .join(
+            p.select("user_id", F.lit(True).alias("did_purchase_after")),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            F.coalesce("did_view", F.lit(False)).alias("did_view"),
+            F.coalesce("did_click_after", F.lit(False)).alias("did_click_after"),
+            F.coalesce("did_purchase_after", F.lit(False)).alias(
+                "did_purchase_after"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q56_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+           CAST(act.d - f.d0 AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+    FROM act JOIN f USING (user_id)
+    GROUP BY f.d0, day_offset ORDER BY cohort_day, day_offset
+    """,
+)
+def q56_cohort_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted by
+    how many days later they were active again — the standard
+    retention-triangle query.  Dates and counts only: exact.
+
+    Scale shape: first-activity day is one groupBy; the activity set
+    is a distinct projection; both shuffle on user_id (shared key),
+    and the final rollup groups on the tiny (cohort, offset) key
+    space.
+    """
+    e = _t(spark, sf, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(f, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "d0").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing + streaming (weaker checks where noted)
 # ---------------------------------------------------------------------------
 
@@ -4511,6 +4639,8 @@ _DRIVER_PRIORITY: list[str] = [
     "text_lm_perplexity",
     "text_winnowing",
     "ann_knn_join",
+    "q55_funnel",
+    "q56_cohort_retention",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
