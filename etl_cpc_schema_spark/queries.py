@@ -4415,6 +4415,73 @@ def q56_cohort_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q57_scd2_merge",
+    """
+    WITH cur AS (
+      SELECT c_custkey AS key, c_mktsegment AS segment,
+             '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             true AS is_current
+      FROM customer
+    ), inc AS (
+      SELECT c_custkey AS key, c_mktsegment || '-R2' AS segment,
+             '2024-06-01' AS eff
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT key, segment, valid_from,
+           coalesce(valid_to, '') AS valid_to_s, is_current
+    FROM (
+      SELECT cur.* FROM cur ANTI JOIN inc USING (key)
+      UNION ALL
+      SELECT cur.key, cur.segment, cur.valid_from, inc.eff AS valid_to,
+             false AS is_current
+      FROM cur JOIN inc USING (key)
+      UNION ALL
+      SELECT key, segment, eff AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             true AS is_current
+      FROM inc
+    ) t ORDER BY key, valid_from, is_current
+    """,
+)
+def q57_scd2_merge_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension MERGE (close-old / open-new with history) via
+    ``operators/scd.py::scd2_merge`` — Delta/Iceberg MERGE INTO
+    semantics composed from anti-join + union on plain parquet.  The
+    scenario: the customer dimension at version 1, with every third
+    key re-segmented in an incoming batch effective 2024-06-01.
+
+    Scale shape: the incoming batch is dimension-sized by definition
+    of SCD, so every join in the merge broadcasts it; the current
+    table never full-shuffles.
+    """
+    c = _t(spark, sf, "customer")
+    current = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    incoming = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.concat(F.col("c_mktsegment"), F.lit("-R2")).alias("segment"),
+        F.lit("2024-06-01").alias("eff"),
+    )
+    from .operators.scd import scd2_merge
+
+    return (
+        scd2_merge(current, incoming, key="key", effective_col="eff")
+        .select(
+            "key",
+            "segment",
+            "valid_from",
+            F.coalesce(F.col("valid_to"), F.lit("")).alias("valid_to_s"),
+            "is_current",
+        )
+        .orderBy("key", "valid_from", "is_current")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + streaming (weaker checks where noted)
 # ---------------------------------------------------------------------------
@@ -4641,6 +4708,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_knn_join",
     "q55_funnel",
     "q56_cohort_retention",
+    "q57_scd2_merge",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
