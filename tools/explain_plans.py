@@ -58,6 +58,9 @@ INSPECT = [
     "text_lm_perplexity",
     "text_winnowing",
     "ann_knn_join",
+    "q55_funnel",
+    "q56_cohort_retention",
+    "q57_scd2_merge",
 ]
 
 CHECKS = {
