@@ -4482,6 +4482,130 @@ def q57_scd2_merge_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: exact-integer revenue: cents × remaining-percent = 1e-4-dollar units
+_REV_E4_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))"
+)
+
+
+@query(
+    "q58_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+    """,
+)
+def q58_shipping_priority_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-table join with selective
+    filters on both fact sides, grouped revenue, top-10 — the classic
+    join-ordering / broadcast-selection stress.  Revenue is exact
+    integer 1e-4-dollar units (cents × remaining-percent), so the sum
+    commutes across partitions with no float drift.
+
+    Scale shape: the filtered customer dimension broadcasts; the
+    orders⋈lineitem join shuffles on orderkey with both date filters
+    pushed to the parquet scans; the top-10 is TakeOrdered, not a
+    global sort.
+    """
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint") * (
+        100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_e4").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q59_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name ORDER BY revenue_e4 DESC, n_name
+    """,
+)
+def q59_local_supplier_volume_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-table join with a
+    region filter that prunes through nation → supplier, plus the
+    customer-nation = supplier-nation locality predicate — the classic
+    multi-join planning stress.  Exact-integer revenue as in q58.
+
+    Scale shape: region/nation/supplier collapse to a broadcast chain
+    (dimension-sized); customer broadcasts after its nation semi-
+    restriction; the only big shuffle is orders⋈lineitem on orderkey
+    with the date filter pushed down.
+    """
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint") * (
+        100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    sn = s.join(
+        F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+        s["s_nationkey"] == n["n_nationkey"],
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(sn),
+            (li["l_suppkey"] == sn["s_suppkey"])
+            & (c["c_nationkey"] == sn["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + streaming (weaker checks where noted)
 # ---------------------------------------------------------------------------
@@ -4709,6 +4833,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q55_funnel",
     "q56_cohort_retention",
     "q57_scd2_merge",
+    "q58_shipping_priority",
+    "q59_local_supplier_volume",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
