@@ -32,6 +32,9 @@ HEADLINE = [
     "q24_pivot_counts",
     "q29_interval_join",
     "q30_skewed_agg",
+    # TPC-H Q3/Q5 analogs: the classic multi-join planning stress
+    "q58_shipping_priority",
+    "q59_local_supplier_volume",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

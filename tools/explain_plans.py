@@ -61,6 +61,8 @@ INSPECT = [
     "q55_funnel",
     "q56_cohort_retention",
     "q57_scd2_merge",
+    "q58_shipping_priority",
+    "q59_local_supplier_volume",
 ]
 
 CHECKS = {
