@@ -4606,6 +4606,96 @@ def q59_local_supplier_volume_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q60_expectations",
+    """
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+             sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price,
+             sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                        OR o_orderdate >= TIMESTAMP '2010-01-01'
+                      THEN 1 ELSE 0 END) AS bad_date,
+             sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS bad_status,
+             sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS big_price,
+             sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                      THEN 1 ELSE 0 END) AS legacy_date
+      FROM orders
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+      SELECT 'orderkey_unique' AS rule, dup_keys AS n_violations FROM m
+      UNION ALL SELECT 'custkey_not_null', null_cust FROM m
+      UNION ALL SELECT 'totalprice_non_negative', neg_price FROM m
+      UNION ALL SELECT 'orderdate_in_range', bad_date FROM m
+      UNION ALL SELECT 'status_in_domain', bad_status FROM m
+      UNION ALL SELECT 'totalprice_within_band', big_price FROM m
+      UNION ALL SELECT 'no_legacy_pre_1996', legacy_date FROM m
+    ) t ORDER BY rule
+    """,
+)
+def q60_expectations_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style data-quality expectations: declarative constraints
+    (key uniqueness, completeness, range, domain) verified in ONE
+    aggregation pass over the table, emitting per-rule violation
+    counts — the admission gate every 100 TB ingest runs before
+    publishing a partition.  Two rules (price band, legacy dates) fire
+    on the synthetic data so the oracle discriminates; the rest pin
+    zero.
+
+    Scale shape: a single scan computes every rule's violation count
+    as conditional aggregates (uniqueness via count - count distinct,
+    one exchange); the rule pivot touches 5 rows.  Adding rules adds
+    expressions, not passes.
+    """
+    o = _t(spark, sf, "orders")
+    m = o.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("orderkey_unique"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "custkey_not_null"
+        ),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "totalprice_non_negative"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("orderdate_in_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("status_in_domain"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias(
+            "totalprice_within_band"
+        ),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), 1
+            ).otherwise(0)
+        ).alias("no_legacy_pre_1996"),
+    )
+    rules = [
+        "custkey_not_null",
+        "no_legacy_pre_1996",
+        "orderdate_in_range",
+        "orderkey_unique",
+        "status_in_domain",
+        "totalprice_non_negative",
+        "totalprice_within_band",
+    ]
+    stack = ", ".join(f"'{r}', {r}" for r in rules)
+    return (
+        m.select(
+            F.expr(f"stack({len(rules)}, {stack}) as (rule, n_violations)")
+        )
+        .select("rule", F.col("n_violations").cast("bigint").alias("n_violations"))
+        .orderBy("rule")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + streaming (weaker checks where noted)
 # ---------------------------------------------------------------------------
@@ -4835,6 +4925,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q57_scd2_merge",
     "q58_shipping_priority",
     "q59_local_supplier_volume",
+    "q60_expectations",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
