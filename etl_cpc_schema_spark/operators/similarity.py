@@ -391,6 +391,7 @@ def lsh_knn_join_blas(
     tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int | None = None,
 ) -> DataFrame:
     """Full k-NN JOIN (every vector a query) with bucketed BLAS
     scoring — same candidate semantics as ``lsh_topk(probe_bits=
@@ -415,7 +416,16 @@ def lsh_knn_join_blas(
     the probe key (well-distributed, occupancy-bounded groups), one
     dedup + rank over the pruned emission.  Group state is bounded by
     bucket occupancy — the same 100 TB lever as every LSH family here.
+
+    ``probe_bits`` (default: ``planes``) caps how many 1-bit-flipped
+    buckets each vector probes.  With planes scaled up for a larger
+    corpus (occupancy constant ⇒ planes ∝ log n), probing ALL planes
+    would grow the probe volume by another log-n factor; capping it
+    holds probe volume at corpus × tables × (1+probe_bits) while the
+    un-probed high bits still partition the space.
     """
+    if probe_bits is None:
+        probe_bits = planes
     row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
     dims = int(row["d"]) if row else 0
     sig = _signature_frame(embs, planes, tables, id_col, vec_col, dims)
@@ -427,7 +437,10 @@ def lsh_knn_join_blas(
     )
     probe_keys = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(planes)],
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(2**p))
+            for p in range(min(probe_bits, planes))
+        ],
     )
     probes = exploded.select(
         "vid", "qv", "nsq", F.explode(probe_keys).alias("gkey"), F.lit(1).alias("role")

@@ -44,6 +44,13 @@ OPERATORS = [
     # so this is the operator most exposed to an accidental
     # all-spans-broadcast or string-shuffle regression
     "docs_dup_spans",
+    # the ANN occupancy lever DEMONSTRATED: fixed-parameter LSH is
+    # inherently quadratic (occupancy = n / 2^planes grows linearly),
+    # so the registry ann_knn_join is deliberately NOT on this curve;
+    # this scheduled variant raises planes with corpus size
+    # (occupancy ~16 held constant, probe fan-out capped at 6 bits)
+    # — candidate volume O(n · tables · probes · occupancy) = O(n)
+    "ann_knn_join_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -72,10 +79,24 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    def _knn_scaled(spark, sf_dir):
+        import math
+
+        from etl_cpc_schema_spark.operators import similarity as SIM
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = embs.count()
+        planes = max(6, math.ceil(math.log2(max(n, 16) / 16)))
+        return SIM.lsh_knn_join_blas(
+            embs, k=3, planes=planes, tables=8, probe_bits=6
+        )
+
+    extra = {"ann_knn_join_scaled": _knn_scaled}
+
     results: dict[str, dict] = {}
     ok = True
     for name in OPERATORS:
-        fn = Q.SPARK_QUERIES[name]
+        fn = Q.SPARK_QUERIES.get(name) or extra[name]
         times: dict[str, float] = {}
         rows: dict[str, int] = {}
         for f in FACTORS:
