@@ -53,6 +53,52 @@ def exact_dedup(
     )
 
 
+def _gram_pass(id_col: str, text_col: str, n: int, distinct: bool, mapping):
+    """Closure factory for the Arrow tokenize+n-gram passes
+    (shingle_table and span_table differ only in dedup-vs-keep and
+    output column names).
+
+    ONE copy of the tokenization contract lives here — it must stay
+    bit-identical to ``TX.tokens`` (pinned by the hypothesis parity
+    tests).  The factory returns a SELF-CONTAINED closure (stdlib
+    imports inside, plain-value captures only): Spark pickles
+    module-level functions by reference and executors don't inherit
+    driver sys.path, so the closure must not call back into this
+    module.  ``mapping`` is ((out_col, source), ...) where source is
+    one of ids/grams/cnt, in declared-schema order.
+    """
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            ids, gs, cnt = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").strip(" ")) if t]
+                m = len(toks) - (n - 1)
+                if m <= 0:
+                    continue
+                g = [" ".join(toks[i : i + n]) for i in range(m)]
+                if distinct:
+                    # distinct keeps first occurrence, like array_distinct
+                    g = list(dict.fromkeys(g))
+                ids.append(did)
+                gs.append(g)
+                cnt.append(len(g))
+            if ids:
+                # an all-filtered batch must yield NOTHING: an empty
+                # pandas frame types the gram column as numpy float64,
+                # which Arrow cannot convert to list<string> (found by
+                # the hypothesis parity test on whitespace-only corpora)
+                data = {"ids": ids, "grams": gs, "cnt": cnt}
+                yield pd.DataFrame({name: data[src] for name, src in mapping})
+
+    return gen
+
+
 def shingle_table(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -75,37 +121,13 @@ def shingle_table(
     adversarial edge-docs suite.
     """
     out_schema = "doc_id long, shingles array<string>, n_sh int"
-
-    def gen(batches):
-        import re
-
-        import pandas as pd
-
-        ws = re.compile(r"\s+", re.ASCII)
-        for pdf in batches:
-            ids, shs, ns = [], [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in ws.split((txt or "").strip(" ")) if t]
-                m = len(toks) - (n - 1)
-                if m <= 0:
-                    continue
-                sh = list(
-                    dict.fromkeys(
-                        " ".join(toks[i : i + n]) for i in range(m)
-                    )
-                )
-                ids.append(did)
-                shs.append(sh)
-                ns.append(len(sh))
-            if ids:
-                # an all-filtered batch must yield NOTHING: an empty
-                # pandas frame types `shingles` as numpy float64, which
-                # Arrow cannot convert to list<string> (found by the
-                # hypothesis parity test on whitespace-only corpora)
-                yield pd.DataFrame(
-                    {"doc_id": ids, "shingles": shs, "n_sh": ns}
-                )
-
+    gen = _gram_pass(
+        id_col,
+        text_col,
+        n,
+        distinct=True,
+        mapping=(("doc_id", "ids"), ("shingles", "grams"), ("n_sh", "cnt")),
+    )
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
@@ -127,26 +149,13 @@ def span_table(
     sub-second.  Map-only; the corpus is never shuffled here.
     """
     out_schema = "doc_id long, n_spans int, grams array<string>"
-
-    def gen(batches):
-        import re
-
-        import pandas as pd
-
-        ws = re.compile(r"\s+", re.ASCII)
-        for pdf in batches:
-            ids, ns, gs = [], [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in ws.split((txt or "").strip(" ")) if t]
-                m = len(toks) - (n - 1)
-                if m <= 0:
-                    continue
-                ids.append(did)
-                ns.append(m)
-                gs.append([" ".join(toks[i : i + n]) for i in range(m)])
-            if ids:
-                yield pd.DataFrame({"doc_id": ids, "n_spans": ns, "grams": gs})
-
+    gen = _gram_pass(
+        id_col,
+        text_col,
+        n,
+        distinct=False,
+        mapping=(("doc_id", "ids"), ("n_spans", "cnt"), ("grams", "grams")),
+    )
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 

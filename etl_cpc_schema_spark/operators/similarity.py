@@ -429,6 +429,10 @@ def lsh_knn_join_blas(
     row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
     dims = int(row["d"]) if row else 0
     sig = _signature_frame(embs, planes, tables, id_col, vec_col, dims)
+    # both union branches read `sig`; the lazy checkpoint runs the
+    # Arrow signature pass ONCE per action instead of once per branch
+    # (same trick as lsh_topk)
+    sig = iter_checkpoint(sig, eager=False)
     exploded = sig.select(
         "vid", "qv", "nsq", F.explode("bks").alias("bucket")
     )
@@ -464,22 +468,36 @@ def lsh_knn_join_blas(
         i_n = np.sqrt(idx["nsq"].to_numpy().astype(np.float64))
         p_n = np.sqrt(prb["nsq"].to_numpy().astype(np.float64))
         # cos[i, j] = dot / (sqrt(nsq_p) * sqrt(nsq_i)) — identical op
-        # order to cosine_q / the SQL oracle; zero norms yield nan and
-        # are dropped like SQL NULLs
+        # order to cosine_q / the SQL oracle.  Zero-norm pairs are
+        # NULL cosine there (ranked LAST, nulls-last in both engines),
+        # NOT dropped — emit them as genuine nulls so the BLAS path
+        # stays row-identical to the expression path and the oracle.
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = (P @ I.T) / (p_n[:, None] * i_n[None, :])
         out_q, out_n, out_c = [], [], []
         for j in range(len(p_ids)):
             row_c = cos[j]
-            mask = (i_ids != p_ids[j]) & ~np.isnan(row_c)
-            cand = np.flatnonzero(mask)
+            others = i_ids != p_ids[j]
+            nonnull = others & (i_n > 0) & (p_n[j] > 0)
+            cand = np.flatnonzero(nonnull)
             if len(cand) > topk:
                 order = np.lexsort((i_ids[cand], -row_c[cand]))[:topk]
                 cand = cand[order]
             out_q.extend([p_ids[j]] * len(cand))
             out_n.extend(i_ids[cand].tolist())
             out_c.extend(row_c[cand].tolist())
-        return pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "cos": out_c})
+            # null-cos pairs can only reach the global top-k when the
+            # query has < k non-null candidates; keep the k smallest
+            # neighbor ids (their global tie-break) — lossless prune
+            nul = np.flatnonzero(others & ~nonnull)
+            if len(nul) > 0:
+                nul = nul[np.argsort(i_ids[nul])[:topk]]
+                out_q.extend([p_ids[j]] * len(nul))
+                out_n.extend(i_ids[nul].tolist())
+                out_c.extend([None] * len(nul))
+        return pd.DataFrame(
+            {"q_id": out_q, "neighbor_id": out_n, "cos": out_c},
+        ).astype({"cos": "Float64"})
 
     scored = both.groupBy("gkey").applyInPandas(score_group, out_schema)
     ded = scored.dropDuplicates(["q_id", "neighbor_id"])

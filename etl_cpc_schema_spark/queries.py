@@ -3835,12 +3835,13 @@ def text_bm25_topk_q(spark: SparkSession, sf: str) -> DataFrame:
 #: winnowing params: token 4-grams, window of 5 consecutive hashes
 _WIN_K = 4
 _WIN_W = 5
-_WIN_POSBITS = 1 << 20  # pos packed into the low 20 bits of the key
+_WIN_POSBITS = 1 << 24  # pos packed into the low 24 bits of the key
+_WIN_HASHMOD = 1 << 36  # 36-bit gram hash in the high bits (36+24=60)
 
 
 def _winnowing_oracle() -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, _WIN_K + 1))
-    h40 = f"({portable_hash64_sql('(' + gram + ')', 'win')} % 1099511627776)"
+    h40 = f"({portable_hash64_sql('(' + gram + ')', 'win')} % {_WIN_HASHMOD})"
     return f"""
     WITH tk AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
@@ -3876,10 +3877,13 @@ def text_winnowing_q(spark: SparkSession, sf: str) -> DataFrame:
     guarantee).
 
     Determinism: ties inside a window break on POSITION (leftmost min)
-    by packing the 40-bit gram hash and the 20-bit position into one
+    by packing the 36-bit gram hash and the 24-bit position into one
     integer key and taking the integer min — no arg-min/first-row
     ambiguity in either engine; decomposition back uses exact integer
-    div/mod (a float divide would lose bits past 2^53).
+    div/mod (a float divide would lose bits past 2^53).  The 24-bit
+    position field bounds documents at 2^24 (~16.7M) grams — beyond
+    the 10k-token quality cap by three orders of magnitude; longer
+    documents would silently wrap positions, so chunk upstream first.
 
     Scale shape: positional grams via the Arrow span pass; the
     windowed min is a per-doc bounded sliding window (state = w rows)
@@ -3901,7 +3905,7 @@ def text_winnowing_q(spark: SparkSession, sf: str) -> DataFrame:
             "pos",
             "m",
             (
-                (portable_hash64(F.col("gram"), seed="win") % F.lit(1099511627776))
+                (portable_hash64(F.col("gram"), seed="win") % F.lit(_WIN_HASHMOD))
                 * _WIN_POSBITS
                 + F.col("pos")
             ).alias("key"),
@@ -4489,6 +4493,13 @@ _REV_E4_SQL = (
 )
 
 
+def _rev_e4_col():
+    """Spark twin of _REV_E4_SQL — keep the two in lockstep."""
+    return (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint"))
+
+
 @query(
     "q58_shipping_priority",
     f"""
@@ -4525,11 +4536,7 @@ def q58_shipping_priority_q(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
     )
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)") * 100
-    ).cast("bigint") * (
-        100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
-    )
+    rev = _rev_e4_col()
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
@@ -4583,14 +4590,23 @@ def q59_local_supplier_volume_q(spark: SparkSession, sf: str) -> DataFrame:
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)") * 100
-    ).cast("bigint") * (
-        100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
-    )
+    rev = _rev_e4_col()
     sn = s.join(
         F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
         s["s_nationkey"] == n["n_nationkey"],
+    )
+    # restrict customer to ASIA nations BEFORE broadcasting: the
+    # locality predicate (c_nationkey = s_nationkey ∈ ASIA) discards
+    # the other regions' customers anyway, and the broadcast ships
+    # ~1/5 of the dimension instead of all of it
+    c = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+                F.col("n_nationkey").alias("ck_nation")
+            )
+        ),
+        c["c_nationkey"] == F.col("ck_nation"),
+        "left_semi",
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -4646,7 +4662,7 @@ def q60_expectations_q(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: a single scan computes every rule's violation count
     as conditional aggregates (uniqueness via count - count distinct,
-    one exchange); the rule pivot touches 5 rows.  Adding rules adds
+    one exchange); the rule pivot touches 7 rows.  Adding rules adds
     expressions, not passes.
     """
     o = _t(spark, sf, "orders")

@@ -302,6 +302,12 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
     type-flips on corpora where a field is sometimes-numeric).
     Corrupt lines land in ``_corrupt_record`` (PERMISSIVE) instead of
     failing the 100 TB job; callers filter or quarantine them.
+
+    Caveat (Spark >= 2.3): a query that references ONLY
+    ``_corrupt_record`` over the raw JSON read raises
+    AnalysisException — ``.cache()`` the frame (or select data
+    columns alongside) before a corrupt-only filter, as
+    tests/test_sources.py::test_jsonl_roundtrip_documents does.
     """
     return (
         spark.read.schema(schema + ", _corrupt_record string")

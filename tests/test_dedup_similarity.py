@@ -417,7 +417,17 @@ def test_knn_join_blas_equals_expression_path(spark, sf_dir):
         ANN_PROBED_TABLES,
     )
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as FF
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # append a zero-norm vector: its pairs have NULL cosine, which both
+    # paths must RANK (nulls last), not drop — the regression a
+    # nan-filtering BLAS kernel would introduce
+    dim = base.select(FF.size("embedding").alias("d")).first()["d"]
+    zero = spark.createDataFrame(
+        [(990001, [0.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    embs = base.select("vec_id", "embedding").unionByName(zero)
     blas = sorted(
         (r["q_id"], r["neighbor_id"], r["rank"])
         for r in SIM.lsh_knn_join_blas(
