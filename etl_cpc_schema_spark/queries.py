@@ -3926,6 +3926,54 @@ def text_winnowing_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _winnow_pairs_oracle(min_shared: int = 2) -> str:
+    base = _winnowing_oracle()
+    inner = base[: base.rindex("SELECT doc_id")]
+    return f"""{inner}, fp AS (
+      SELECT DISTINCT doc_id, sel // {_WIN_POSBITS} AS fp_hash FROM f
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY d1, d2 HAVING count(*) >= {min_shared}
+    ORDER BY d1, d2
+    """
+
+
+@query("docs_winnow_pairs", _winnow_pairs_oracle())
+def docs_winnow_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Plagiarism/clone pair detection over winnowing fingerprints:
+    docs sharing >= 2 distinct fingerprint hashes — the MOSS match
+    step, with the locality guarantee text_winnowing documents (any
+    shared run of >= w+k-1 tokens forces a shared fingerprint, so
+    long verbatim overlaps CANNOT be missed, unlike MinHash).
+
+    Scale shape: fingerprint density is ~2/(w+1) of positions, so the
+    pair join input is a fixed fraction of corpus size; the self-join
+    key is the 36-bit fingerprint hash (high cardinality — bucket
+    occupancy is the handful of docs sharing that exact window
+    minimum), and pair emission is in-bucket only.  Boilerplate-heavy
+    hash buckets are the same skew case as every dedup family: AQE
+    skew-join; a doc-frequency cap on fp_hash is the next lever if a
+    corpus ships identical headers everywhere.
+    """
+    fps = text_winnowing_q(spark, sf).select("doc_id", "fp_hash").distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("d1", "d2")
+    )
+
+
 def _lm_ppl_oracle() -> str:
     return f"""
     WITH tk AS (
@@ -4935,6 +4983,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_keywords",
     "text_lm_perplexity",
     "text_winnowing",
+    "docs_winnow_pairs",
     "ann_knn_join",
     "q55_funnel",
     "q56_cohort_retention",
