@@ -63,6 +63,7 @@ INSPECT = [
     "q57_scd2_merge",
     "q58_shipping_priority",
     "q59_local_supplier_volume",
+    "docs_winnow_pairs",
 ]
 
 CHECKS = {
