@@ -4882,6 +4882,35 @@ def stream_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_windowed_topk",
+    """
+    WITH hc AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY hour_start ORDER BY n DESC, event_type) AS rk
+      FROM hc
+    ) t WHERE rk <= 3 ORDER BY hour_start, rank
+    """,
+)
+def stream_windowed_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming top-k per window via the `stream aggregate →
+    foreachBatch staging table → batch rank` architecture — the
+    pattern for window functions Structured Streaming can't run
+    incrementally.  The foreachBatch sink idempotently overwrites the
+    staging table with the full aggregate state; oracle is the batch
+    twin's exact SQL (same bar as every stream query here)."""
+    from .streaming.ingest import windowed_topk_stream
+
+    return windowed_topk_stream(spark, sf)
+
+
+@query(
     "stream_stream_join",
     """
     SELECT p.event_id AS purchase_id, c.event_id AS click_id
@@ -4984,6 +5013,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_lm_perplexity",
     "text_winnowing",
     "docs_winnow_pairs",
+    "stream_windowed_topk",
     "ann_knn_join",
     "q55_funnel",
     "q56_cohort_retention",

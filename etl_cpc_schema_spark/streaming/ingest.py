@@ -119,6 +119,73 @@ def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete", "stream_hourly").orderBy("hour_start")
 
 
+def windowed_topk_stream(
+    spark: SparkSession, events_dir: str, k: int = 3
+) -> DataFrame:
+    """Hourly top-k event types through the streaming engine — the
+    `stream aggregate → foreachBatch table → batch rank` architecture.
+
+    Structured Streaming cannot execute a rank window incrementally,
+    so the canonical pattern is: the windowed count streams in
+    COMPLETE mode into a ``foreachBatch`` sink that idempotently
+    OVERWRITES a staging parquet table with the full aggregate state
+    each micro-batch (re-running a batch rewrites the same state —
+    exactly-once without a transactional sink), and the top-k rank
+    runs as a batch post-pass over the staging table.
+
+    The staging directory outlives the call (the returned DataFrame
+    reads it lazily); it lives under the system temp dir and is
+    per-invocation, so short-lived driver processes reclaim it with
+    the OS tempdir sweep.
+    """
+    from pyspark.sql.window import Window
+
+    agg = (
+        events_stream(spark, events_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_topk_stage_")
+    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+    staged = spark.read.parquet(out_dir)
+    w = Window.partitionBy("hour_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        staged.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "hour_start", "event_type", F.col("n").cast("bigint").alias("n"), "rank"
+        )
+        .orderBy("hour_start", "rank")
+    )
+
+
 def static_join_counts_stream(spark: SparkSession, data_dir: str) -> DataFrame:
     """Stream-static join: the events STREAM broadcast-joins the static
     customer dimension (re-read per micro-batch — picking up dim
