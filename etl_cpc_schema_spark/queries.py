@@ -4671,6 +4671,54 @@ def q59_local_supplier_volume_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q61_returned_items",
+    f"""
+    SELECT c.c_custkey,
+           CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, n.n_name
+    ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+    """,
+)
+def q61_returned_items_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): which customers
+    returned the most revenue in a quarter — 4-table join with a
+    selective fact filter (returnflag) and a date-bounded orders scan,
+    top-20.  Exact-integer revenue as in q58/q59.
+
+    Scale shape: nation broadcasts; customer broadcasts against the
+    date-filtered orders; the one big shuffle is orders⋈lineitem on
+    orderkey with the returnflag filter pushed to the lineitem scan;
+    TakeOrdered top-20.
+    """
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = _rev_e4_col()
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+        .select("c_custkey", "revenue_e4", "n_name")
+        .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
     "q60_expectations",
     """
     WITH m AS (
@@ -5021,6 +5069,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q58_shipping_priority",
     "q59_local_supplier_volume",
     "q60_expectations",
+    "q61_returned_items",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
