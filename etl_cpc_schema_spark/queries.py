@@ -4719,6 +4719,77 @@ def q61_returned_items_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q62_nation_trade_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q62_nation_trade_volume_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    specific nations by year, in both directions — the two-sided
+    dimension-predicate join (the filter is on a DISJUNCTION across
+    two different dimension paths, so neither can be pushed as a
+    simple single-table predicate).
+
+    Scale shape: both nation dims broadcast onto supplier/customer
+    (which then broadcast onto the facts after their nation
+    restriction shrinks them); the one big shuffle is
+    orders⋈lineitem on orderkey; the disjunction applies after both
+    nation names are attached — exactly how Catalyst leaves it, since
+    each disjunct constrains a different join branch.
+    """
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    two = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    sn = s.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        s["s_nationkey"] == F.col("snk"),
+    )
+    cn = c.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+        c["c_nationkey"] == F.col("cnk"),
+    )
+    rev = _rev_e4_col()
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(F.broadcast(cn), o["o_custkey"] == cn["c_custkey"])
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
     "q60_expectations",
     """
     WITH m AS (
@@ -5070,6 +5141,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q59_local_supplier_volume",
     "q60_expectations",
     "q61_returned_items",
+    "q62_nation_trade_volume",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
