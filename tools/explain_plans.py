@@ -63,6 +63,8 @@ INSPECT = [
     "q57_scd2_merge",
     "q58_shipping_priority",
     "q59_local_supplier_volume",
+    "q61_returned_items",
+    "q62_nation_trade_volume",
     "docs_winnow_pairs",
 ]
 
