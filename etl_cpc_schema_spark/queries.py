@@ -4790,6 +4790,66 @@ def q62_nation_trade_volume_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q63_promo_share",
+    f"""
+    SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_E4_SQL}
+                         ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+           CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_E4_SQL}
+                         ELSE 0 END) * 10000
+                // sum({_REV_E4_SQL}) AS BIGINT) AS promo_pct_e4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ship_month ORDER BY ship_month
+    """,
+)
+def q63_promo_share_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): monthly share of revenue
+    from PROMO-type parts — the ratio-of-aggregates class.  The
+    percentage is computed as INTEGER division on the exact e4-integer
+    revenues (``promo*10000 div total``), so the ratio is exact in
+    both engines — no float division anywhere.
+
+    Scale shape: part is a broadcast dimension on partkey; one shuffle
+    groups by month (bounded key space); the ship-date range pushes to
+    the lineitem scan.
+    """
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = _rev_e4_col()
+    promo_rev = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    ).cast("bigint")
+    total_rev = F.sum(rev).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM"
+            ).alias("ship_month")
+        )
+        .agg(
+            promo_rev.alias("promo_rev_e4"),
+            total_rev.alias("total_rev_e4"),
+        )
+        .select(
+            "ship_month",
+            "promo_rev_e4",
+            "total_rev_e4",
+            F.expr("promo_rev_e4 * 10000 div total_rev_e4")
+            .cast("bigint")
+            .alias("promo_pct_e4"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@query(
     "q60_expectations",
     """
     WITH m AS (
@@ -5142,6 +5202,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q60_expectations",
     "q61_returned_items",
     "q62_nation_trade_volume",
+    "q63_promo_share",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
