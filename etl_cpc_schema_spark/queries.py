@@ -4850,6 +4850,64 @@ def q63_promo_share_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q64_large_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS qty_cents
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 15000
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS total_cents,
+           b.qty_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    ORDER BY total_cents DESC, o_orderkey LIMIT 20
+    """,
+)
+def q64_large_volume_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose summed
+    line quantity exceeds a threshold — the aggregate-as-filter class,
+    where a HAVING subquery's result joins back to the fact it was
+    derived from.  Quantity as exact cents.
+
+    Scale shape: the aggregate runs FIRST (one shuffle on orderkey,
+    map-side partials), and its post-HAVING survivor set is small by
+    construction — AQE sizes the join against orders from the actual
+    survivor count; customer broadcasts; top-20 is TakeOrdered.
+    """
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    qty = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).cast("bigint").alias("qty_cents"))
+        .filter(F.col("qty_cents") > 15000)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("total_cents"),
+            "qty_cents",
+        )
+        .orderBy(F.col("total_cents").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
     "q60_expectations",
     """
     WITH m AS (
@@ -5203,6 +5261,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q61_returned_items",
     "q62_nation_trade_volume",
     "q63_promo_share",
+    "q64_large_volume",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
