@@ -3839,7 +3839,10 @@ _WIN_POSBITS = 1 << 24  # pos packed into the low 24 bits of the key
 _WIN_HASHMOD = 1 << 36  # 36-bit gram hash in the high bits (36+24=60)
 
 
-def _winnowing_oracle() -> str:
+def _winnowing_cte() -> str:
+    """Shared WITH-prefix ending in ``f`` = the selected (doc_id, sel)
+    fingerprint set; both winnowing oracles compose final SELECTs on
+    top of it (no string surgery on generated SQL)."""
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, _WIN_K + 1))
     h40 = f"({portable_hash64_sql('(' + gram + ')', 'win')} % {_WIN_HASHMOD})"
     return f"""
@@ -3857,7 +3860,11 @@ def _winnowing_oracle() -> str:
       FROM g
     ), f AS (
       SELECT DISTINCT doc_id, sel FROM w WHERE pos <= m - {_WIN_W}
-    )
+    )"""
+
+
+def _winnowing_oracle() -> str:
+    return f"""{_winnowing_cte()}
     SELECT doc_id,
            CAST(sel // {_WIN_POSBITS} AS BIGINT) AS fp_hash,
            CAST(sel % {_WIN_POSBITS} AS BIGINT) AS fp_pos
@@ -3926,10 +3933,12 @@ def text_winnowing_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _winnow_pairs_oracle(min_shared: int = 2) -> str:
-    base = _winnowing_oracle()
-    inner = base[: base.rindex("SELECT doc_id")]
-    return f"""{inner}, fp AS (
+#: shared by the Spark twin and the oracle — keep in lockstep
+_WINNOW_MIN_SHARED = 2
+
+
+def _winnow_pairs_oracle(min_shared: int = _WINNOW_MIN_SHARED) -> str:
+    return f"""{_winnowing_cte()}, fp AS (
       SELECT DISTINCT doc_id, sel // {_WIN_POSBITS} AS fp_hash FROM f
     )
     SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -3969,7 +3978,7 @@ def docs_winnow_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
         )
         .agg(F.count("*").cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
         .orderBy("d1", "d2")
     )
 
@@ -4689,14 +4698,15 @@ def q59_local_supplier_volume_q(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q61_returned_items_q(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item reporting): which customers
-    returned the most revenue in a quarter — 4-table join with a
-    selective fact filter (returnflag) and a date-bounded orders scan,
-    top-20.  Exact-integer revenue as in q58/q59.
+    returned the most revenue in a half-year window — 4-table join
+    with a selective fact filter (returnflag) and a date-bounded
+    orders scan, top-20.  Exact-integer revenue as in q58/q59.
 
-    Scale shape: nation broadcasts; customer broadcasts against the
-    date-filtered orders; the one big shuffle is orders⋈lineitem on
-    orderkey with the returnflag filter pushed to the lineitem scan;
-    TakeOrdered top-20.
+    Scale shape: nation broadcasts; customer is NOT broadcast-forced —
+    it grows with the corpus, so AQE picks the strategy from actual
+    size (same posture as every unbounded join side here); the one
+    big shuffle is orders⋈lineitem on orderkey with the returnflag
+    filter pushed to the lineitem scan; TakeOrdered top-20.
     """
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
@@ -4708,7 +4718,7 @@ def q61_returned_items_q(spark: SparkSession, sf: str) -> DataFrame:
     rev = _rev_e4_col()
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "n_name")
         .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
@@ -4743,9 +4753,10 @@ def q62_nation_trade_volume_q(spark: SparkSession, sf: str) -> DataFrame:
     two different dimension paths, so neither can be pushed as a
     simple single-table predicate).
 
-    Scale shape: both nation dims broadcast onto supplier/customer
-    (which then broadcast onto the facts after their nation
-    restriction shrinks them); the one big shuffle is
+    Scale shape: both nation dims broadcast onto supplier/customer;
+    the restricted supplier/customer sides still grow with the corpus
+    (~2/25 of each dimension), so they are NOT broadcast-forced — AQE
+    picks the strategy from actual size.  The one big shuffle is
     orders⋈lineitem on orderkey; the disjunction applies after both
     nation names are attached — exactly how Catalyst leaves it, since
     each disjunct constrains a different join branch.
@@ -4765,10 +4776,12 @@ def q62_nation_trade_volume_q(spark: SparkSession, sf: str) -> DataFrame:
         c["c_nationkey"] == F.col("cnk"),
     )
     rev = _rev_e4_col()
+    # sn/cn are nation-RESTRICTED but still grow with the corpus
+    # (~2/25 of each dimension) — not broadcast-forced; AQE decides
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
-        .join(F.broadcast(cn), o["o_custkey"] == cn["c_custkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .join(cn, o["o_custkey"] == cn["c_custkey"])
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1")
@@ -4890,9 +4903,10 @@ def q64_large_volume_q(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(qty).cast("bigint").alias("qty_cents"))
         .filter(F.col("qty_cents") > 15000)
     )
+    # customer is NOT broadcast-forced (unbounded side — AQE decides)
     return (
         o.join(big, o["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_custkey",
             "o_orderkey",

@@ -61,15 +61,10 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 STATE_PARTITIONS = 8
 
 
-def run_to_memory(
-    df: DataFrame,
-    output_mode: str,
-    prefix: str = "stream_out",
-    state_partitions: int | None = STATE_PARTITIONS,
-) -> DataFrame:
-    """Drive a streaming DataFrame to completion (availableNow) into a
-    memory sink and return the final result table.  The throwaway
-    checkpoint directory is removed after termination.
+def _drive_to_completion(spark, start_fn, state_partitions) -> None:
+    """Shared stream-drive scaffolding: throwaway checkpoint dir,
+    state-partition pin/restore, availableNow drive to termination.
+    ``start_fn(checkpoint_dir)`` starts and returns the query.
 
     ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
     stream's lifetime (a streaming query captures it at first start —
@@ -77,14 +72,32 @@ def run_to_memory(
     setting); the session value is restored afterwards so batch plans
     are untouched.
     """
-    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
-    spark = df.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
+        q = start_fn(checkpoint)
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+def run_to_memory(
+    df: DataFrame,
+    output_mode: str,
+    prefix: str = "stream_out",
+    state_partitions: int | None = STATE_PARTITIONS,
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the final result table (scaffolding shared
+    with every other sink via :func:`_drive_to_completion`)."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+    def start(checkpoint):
+        return (
             df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
@@ -92,11 +105,8 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        shutil.rmtree(checkpoint, ignore_errors=True)
+
+    _drive_to_completion(df.sparkSession, start, state_partitions)
     return df.sparkSession.table(name)
 
 
@@ -133,10 +143,9 @@ def windowed_topk_stream(
     exactly-once without a transactional sink), and the top-k rank
     runs as a batch post-pass over the staging table.
 
-    The staging directory outlives the call (the returned DataFrame
-    reads it lazily); it lives under the system temp dir and is
-    per-invocation, so short-lived driver processes reclaim it with
-    the OS tempdir sweep.
+    The staging table is localCheckpoint-ed into executor storage
+    (aggregate-state-sized — tiny) so the staging directory can be
+    removed before returning; nothing leaks on long-lived drivers.
     """
     from pyspark.sql.window import Window
 
@@ -154,27 +163,23 @@ def windowed_topk_stream(
         )
     )
     out_dir = tempfile.mkdtemp(prefix="stream_topk_stage_")
-    checkpoint = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
-    try:
-        q = (
+    def start(checkpoint):
+        return (
             agg.writeStream.foreachBatch(sink)
             .outputMode("complete")
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        shutil.rmtree(checkpoint, ignore_errors=True)
 
-    staged = spark.read.parquet(out_dir)
+    _drive_to_completion(spark, start, STATE_PARTITIONS)
+    # sever lineage from the staging files so the directory can go
+    staged = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
     w = Window.partitionBy("hour_start").orderBy(F.col("n").desc(), "event_type")
     return (
         staged.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -52,6 +52,15 @@ DOC_QUERIES = [
     "multimodal_frames",
     "docs_chunk",
     "docs_corpus_build",
+    "docs_global_shuffle",
+    "docs_domain_mix",
+    "text_bm25_topk",
+    "text_keywords",
+    "docs_dup_spans",
+    "docs_scrub_dup_spans",
+    "text_lm_perplexity",
+    "text_winnowing",
+    "docs_winnow_pairs",
     "docs_cdc_chunk",
     "text_rare_tokens",
     "docs_cdc_dedup",

@@ -42,6 +42,9 @@ EVENT_QUERIES = [
     "stream_user_counts_stateful",
     "stream_sessionize",
     "stream_dedup_counts",
+    "stream_windowed_topk",
+    "q55_funnel",
+    "q56_cohort_retention",
 ]
 
 # (event_id, ts literal, user_id, event_type, value, props)
