@@ -4922,6 +4922,41 @@ def q64_large_volume_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q65_custdist",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q65_custdist_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): DOUBLE aggregation —
+    orders per customer (zero-order customers kept by the left join,
+    where ``count(o_orderkey)`` counts only matched rows), then the
+    distribution of those counts.  The histogram-of-groups pattern.
+
+    Scale shape: one custkey-keyed shuffle for the outer join + first
+    aggregate; the second aggregate groups on the tiny count domain
+    (map-side partials collapse it).  Customer is the probe side, not
+    broadcast-forced (unbounded) — AQE decides.
+    """
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
     "q60_expectations",
     """
     WITH m AS (
@@ -5276,6 +5311,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q62_nation_trade_volume",
     "q63_promo_share",
     "q64_large_volume",
+    "q65_custdist",
     "text_bpe_train",
     "text_bpe_encode",
     "docs_leakage_safe_split",
