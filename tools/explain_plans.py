@@ -65,6 +65,9 @@ INSPECT = [
     "q59_local_supplier_volume",
     "q61_returned_items",
     "q62_nation_trade_volume",
+    "q63_promo_share",
+    "q64_large_volume",
+    "q65_custdist",
     "docs_winnow_pairs",
 ]
 
