@@ -105,7 +105,7 @@ def shingle_table(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """(doc_id, shingles array, n_sh) with empty docs dropped.
+    r"""(doc_id, shingles array, n_sh) with empty docs dropped.
 
     Arrow-batched map pass rather than the ``TX.word_shingles``
     higher-order-function chain: HOF lambdas are interpreted per

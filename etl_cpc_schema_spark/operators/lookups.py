@@ -2,10 +2,17 @@
 
 The reference expresses every join as a Python dict/set probe against
 an in-RAM lookup (reference validator.py:51-53, 189-207).  At 100 TB
-the probe side is huge and the lookup side is dimension-sized
-(~260k CPC symbols), so every operator here broadcasts the lookup and
-keeps the big side shuffle-free — the physical plan the reference's
-in-RAM dicts were hand-approximating.
+the probe side is huge; when the lookup side is dimension-sized
+(~260k CPC symbols) the physical plan should be a broadcast join —
+the plan the reference's in-RAM dicts were hand-approximating.
+
+None of the operators here FORCE a broadcast, though: callers pass
+arbitrary frames as ``lookup`` (q04/q05 probe against keys derived
+from *orders*, which grows with the corpus), and a forced
+``F.broadcast()`` on a corpus-growing side is an executor OOM at the
+100 TB design point.  AQE broadcasts the lookup automatically when
+its runtime-measured size is under the threshold, which covers every
+genuinely dimension-sized case with no hint.
 """
 
 from __future__ import annotations
@@ -18,12 +25,12 @@ from pyspark.sql.window import Window
 def semi_join(big: DataFrame, lookup: DataFrame, key: str) -> DataFrame:
     """J1 — membership keep: rows of ``big`` whose key is in ``lookup``
     (reference validator.py:189; `symbol in self.valid_symbols`)."""
-    return big.join(F.broadcast(lookup.select(key).distinct()), key, "left_semi")
+    return big.join(lookup.select(key).distinct(), key, "left_semi")
 
 
 def anti_join(big: DataFrame, lookup: DataFrame, key: str) -> DataFrame:
     """J2 — the 'invalid symbols' collection loop (reference main.py:77-87)."""
-    return big.join(F.broadcast(lookup.select(key).distinct()), key, "left_anti")
+    return big.join(lookup.select(key).distinct(), key, "left_anti")
 
 
 def membership_flag(
@@ -32,7 +39,7 @@ def membership_flag(
     """J1 as a boolean column instead of a filter."""
     marked = lookup.select(key).distinct().withColumn("__present", F.lit(True))
     return (
-        big.join(F.broadcast(marked), key, "left")
+        big.join(marked, key, "left")
         .withColumn(flag_col, F.coalesce(F.col("__present"), F.lit(False)))
         .drop("__present")
     )
@@ -57,7 +64,7 @@ def lookup_with_default(
         key, F.col(value_col).alias("__lv")
     ).withColumn("__present", F.lit(True))
     return (
-        big.join(F.broadcast(side), key, "left")
+        big.join(side, key, "left")
         .withColumn(
             out_col,
             F.when(F.col("__present").isNotNull(), F.col("__lv")).otherwise(

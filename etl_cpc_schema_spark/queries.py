@@ -385,8 +385,10 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
     )
     joined = (
+        # nation is a bounded dim (25 rows) → forced broadcast is safe;
+        # cnt is per-customer and grows with the corpus → AQE decides.
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
-        .join(F.broadcast(cnt), c.c_custkey == cnt.o_custkey, "left")
+        .join(cnt, c.c_custkey == cnt.o_custkey, "left")
         .withColumn("n_orders", F.coalesce(F.col("n_orders"), F.lit(0)))
     )
     return joined.select(
@@ -509,13 +511,19 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape — fact-fact join + broadcast dim + agg (bench headline)."""
+    """TPC-H Q3 shape — fact-fact join + dim join + agg (bench headline).
+
+    Customer scales linearly with the corpus (TPC-H SF×150k), so it is
+    NOT broadcast-forced: AQE broadcasts it when the runtime-measured
+    size is under the threshold and falls back to a shuffled hash join
+    at 100 TB, where a forced broadcast would OOM the executors.
+    """
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_lines"),
@@ -4581,10 +4589,12 @@ def q58_shipping_priority_q(spark: SparkSession, sf: str) -> DataFrame:
     integer 1e-4-dollar units (cents × remaining-percent), so the sum
     commutes across partitions with no float drift.
 
-    Scale shape: the filtered customer dimension broadcasts; the
-    orders⋈lineitem join shuffles on orderkey with both date filters
-    pushed to the parquet scans; the top-10 is TakeOrdered, not a
-    global sort.
+    Scale shape: customer grows with the corpus (SF×150k even after
+    the segment filter keeps ~1/5 of it), so it is NOT broadcast-
+    forced — AQE broadcasts it when the measured size is small and
+    shuffles at 100 TB; the orders⋈lineitem join shuffles on orderkey
+    with both date filters pushed to the parquet scans; the top-10 is
+    TakeOrdered, not a global sort.
     """
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders").filter(
@@ -4596,7 +4606,7 @@ def q58_shipping_priority_q(spark: SparkSession, sf: str) -> DataFrame:
     rev = _rev_e4_col()
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -4633,10 +4643,13 @@ def q59_local_supplier_volume_q(spark: SparkSession, sf: str) -> DataFrame:
     customer-nation = supplier-nation locality predicate — the classic
     multi-join planning stress.  Exact-integer revenue as in q58.
 
-    Scale shape: region/nation/supplier collapse to a broadcast chain
-    (dimension-sized); customer broadcasts after its nation semi-
-    restriction; the only big shuffle is orders⋈lineitem on orderkey
-    with the date filter pushed down.
+    Scale shape: region and nation are bounded dims (5/25 rows) and
+    broadcast; customer (SF×150k) and supplier (SF×10k) grow with the
+    corpus, so neither is broadcast-forced — AQE picks broadcast vs
+    shuffle from runtime-measured sizes (at bench scale it still
+    broadcasts both; at 100 TB it shuffles instead of OOMing).  The
+    only guaranteed big shuffle is orders⋈lineitem on orderkey with
+    the date filter pushed down.
     """
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
@@ -4652,10 +4665,10 @@ def q59_local_supplier_volume_q(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
         s["s_nationkey"] == n["n_nationkey"],
     )
-    # restrict customer to ASIA nations BEFORE broadcasting: the
-    # locality predicate (c_nationkey = s_nationkey ∈ ASIA) discards
-    # the other regions' customers anyway, and the broadcast ships
-    # ~1/5 of the dimension instead of all of it
+    # restrict customer to ASIA nations EARLY: the locality predicate
+    # (c_nationkey = s_nationkey ∈ ASIA) discards the other regions'
+    # customers anyway, so the downstream join moves ~1/5 of the
+    # dimension instead of all of it (broadcast or shuffled, AQE's call)
     c = c.join(
         F.broadcast(
             n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
@@ -4667,9 +4680,9 @@ def q59_local_supplier_volume_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(sn),
+            sn,
             (li["l_suppkey"] == sn["s_suppkey"])
             & (c["c_nationkey"] == sn["s_nationkey"]),
         )
@@ -4809,8 +4822,8 @@ def q62_nation_trade_volume_q(spark: SparkSession, sf: str) -> DataFrame:
            CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_E4_SQL}
                          ELSE 0 END) AS BIGINT) AS promo_rev_e4,
            CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4,
-           CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_E4_SQL}
-                         ELSE 0 END) * 10000
+           CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_E4_SQL}
+                         ELSE 0 END) AS HUGEINT) * 10000
                 // sum({_REV_E4_SQL}) AS BIGINT) AS promo_pct_e4
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -4823,11 +4836,16 @@ def q63_promo_share_q(spark: SparkSession, sf: str) -> DataFrame:
     from PROMO-type parts — the ratio-of-aggregates class.  The
     percentage is computed as INTEGER division on the exact e4-integer
     revenues (``promo*10000 div total``), so the ratio is exact in
-    both engines — no float division anywhere.
+    both engines — no float division anywhere.  The ``*10000``
+    product is widened to decimal(38,0)/HUGEINT before dividing: the
+    monthly e4-revenue sums reach 1e13-1e16 at large scale factors,
+    so the bigint product would silently wrap past 2^63.
 
-    Scale shape: part is a broadcast dimension on partkey; one shuffle
-    groups by month (bounded key space); the ship-date range pushes to
-    the lineitem scan.
+    Scale shape: part grows with the corpus (SF×200k) so it is NOT
+    broadcast-forced — AQE broadcasts when the measured size allows
+    and shuffles on partkey otherwise; one shuffle groups by month
+    (bounded key space); the ship-date range pushes to the lineitem
+    scan.
     """
     p = _t(spark, sf, "part")
     li = _t(spark, sf, "lineitem").filter(
@@ -4840,7 +4858,7 @@ def q63_promo_share_q(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("bigint")
     total_rev = F.sum(rev).cast("bigint")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(
             F.date_format(
                 F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM"
@@ -4854,7 +4872,10 @@ def q63_promo_share_q(spark: SparkSession, sf: str) -> DataFrame:
             "ship_month",
             "promo_rev_e4",
             "total_rev_e4",
-            F.expr("promo_rev_e4 * 10000 div total_rev_e4")
+            F.expr(
+                "CAST(promo_rev_e4 AS DECIMAL(38,0)) * 10000"
+                " div total_rev_e4"
+            )
             .cast("bigint")
             .alias("promo_pct_e4"),
         )
