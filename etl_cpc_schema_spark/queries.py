@@ -4978,6 +4978,140 @@ def q65_custdist_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q66_avg_quantity_outliers",
+    """
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_small_lines,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS small_rev_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+      AND CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * 5 *
+          (SELECT count(*) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+        < (SELECT sum(CAST(CAST(l2.l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand ORDER BY p_brand
+    """,
+)
+def q66_avg_quantity_outliers_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    quantity is below 20% of the per-part average — the CORRELATED
+    SCALAR-AGGREGATE SUBQUERY class (the oracle keeps the correlated
+    form so DuckDB exercises its decorrelation rewrite).  The
+    comparison is exact-integer cross-multiplication:
+    ``qty < 0.2 * avg = 0.2 * sum/n  ⇔  5 * qty_cents * n < sum_cents``
+    (n > 0 by construction), so no float division and both engines
+    agree at ulp boundaries.
+
+    Scale shape (the Catalyst decorrelation, written explicitly):
+    the per-part (sum, count) aggregate runs FIRST — one partkey
+    shuffle with map-side partials collapsing lineitem to ~|part|
+    rows — then joins back to lineitem on the SAME partkey (AQE
+    reuses/aligns the partitioning), then part (AQE decides broadcast;
+    part is unbounded, not forced), then the brand groupBy over a
+    bounded key domain.  No per-row subquery execution anywhere.
+    """
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    qty_cents = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum(qty_cents).cast("bigint").alias("sum_qty_cents"),
+        F.count("*").alias("n_lines_part"),
+    )
+    ext_cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    return (
+        li.join(per_part, li["l_partkey"] == F.col("pp_partkey"))
+        .filter(
+            qty_cents * 5 * F.col("n_lines_part") < F.col("sum_qty_cents")
+        )
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_small_lines"),
+            F.sum(ext_cents).cast("bigint").alias("small_rev_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q67_waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q67_waiting_suppliers_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    MULTI-CORRELATED-SUBQUERY class — EXISTS and NOT EXISTS against
+    the same fact, correlated on the same key with a non-equi
+    component.  "Late" here is ``l_returnflag = 'R'`` (this schema
+    carries no commit/receipt dates): suppliers whose returned line
+    sits on a finished multi-supplier order where NO other supplier's
+    line was returned.
+
+    Scale shape: both subqueries become orderkey-equi semi/anti joins
+    (the ``suppkey <>`` term rides along as a join-condition filter,
+    so the plan stays a shuffled hash/sort-merge join on orderkey —
+    never a nested loop); the three lineitem branches co-partition on
+    orderkey so AQE aligns the exchanges.  Orders' status filter
+    pushes to its scan; supplier (unbounded) joins under AQE's choice;
+    the top-20 is TakeOrdered.
+    """
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).alias("c")
+    cand = cand.join(
+        l3,
+        (F.col("c.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("c.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(o, cand["l_orderkey"] == o["o_orderkey"])
+        .join(s, cand["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
     "q60_expectations",
     """
     WITH m AS (
@@ -5305,94 +5439,58 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
 #: driver samples a subset of the registry per round; this list points
-#: the sample at the current evidence gap (VERDICT r4 "Next round" #1):
-#: q50-q54 (last driver-sampled round 2) first, then every name whose
-#: latest sample was round 3, in registry order.  Queries new in round
-#: 5 are prepended as they land so they get a first-round row.
+#: the sample at the current evidence gap (VERDICT r5 "Next round" #2):
+#: the 28 queries whose last driver sample was round 3 — leading with
+#: the ones whose implementations were REBUILT in round 5 after that
+#: sample (Arrow/BLAS ANN signatures, the shared-tokenization text_*
+#: family, the Pillow multimodal path) — then the r03 streams and
+#: docs_* block, then queries touched this round (broadcast-hint
+#: removal, the new Q17/Q21 analogs, the bounded streaming top-k).
 _DRIVER_PRIORITY: list[str] = [
-    # new this round — need a first driver row
-    "docs_global_shuffle",
-    "docs_domain_mix",
-    "text_bm25_topk",
-    "docs_dup_spans",
-    "docs_scrub_dup_spans",
-    "text_keywords",
-    "text_lm_perplexity",
-    "text_winnowing",
-    "docs_winnow_pairs",
-    "stream_windowed_topk",
-    "ann_knn_join",
-    "q55_funnel",
-    "q56_cohort_retention",
-    "q57_scd2_merge",
-    "q58_shipping_priority",
-    "q59_local_supplier_volume",
-    "q60_expectations",
-    "q61_returned_items",
-    "q62_nation_trade_volume",
-    "q63_promo_share",
-    "q64_large_volume",
-    "q65_custdist",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "docs_leakage_safe_split",
-    "docs_incremental_dedup",
-    # stale since round 2 — verify first
-    "q50_map_type",
-    "q51_regex_rewrite",
-    "q52_union_by_name",
-    "q53_try_cast",
-    "q54_exists_subquery",
-    # last sampled round 3, registry order
-    "q01_regex_parse",
-    "q02_filter_predicates",
-    "q03_project_cast_lit",
-    "q43_variant_extract",
-    "q35_full_outer",
-    "q36_intersect",
-    "q34_udaf_geomean",
-    "q31_ancestor_paths",
-    "q27_json_extract",
-    "approx_distinct_users",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_lsh_jaccard",
-    "docs_dedup_clustered",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "dedup_embedding_lsh",
-    "ann_lsh_topk",
+    # r03-stale AND rebuilt in r5 — the driver has never seen this code
     "ann_lsh_topk_probed",
+    "ann_lsh_topk",
+    "ann_lsh_buckets",
+    "ann_cosine_topk",
+    "dedup_embedding_lsh",
     "text_stats",
     "text_quality_filter",
     "text_langid",
     "text_fingerprint",
     "text_token_freq",
-    "docs_train_split",
-    "docs_pipeline",
     "text_token_bpe",
     "text_pii_scrub",
     "text_url_domains",
     "text_repetition",
-    "docs_pack_sequences",
-    "docs_stratified_sample",
-    "docs_chunk",
-    "docs_temperature_sample",
-    "docs_contamination",
     "text_rolling_hash",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",
+    # r03-stale streams
     "stream_user_counts_stateful",
     "stream_static_join",
     "stream_dedup_counts",
+    # r03-stale docs_* block
+    "docs_pipeline",
+    "docs_chunk",
+    "docs_contamination",
+    "docs_pack_sequences",
+    "docs_train_split",
+    "docs_stratified_sample",
+    "docs_temperature_sample",
+    # new or rebuilt in round 6 — need a current driver row
+    "q66_avg_quantity_outliers",
+    "q67_waiting_suppliers",
+    "stream_windowed_topk",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_left_join_default",
+    "q14_pipeline_composite",
+    "q18_join_agg",
+    "q58_shipping_priority",
+    "q59_local_supplier_volume",
+    "q63_promo_share",
 ]
-
 
 
 def _prioritized(reg: dict) -> dict:
