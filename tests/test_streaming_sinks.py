@@ -151,3 +151,122 @@ def test_restart_recovery_exactly_once(spark, tmp_path):
         r["event_id"] for r in spark.read.parquet(*batch_dirs).collect()
     )
     assert got == sorted(all_ids)  # exactly once: no dups, none missing
+
+
+def test_topk_upsert_sink_crash_restart_exactly_once(spark, tmp_path):
+    """VERDICT r5 #3: the windowed top-k's UPDATE-mode upsert sink
+    survives a mid-stream crash with exactly-once results.  A 4-file
+    source feeds a watermarked hourly count in update mode through the
+    EXACT sink windowed_topk_stream uses (_topk_upsert_sink); the sink
+    crashes before committing batch 1 on the first run.  After restart
+    the staging table must equal the batch-computed per-(hour, type)
+    counts — the replayed batch rewrites the same day partitions with
+    the same state-derived content (no dups, none missing, no stale
+    counts)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from etl_cpc_schema_spark.streaming.ingest import (
+        _TOPK_STAGE_SCHEMA,
+        _topk_upsert_sink,
+    )
+
+    src_dir = str(tmp_path / "src")
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    crash_flag = str(tmp_path / "crash_once")
+
+    import datetime as dt
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+    base = dt.datetime(2024, 3, 1, 0, 30, 0)
+    rows_all = []
+    # ts strictly increasing across files so the advancing watermark
+    # never drops a later file's rows
+    for part in range(4):
+        rows = [
+            (
+                base + dt.timedelta(hours=part * 3 + (i % 3), minutes=i % 7),
+                ["click", "view", "purchase"][i % 3],
+                i,
+            )
+            for i in range(60)
+        ]
+        rows_all.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    open(crash_flag, "w").write("1")
+    real_sink = _topk_upsert_sink(stage)
+
+    def sink(batch_df, batch_id):
+        if batch_id >= 1 and os.path.exists(crash_flag):
+            os.remove(crash_flag)
+            raise RuntimeError("injected mid-stream crash")
+        real_sink(batch_df, batch_id)
+
+    def run():
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour_start"
+                ),
+                "event_type",
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(
+        StreamingQueryException, match="injected mid-stream crash"
+    ):
+        run()
+
+    run()  # resume from the same checkpoint — no crash flag now
+
+    got = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in spark.read.schema(_TOPK_STAGE_SCHEMA)
+        .parquet(stage)
+        .collect()
+    }
+    expected = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in spark.createDataFrame(rows_all, schema)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
