@@ -3897,8 +3897,10 @@ def text_winnowing_q(spark: SparkSession, sf: str) -> DataFrame:
     ambiguity in either engine; decomposition back uses exact integer
     div/mod (a float divide would lose bits past 2^53).  The 24-bit
     position field bounds documents at 2^24 (~16.7M) grams — beyond
-    the 10k-token quality cap by three orders of magnitude; longer
-    documents would silently wrap positions, so chunk upstream first.
+    the 10k-token quality cap by three orders of magnitude; a runtime
+    ``assert_true`` guard FAILS LOUDLY on any document at or past the
+    bound (a silent wrap would corrupt the leftmost-min tie-break) —
+    chunk oversized docs upstream first.
 
     Scale shape: positional grams via the Arrow span pass; the
     windowed min is a per-doc bounded sliding window (state = w rows)
@@ -3924,6 +3926,19 @@ def text_winnowing_q(spark: SparkSession, sf: str) -> DataFrame:
                 * _WIN_POSBITS
                 + F.col("pos")
             ).alias("key"),
+        )
+        # loud guard on the 24-bit position envelope: assert_true
+        # returns NULL while the bound holds (the filter keeps every
+        # row) and raises mid-job on the first oversized document
+        .filter(
+            F.assert_true(
+                F.col("m") < F.lit(_WIN_POSBITS),
+                F.lit(
+                    "winnowing: document exceeds 2^24 grams — positions "
+                    "would wrap and corrupt the leftmost-min tie-break; "
+                    "chunk upstream first"
+                ),
+            ).isNull()
         )
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
@@ -4134,18 +4149,25 @@ def docs_scrub_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the span/dup machinery is shared with docs_dup_spans
     (Arrow span pass, 64-bit gram hashes, AQE-chosen vocabulary
-    join).  Covered positions explode at most n per duplicated span
-    and dedupe on (doc, pos); the rebuild groups each doc's own
-    surviving tokens — per-group state bounded by doc length, with the
-    order restored by an in-group array_sort, not a global sort.
+    join).  Because this path is DESTRUCTIVE (a false positive deletes
+    clean tokens), hash matches are confirmed on the exact gram
+    string before scrubbing: the heavy aggregation still shuffles only
+    narrow (doc, hash) pairs, but the resulting duplicate-hash set —
+    small by construction — is re-grouped on the gram strings of its
+    candidate rows, so a 64-bit birthday collision (expected at the
+    100 TB gram count) can no longer scrub a non-duplicated span.
+    Covered positions explode at most n per duplicated span and
+    dedupe on (doc, pos); the rebuild groups each doc's own surviving
+    tokens — per-group state bounded by doc length, with the order
+    restored by an in-group array_sort, not a global sort.
     """
     d = _t(spark, sf, "documents")
     g = (
         DD.span_table(d, n=8)
         .select("doc_id", F.posexplode("grams").alias("pos", "gram"))
-        .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+        .select("doc_id", "pos", "gram", F.xxhash64("gram").alias("h"))
     )
-    dup = (
+    dup_h = (
         g.select("doc_id", "h")
         .distinct()
         .groupBy("h")
@@ -4153,8 +4175,19 @@ def docs_scrub_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("ndocs") >= 2)
         .select("h")
     )
+    # candidate rows (small: true dups + rare collisions) keep their
+    # gram strings; exact confirmation re-counts docs per STRING
+    cand = g.join(dup_h, "h", "left_semi")
+    dup_exact = (
+        cand.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram")
+    )
     cov = (
-        g.join(dup, "h", "left_semi")
+        cand.join(dup_exact, "gram", "left_semi")
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("cpos"),
@@ -4320,8 +4353,13 @@ def docs_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     # with the tokenization subtree duplicated per shift measured 12 s
     # at sf0.1 — see operators/dedup.py::span_table), then join on a
     # 64-bit gram hash so the shuffles move 8 bytes per span, not the
-    # 8-token string (same posture as ngram_jaccard_pairs; xxhash64
-    # collisions across ~10^6 grams are ~1e-7-probability noise)
+    # 8-token string (same posture as ngram_jaccard_pairs).  xxhash64
+    # collisions across ~10^6 grams are ~1e-7 noise, but at the
+    # 100 TB design point (~10^12 grams) birthday collisions become
+    # EXPECTED — tolerable here because this query only PROFILES
+    # duplication (a collision inflates one doc's count by one); the
+    # DESTRUCTIVE twin docs_scrub_dup_spans confirms every hash match
+    # on the exact gram string before removing anything
     g = (
         DD.span_table(d, n=8)
         .select("doc_id", F.explode("grams").alias("gram"))

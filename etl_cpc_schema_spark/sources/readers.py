@@ -284,13 +284,23 @@ def compact_parquet(
     return sum(1 for p in pathlib.Path(dest).glob("*.parquet"))
 
 
-def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = None,
+    mode: str = "error",
+) -> None:
     """JSON-lines sink — the de-facto interchange format for LLM
     corpora (one JSON object per line; gzip-splittable alternative:
     per-file gzip, still parallel across files).  Spark's native json
     writer emits exactly this shape.
+
+    ``mode`` defaults to ``"error"`` (fail if the destination exists)
+    so clobbering an existing dataset is an explicit opt-in via
+    ``mode="overwrite"`` — a corpus export that silently overwrites a
+    prior run's output is how training data disappears.
     """
-    w = df.write.mode("overwrite")
+    w = df.write.mode(mode)
     if compression:
         w = w.option("compression", compression)
     w.json(path)

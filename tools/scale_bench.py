@@ -44,6 +44,11 @@ OPERATORS = [
     # so this is the operator most exposed to an accidental
     # all-spans-broadcast or string-shuffle regression
     "docs_dup_spans",
+    # round-6 widening (VERDICT r5 #6): the END-TO-END corpus
+    # materialization — quality gate → exact dedup → LSH cluster
+    # dedup → decontamination → split as ONE composed plan, so the
+    # flagship pipeline (not just its stages) has a measured curve
+    "docs_corpus_build",
     # the ANN occupancy lever DEMONSTRATED: fixed-parameter LSH is
     # inherently quadratic (occupancy = n / 2^planes grows linearly),
     # so the registry ann_knn_join is deliberately NOT on this curve;
