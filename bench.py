@@ -66,10 +66,19 @@ HEADLINE = [
     "stream_stream_join",
 ]
 
-#: best-of-N per query: measures steady-state execution rather than
-#: first-touch JVM classloading / codegen compilation / python-worker
-#: spawn, and damps CPU-steal spikes on shared hosts.
-RUNS_PER_QUERY = 2
+#: median-of-N per query (VERDICT r5 #8, was best-of-2): the median
+#: both skips first-touch JVM classloading / codegen compilation /
+#: python-worker spawn (the first run is usually the slowest) AND is
+#: robust to a CPU-steal spike landing on any single run, so
+#: round-over-round comparisons stop needing the host-noise caveat.
+#: Per-query spread (max-min across runs) is recorded alongside.
+RUNS_PER_QUERY = 3
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
 def main() -> None:
@@ -81,15 +90,17 @@ def main() -> None:
     Q.SPARK_QUERIES["q09_group_count"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.SPARK_QUERIES[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             assert rows is not None
-        timings[name] = round(best, 4)
+        timings[name] = round(_median(runs), 4)
+        spread[name] = round(max(runs) - min(runs), 4)
 
     # tolerate dirs not named .../sfN.NN — never lose the timings to a
     # ValueError after the whole benchmark already ran
@@ -103,7 +114,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "runs_per_query": RUNS_PER_QUERY,
+                "aggregation": "median",
                 "sf": float(m.group(1)) if m else None,
             }
         )
