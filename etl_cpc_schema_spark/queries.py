@@ -4603,6 +4603,30 @@ def _rev_e4_col():
     ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint"))
 
 
+def _attach_scalar(big: DataFrame, one_row: DataFrame, key_src: str) -> DataFrame:
+    """Attach a single-row aggregate frame to every row of ``big`` —
+    the Spark shape for an UNCORRELATED SCALAR SUBQUERY in a
+    predicate.
+
+    A bare cross join (or a lit=lit key, which Catalyst folds to
+    true) plans as BroadcastNestedLoopJoin, which the plan guard
+    bans; a key derived from a data column survives optimization and
+    plans as a BroadcastHashJoin on a single-valued key — same cost
+    (one broadcast of one row), codegen-friendly plan.  ``key_src``
+    names a numeric column on EACH side to derive the constant key
+    from (same trick as text_bm25_topk's stats attach).
+    """
+    k = lambda c: F.coalesce((F.col(c) % 1).cast("int"), F.lit(0))  # noqa: E731
+    return (
+        big.withColumn("_j", k(key_src))
+        .join(
+            F.broadcast(one_row.withColumn("_j", k(one_row.columns[0]))),
+            "_j",
+        )
+        .drop("_j")
+    )
+
+
 @query(
     "q58_shipping_priority",
     f"""
@@ -5149,6 +5173,163 @@ def q67_waiting_suppliers_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BAL_CENTS_SQL = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "q68_sales_opportunity",
+    f"""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum({_BAL_CENTS_SQL}) AS BIGINT) AS totacctbal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE {_BAL_CENTS_SQL} *
+          (SELECT count(*) FROM customer c2
+            WHERE CAST(CAST(c2.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > 0)
+        > (SELECT sum(CAST(CAST(c2.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+             FROM customer c2
+            WHERE CAST(CAST(c2.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name ORDER BY n_name
+    """,
+)
+def q68_sales_opportunity_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive account balance and NO RECENT orders (none
+    since 2000 — the spec's "no orders for 7 years"), grouped by
+    nation — the UNCORRELATED SCALAR SUBQUERY IN A PREDICATE class
+    combined with NOT EXISTS.  The avg comparison is exact-integer
+    cross-multiplication (``bal_cents × n_pos > sum_pos_cents``), so
+    both engines agree at ulp boundaries.
+
+    Scale shape: the global (sum, count) collapses customer to ONE
+    row (map-side partials), attached back via the constant-key
+    BroadcastHashJoin of :func:`_attach_scalar` (a bare cross join
+    would plan as the banned BroadcastNestedLoopJoin); the NOT EXISTS
+    is a custkey-equi left-anti join against orders (shuffled, AQE
+    may broadcast the filtered probe side at runtime); nation is a
+    bounded dim, broadcast-forced.
+    """
+    bal = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", bal.alias("bal_cents")
+    )
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    st = c.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_pos"), F.count("*").alias("n_pos")
+    )
+    return (
+        _attach_scalar(c, st, "c_custkey")
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(o, F.col("c_custkey") == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum("bal_cents").cast("bigint").alias("totacctbal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q69_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q69_top_supplier_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): suppliers whose quarterly
+    revenue equals the maximum over all suppliers — the
+    AGGREGATE-OVER-AGGREGATE scalar subquery class (max of a grouped
+    view used as an equality filter on that same view).  Ties all
+    surface, as in the spec.
+
+    Scale shape: per-supplier revenue is one suppkey shuffle with the
+    ship-date quarter pushed to the lineitem scan; the max collapses
+    that view to ONE row (no all-rows-to-one-partition window),
+    attached back via the constant-key BroadcastHashJoin; supplier
+    joins under AQE's choice.
+    """
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_e4_col()).cast("bigint").alias("total_rev_e4")
+    )
+    mx = rev.agg(F.max("total_rev_e4").alias("max_rev"))
+    return (
+        _attach_scalar(rev, mx, "l_suppkey")
+        .filter(F.col("total_rev_e4") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q70_nation_value_share",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING sum(CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) * 25
+         > (SELECT sum(CAST(CAST(s2.s_acctbal AS DECIMAL(18,2)) * 100
+                            AS BIGINT))
+              FROM supplier s2)
+    ORDER BY value_cents DESC, n_name
+    """,
+)
+def q70_nation_value_share_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): nations holding more than a
+    1/25 share of total supplier account value — the SCALAR SUBQUERY
+    IN HAVING class.  The share threshold is exact-integer
+    cross-multiplication (``nation_sum × 25 > grand_total``).
+
+    Scale shape: supplier aggregates once per nation (bounded key
+    domain, map-side partials); the grand total is a second one-row
+    aggregate over the same scan attached via the constant-key
+    BroadcastHashJoin; nation broadcast-forced (bounded dim).
+    """
+    bal = (F.col("s_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    s = _t(spark, sf, "supplier").select(
+        "s_nationkey", bal.alias("bal_cents")
+    )
+    n = _t(spark, sf, "nation")
+    per_nation = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum("bal_cents").cast("bigint").alias("value_cents"))
+    )
+    tot = s.agg(F.sum("bal_cents").alias("grand_total"))
+    return (
+        _attach_scalar(per_nation, tot, "value_cents")
+        .filter(F.col("value_cents") * 25 > F.col("grand_total"))
+        .select("n_name", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "n_name")
+    )
+
+
 @query(
     "q60_expectations",
     """
@@ -5519,6 +5700,9 @@ _DRIVER_PRIORITY: list[str] = [
     # new or rebuilt in round 6 — need a current driver row
     "q66_avg_quantity_outliers",
     "q67_waiting_suppliers",
+    "q68_sales_opportunity",
+    "q69_top_supplier",
+    "q70_nation_value_share",
     "stream_windowed_topk",
     "q04_semi_join",
     "q05_anti_join",

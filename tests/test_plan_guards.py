@@ -73,6 +73,11 @@ _BOUNDED_DERIVATIVE_OK = {
     "q57_scd2_merge": "incremental batch keys (batch-size bounded)",
     # single global stats row attached via constant key
     "text_bm25_topk": "one global corpus-stats row",
+    # uncorrelated scalar subqueries: the broadcast side is a ONE-ROW
+    # global aggregate attached via _attach_scalar's constant key
+    "q68_sales_opportunity": "one-row global (sum,count) aggregate",
+    "q69_top_supplier": "one-row global max aggregate",
+    "q70_nation_value_share": "one-row global sum aggregate",
 }
 
 
