@@ -2907,6 +2907,83 @@ def text_quality_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_GOPHER_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "text_gopher_filters",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_GOPHER_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS tchars,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) AS n_stop,
+             len(list_distinct(toks)) AS n_types
+      FROM t
+    )
+    SELECT doc_id,
+           n BETWEEN 30 AND 50000                  AS r_word_count,
+           (3 * n <= tchars AND tchars <= 10 * n)  AS r_mean_word_len,
+           5 * n_alpha >= 4 * n                    AS r_alpha_words,
+           n_stop >= 2                             AS r_stopwords,
+           10 * n_types >= 3 * n                   AS r_type_token,
+           (n BETWEEN 30 AND 50000
+             AND 3 * n <= tchars AND tchars <= 10 * n
+             AND 5 * n_alpha >= 4 * n
+             AND n_stop >= 2
+             AND 10 * n_types >= 3 * n)            AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_filters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1),
+    one boolean per rule plus the conjunctive keep flag: word-count
+    band, mean word length in [3,10], ≥80% of words containing an
+    alphabetic character, ≥2 stopwords, and type/token ratio ≥ 0.3 —
+    every threshold as exact INTEGER cross-multiplication (no float
+    ratios), so both engines agree on boundary documents.
+
+    Scale shape: pure per-row Column expressions over one scan —
+    map-only, whole-stage-codegen, zero shuffles before the contract
+    sort; composable as a pushdown-friendly filter stage in front of
+    any dedup pipeline (the keep flag is the conjunction, so a user
+    filters on it without recomputing the parts).
+    """
+    d = _t(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("tchars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).alias("n_alpha"),
+        TX.stopword_count(F.col("text")).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    n, tchars = F.col("n"), F.col("tchars")
+    rules = {
+        "r_word_count": n.between(30, 50000),
+        "r_mean_word_len": (3 * n <= tchars) & (tchars <= 10 * n),
+        "r_alpha_words": 5 * F.col("n_alpha") >= 4 * n,
+        "r_stopwords": F.col("n_stop") >= 2,
+        "r_type_token": 10 * F.col("n_types") >= 3 * n,
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    return m.select(
+        "doc_id",
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
 @query(
     "text_langid",
     """
@@ -4228,6 +4305,142 @@ def docs_scrub_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
             .cast("bigint")
             .alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: DSIR hashed-feature space size — FIXED constant, so the bucket
+#: histogram is a bounded dimension (≤ _DSIR_B rows) no matter how
+#: large the corpus grows.
+_DSIR_B = 1024
+_DSIR_TARGET_SRC = "src0"
+
+
+def _dsir_oracle() -> str:
+    h = portable_hash64_sql("tok", "dsir")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), bt AS (
+      SELECT doc_id, source, {h} % {_DSIR_B} AS b FROM tk
+    ), hist_r AS (
+      SELECT b, count(*) AS c_r FROM bt
+      WHERE source <> '{_DSIR_TARGET_SRC}' GROUP BY b
+    ), hist_t AS (
+      SELECT b, count(*) AS c_t FROM bt
+      WHERE source = '{_DSIR_TARGET_SRC}' GROUP BY b
+    ), tot AS (
+      SELECT (SELECT count(*) FROM bt WHERE source <> '{_DSIR_TARGET_SRC}') AS t_r,
+             (SELECT count(*) FROM bt WHERE source = '{_DSIR_TARGET_SRC}') AS t_t
+    ), lr AS (
+      SELECT hist_r.b,
+             CAST(round((ln((coalesce(hist_t.c_t, 0) + 1)
+                           / CAST(tot.t_t + {_DSIR_B} AS DOUBLE))
+                       - ln((hist_r.c_r + 1)
+                           / CAST(tot.t_r + {_DSIR_B} AS DOUBLE)))
+                       * 10000) AS BIGINT) AS lr_e4
+      FROM hist_r LEFT JOIN hist_t ON hist_r.b = hist_t.b CROSS JOIN tot
+    ), score AS (
+      SELECT bt.doc_id, count(*) AS n_tokens, sum(lr.lr_e4) AS weight_e4
+      FROM bt JOIN lr ON bt.b = lr.b
+      WHERE bt.source <> '{_DSIR_TARGET_SRC}'
+      GROUP BY bt.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.weight_e4, 0) AS BIGINT) AS weight_e4
+    FROM documents d LEFT JOIN score s ON d.doc_id = s.doc_id
+    WHERE d.source <> '{_DSIR_TARGET_SRC}'
+    ORDER BY d.doc_id
+    """
+
+
+@query("docs_dsir_weights", _dsir_oracle())
+def docs_dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio of a hashed bag-of-unigrams
+    model fit on a target slice (source = src0, the stand-in for the
+    curated target corpus) vs the raw rest — the standard
+    pretraining-mixture reweighting signal; downstream, sampling
+    ∝ exp(weight) is docs_temperature_sample's job.
+
+    Determinism: per-BUCKET log ratios are e4-quantized to integers
+    (the text_lm_perplexity posture), so the per-doc sum is exact
+    integer arithmetic in both engines; the feature hash is the
+    md5-portable hash shared with every sketching operator.
+
+    Scale shape: one corpus pass explodes tokens to (doc, bucket)
+    with the bucket id computed JVM-side; the two histograms group on
+    a FIXED _DSIR_B=1024-bucket domain (map-side partials collapse
+    the explosion), so the log-ratio table is a bounded dim —
+    broadcast-forced legitimately (≤ 1024 rows regardless of corpus
+    size, see the plan-guard allowlist); scoring is one map-side
+    join + one doc_id-keyed aggregation.  Nothing anywhere is
+    proportional to corpus² and the only unbounded shuffles are the
+    doc_id aggregation and the contract sort.
+    """
+    from .functions.hashing import portable_hash64
+
+    d = _t(spark, sf, "documents")
+    bt = d.select(
+        "doc_id",
+        "source",
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (portable_hash64(F.col("tok"), "dsir") % _DSIR_B).alias("b"),
+    )
+    raw = bt.filter(F.col("source") != _DSIR_TARGET_SRC)
+    tgt = bt.filter(F.col("source") == _DSIR_TARGET_SRC)
+    hist_r = raw.groupBy("b").agg(F.count("*").alias("c_r"))
+    hist_t = tgt.groupBy("b").agg(F.count("*").alias("c_t"))
+    tots = _attach_scalar(
+        hist_r.agg(F.sum("c_r").alias("t_r")),
+        hist_t.agg(F.sum("c_t").alias("t_t")),
+        "t_r",
+    )
+    lr = _attach_scalar(
+        hist_r.join(hist_t, "b", "left"), tots, "b"
+    ).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    / (F.col("t_t") + _DSIR_B).cast("double")
+                )
+                - F.log(
+                    (F.col("c_r") + 1) / (F.col("t_r") + _DSIR_B).cast("double")
+                )
+            )
+            * 10000
+        )
+        .cast("bigint")
+        .alias("lr_e4"),
+    )
+    score = (
+        raw.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr_e4").alias("weight_e4"),
+        )
+    )
+    return (
+        d.filter(F.col("source") != _DSIR_TARGET_SRC)
+        .select("doc_id")
+        .join(score, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce(F.col("weight_e4"), F.lit(0))
+            .cast("bigint")
+            .alias("weight_e4"),
         )
         .orderBy("doc_id")
     )
@@ -5703,6 +5916,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q68_sales_opportunity",
     "q69_top_supplier",
     "q70_nation_value_share",
+    "text_gopher_filters",
+    "docs_dsir_weights",
     "stream_windowed_topk",
     "q04_semi_join",
     "q05_anti_join",

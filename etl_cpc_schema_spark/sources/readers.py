@@ -325,3 +325,33 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """ORC sink (zlib default) — the columnar interchange format for
+    Hive-ecosystem consumers; Spark's writer is built in, no extra
+    packages.  Same destructive-overwrite posture as write_jsonl:
+    ``mode="overwrite"`` is an explicit opt-in.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """ORC source.  Pass an explicit ``schema`` for contract tables
+    (same no-inference posture as read_jsonl — ORC carries its own
+    schema, but pinning one catches upstream type drift at read time
+    instead of ten stages later); predicate pushdown and column
+    pruning reach the ORC reader exactly as with parquet.
+    """
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

@@ -78,6 +78,9 @@ _BOUNDED_DERIVATIVE_OK = {
     "q68_sales_opportunity": "one-row global (sum,count) aggregate",
     "q69_top_supplier": "one-row global max aggregate",
     "q70_nation_value_share": "one-row global sum aggregate",
+    # hashed-feature log-ratio table: at most _DSIR_B=1024 rows (fixed
+    # feature-space constant), regardless of corpus size
+    "docs_dsir_weights": "bucket log-ratio table, <= 1024 rows (B fixed)",
 }
 
 

@@ -186,3 +186,32 @@ def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     ).cache()
     assert back2.filter("_corrupt_record is not null").count() == 1
     assert back2.filter("_corrupt_record is null").count() == len(a)
+
+
+def test_orc_roundtrip_documents(spark, sf_dir, tmp_path):
+    """ORC (the Hive-ecosystem columnar format) round-trips the
+    documents table bit-exactly, with the explicit-schema contract
+    pinned and predicate pushdown reaching the ORC scan."""
+    from etl_cpc_schema_spark.sources.readers import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dest = str(tmp_path / "docs_orc")
+    write_orc(docs, dest)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    back = read_orc(spark, dest, schema)
+    assert sorted(docs.collect(), key=lambda r: r["doc_id"]) == sorted(
+        back.collect(), key=lambda r: r["doc_id"]
+    )
+    # pushdown reaches the ORC scan (PushedFilters in the physical plan)
+    plan = (
+        back.filter("doc_id = 7")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan
+    # mode defaults to error-on-exists: no silent clobber
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="already exists"):
+        write_orc(docs, dest)
