@@ -69,6 +69,14 @@ INSPECT = [
     "q64_large_volume",
     "q65_custdist",
     "docs_winnow_pairs",
+    # round 6: the new planner classes + pipeline operators
+    "q66_avg_quantity_outliers",
+    "q67_waiting_suppliers",
+    "q68_sales_opportunity",
+    "q69_top_supplier",
+    "q70_nation_value_share",
+    "text_gopher_filters",
+    "docs_dsir_weights",
 ]
 
 CHECKS = {
