@@ -2907,14 +2907,11 @@ def text_quality_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_GOPHER_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
-
-
 @query(
     "text_gopher_filters",
     f"""
     WITH t AS (
-      SELECT doc_id, {_GOPHER_TOKS} AS toks FROM documents
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ), m AS (
       SELECT doc_id,
              len(toks) AS n,
@@ -3869,21 +3866,10 @@ def text_bm25_topk_q(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(len(_BM25_TERMS))
         ],
     )
-    # single-row-broadcast attach via a NON-FOLDABLE constant key: a
-    # bare cross join (or a lit=lit key, which Catalyst folds to true)
-    # plans as BroadcastNestedLoopJoin, which the plan guard bans; a
-    # key derived from a data column survives optimization and plans
-    # as a BroadcastHashJoin on a single-valued key
-    scored = tk.withColumn(
-        "_j", F.coalesce((F.col("doc_id") % 1).cast("int"), F.lit(0))
-    ).join(
-        F.broadcast(
-            stats.withColumn(
-                "_j", F.coalesce((F.col("n_docs") % 1).cast("int"), F.lit(0))
-            )
-        ),
-        "_j",
-    ).drop("_j")
+    # single-row-broadcast attach via the shared non-foldable
+    # constant-key helper (see _attach_scalar for why a bare cross
+    # join is not an option: it plans as the banned BNLJ)
+    scored = _attach_scalar(tk, stats, "doc_id")
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     score = None
     for i in range(len(_BM25_TERMS)):
@@ -4371,15 +4357,17 @@ def docs_dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     integer arithmetic in both engines; the feature hash is the
     md5-portable hash shared with every sketching operator.
 
-    Scale shape: one corpus pass explodes tokens to (doc, bucket)
-    with the bucket id computed JVM-side; the two histograms group on
-    a FIXED _DSIR_B=1024-bucket domain (map-side partials collapse
-    the explosion), so the log-ratio table is a bounded dim —
-    broadcast-forced legitimately (≤ 1024 rows regardless of corpus
-    size, see the plan-guard allowlist); scoring is one map-side
-    join + one doc_id-keyed aggregation.  Nothing anywhere is
-    proportional to corpus² and the only unbounded shuffles are the
-    doc_id aggregation and the contract sort.
+    Scale shape: TWO corpus tokenization passes total — one builds
+    BOTH histograms as a single conditional aggregation on the FIXED
+    _DSIR_B=1024-bucket domain (map-side partials collapse the
+    explosion), one scores (map-side join against the broadcast
+    ratio table + a doc_id-keyed aggregation); a long-lived pipeline
+    would persist the exploded frame and pay one.  The log-ratio
+    table is a bounded dim — broadcast-forced legitimately (≤ 1024
+    rows regardless of corpus size, see the plan-guard allowlist).
+    Nothing anywhere is proportional to corpus² and the only
+    unbounded shuffles are the doc_id aggregation and the contract
+    sort.
     """
     from .functions.hashing import portable_hash64
 
@@ -4393,23 +4381,27 @@ def docs_dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         (portable_hash64(F.col("tok"), "dsir") % _DSIR_B).alias("b"),
     )
-    raw = bt.filter(F.col("source") != _DSIR_TARGET_SRC)
-    tgt = bt.filter(F.col("source") == _DSIR_TARGET_SRC)
-    hist_r = raw.groupBy("b").agg(F.count("*").alias("c_r"))
-    hist_t = tgt.groupBy("b").agg(F.count("*").alias("c_t"))
-    tots = _attach_scalar(
-        hist_r.agg(F.sum("c_r").alias("t_r")),
-        hist_t.agg(F.sum("c_t").alias("t_t")),
-        "t_r",
+    is_tgt = F.col("source") == _DSIR_TARGET_SRC
+    raw = bt.filter(~is_tgt)
+    # both histograms from ONE pass: conditional counts per bucket
+    hist = bt.groupBy("b").agg(
+        F.sum(F.when(~is_tgt, 1).otherwise(0)).alias("c_r"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("c_t"),
+    )
+    # coalesce the totals: an empty side must give 0 (the oracle's
+    # count(*)), not sum-over-empty NULL, or every log ratio nulls out
+    tots = hist.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).alias("t_r"),
+        F.coalesce(F.sum("c_t"), F.lit(0)).alias("t_t"),
     )
     lr = _attach_scalar(
-        hist_r.join(hist_t, "b", "left"), tots, "b"
+        hist.filter(F.col("c_r") > 0), tots, "b"
     ).select(
         "b",
         F.round(
             (
                 F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    (F.col("c_t") + 1)
                     / (F.col("t_t") + _DSIR_B).cast("double")
                 )
                 - F.log(

@@ -138,65 +138,73 @@ def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 #: measure ~2 s) while per-batch rewrite IO stays bounded by the open
 #: windows' days × types.
 _TOPK_STAGE_SCHEMA = (
-    "hour_start string, event_type string, n long, stage_day string"
+    "hour_start string, event_type string, n long, batch_id long"
 )
 
 
 def _topk_upsert_sink(stage: str):
-    """foreachBatch upsert for the windowed top-k staging table —
+    """foreachBatch sink for the windowed top-k staging table —
     module-level factory so the crash/restart test drives the exact
     sink the query uses.
 
     UPDATE-mode batches carry only the (window, event_type) rows whose
-    counts changed this micro-batch, so the merge rewrites ONLY the
-    affected ``stage_day`` partitions: existing rows for those days
-    that the batch does not supersede are kept (anti-join on the key),
-    unioned with the batch, and written back with dynamic partition
-    overwrite.  Replaying an uncommitted batch after a crash
-    recomputes the same rows from the state store and rewrites the
-    same partitions with the same content — idempotent, exactly-once
-    without a transactional sink.  Per-batch sink IO is proportional
-    to the CHANGED windows, not the full history (the COMPLETE-mode
-    rewrite this replaces), and the distinct-hours collect is
-    control-plane: bounded by windows-touched-per-batch, tiny for any
-    sane window width.  On a cluster the same sink body works against
-    any shared filesystem; a transactional table format's MERGE
-    replaces the manual anti-join.
+    counts changed this micro-batch; the sink appends them as an
+    UPDATE LOG, one ``batch_id=<n>`` partition directory per
+    micro-batch, and readers resolve the current value per key with
+    last-writer-wins on batch_id (:func:`_topk_stage_current`).
+
+    Why a log and not read-modify-write: each batch writes ONLY its
+    own batch_id directory with mode("overwrite"), so a replay after
+    a crash — even a crash MIDWAY through this very write — simply
+    rewrites that directory with the same state-derived content.
+    Exactly-once needs no transactional sink and no atomic multi-file
+    commit; a merge that read the staging table to carry unchanged
+    keys forward would bake a torn write into every later batch.  The
+    write also never reads ``stage``, so the sink works unchanged on
+    URI-addressed storage (HDFS/S3), not just the local FS.
+
+    Per-batch sink IO is proportional to the CHANGED windows (the
+    COMPLETE-mode rewrite this replaces wrote full history every
+    batch).  The log grows with total updates; on a long-lived stream
+    a periodic compaction folds it to current values (or a
+    transactional table format's MERGE replaces the whole pattern) —
+    read cost until then is one window function over the log.
     """
-    import os
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.withColumn(
-            "stage_day", F.substring("hour_start", 1, 10)
-        )
-        days = [r[0] for r in batch.select("stage_day").distinct().collect()]
-        if not days:
-            return
-        sess = batch_df.sparkSession
-        merged = batch
-        if os.path.exists(stage):
-            kept = (
-                sess.read.schema(_TOPK_STAGE_SCHEMA)
-                .parquet(stage)
-                .filter(F.col("stage_day").isin(days))
-                .join(
-                    batch.select("hour_start", "event_type"),
-                    ["hour_start", "event_type"],
-                    "left_anti",
-                )
-                # break lineage from the files we are about to overwrite
-                .localCheckpoint(eager=True)
-            )
-            merged = batch.unionByName(kept.select(*batch.columns))
         (
-            merged.coalesce(1)
+            batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .coalesce(1)
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("stage_day")
-            .parquet(stage)
+            .parquet(f"{stage}/batch_id={batch_id}")
         )
 
     return sink
+
+
+def _topk_stage_current(spark: SparkSession, stage: str) -> DataFrame:
+    """Resolve the top-k update log to current per-key counts:
+    last-writer-wins on batch_id per (hour_start, event_type).
+
+    ``basePath`` makes the ``batch_id=<n>`` directories a partition
+    column; the explicit schema pins its type (and hour_start's)
+    against partition-value inference.
+    """
+    from pyspark.sql.window import Window
+
+    log = (
+        spark.read.schema(_TOPK_STAGE_SCHEMA)
+        .option("basePath", stage)
+        .parquet(f"{stage}/batch_id=*")
+    )
+    w = Window.partitionBy("hour_start", "event_type").orderBy(
+        F.col("batch_id").desc()
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("hour_start", "event_type", "n")
+    )
 
 
 def windowed_topk_stream(
@@ -208,14 +216,16 @@ def windowed_topk_stream(
 
     Structured Streaming cannot execute a rank window incrementally,
     so the windowed count streams in UPDATE mode into a
-    ``foreachBatch`` sink that upserts the changed windows into an
-    hour-partitioned staging table (see :func:`_topk_upsert_sink`),
-    and the top-k rank runs as a batch post-pass over the staging
-    table.  With the 1-hour watermark, UPDATE mode lets the engine
-    EVICT window state once the watermark passes a window's end, so
-    keyed state is bounded by the open windows — unlike the previous
-    COMPLETE-mode version, whose state and per-batch sink IO grew
-    with every window ever seen (unbounded on a true stream).
+    ``foreachBatch`` sink that appends the changed windows to a
+    batch-id-partitioned update log (see :func:`_topk_upsert_sink` for
+    why a log, not read-modify-write, is the torn-write-safe shape),
+    and the top-k rank runs as a batch post-pass over the log's
+    last-writer-wins view (:func:`_topk_stage_current`).  With the
+    1-hour watermark, UPDATE mode lets the engine EVICT window state
+    once the watermark passes a window's end, so keyed state is
+    bounded by the open windows — unlike the previous COMPLETE-mode
+    version, whose state and per-batch sink IO grew with every window
+    ever seen (unbounded on a true stream).
 
     The ranked result (≤ k rows per window) is localCheckpoint-ed so
     the staging directory can be removed before returning; the
@@ -259,11 +269,7 @@ def windowed_topk_stream(
         )
         if not os.path.exists(stage):
             return spark.createDataFrame([], out_schema)
-        staged = (
-            spark.read.schema(_TOPK_STAGE_SCHEMA)
-            .parquet(stage)
-            .drop("stage_day")
-        )
+        staged = _topk_stage_current(spark, stage)
         w = Window.partitionBy("hour_start").orderBy(
             F.col("n").desc(), "event_type"
         )

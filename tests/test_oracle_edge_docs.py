@@ -68,6 +68,8 @@ DOC_QUERIES = [
     "text_bpe_encode",
     "docs_leakage_safe_split",
     "docs_incremental_dedup",
+    "text_gopher_filters",
+    "docs_dsir_weights",
 ]
 
 EDGE_ROWS = [

@@ -83,6 +83,15 @@ _BOUNDED_DERIVATIVE_OK = {
     "docs_dsir_weights": "bucket log-ratio table, <= 1024 rows (B fixed)",
 }
 
+#: allowlisted queries whose bounded broadcast side is a RAW frame
+#: (no Aggregate in the subtree) bounded by contract rather than by an
+#: aggregation — currently only the SCD incremental batch.  Every
+#: other allowlisted query must still show an Aggregate/Deduplicate/
+#: GlobalLimit inside each unbounded-derived hint subtree, so adding a
+#: NEW raw F.broadcast(customer) to an already-allowlisted query still
+#: fails the guard.
+_RAW_BOUNDED_OK = {"q57_scd2_merge"}
+
 
 def _broadcast_hint_subtrees(df):
     """toString() of every broadcast ResolvedHint subtree in the
@@ -115,10 +124,23 @@ def test_no_forced_broadcast_of_unbounded_tables(spark, sf_dir, name):
             for t, sig in _UNBOUNDED_SIGS.items()
             if any(sig in l for l in rel_lines)
         )
-        if hit and name not in _BOUNDED_DERIVATIVE_OK:
+        if not hit:
+            continue
+        if name not in _BOUNDED_DERIVATIVE_OK:
             raise AssertionError(
                 f"{name}: broadcast hint forced over unbounded table(s) "
                 f"{hit} — at 100 TB this is an executor OOM.  Remove the "
                 f"F.broadcast() and let AQE decide, or allowlist with a "
                 f"stated cardinality bound."
+            )
+        bounded_shape = any(
+            marker in subtree
+            for marker in ("Aggregate", "Deduplicate", "GlobalLimit")
+        )
+        if not bounded_shape and name not in _RAW_BOUNDED_OK:
+            raise AssertionError(
+                f"{name}: allowlisted, but this broadcast-hint subtree over "
+                f"{hit} has no Aggregate/Deduplicate/GlobalLimit — it looks "
+                f"like a RAW unbounded frame, not the bounded derivative the "
+                f"allowlist entry describes."
             )

@@ -160,9 +160,10 @@ def test_topk_upsert_sink_crash_restart_exactly_once(spark, tmp_path):
     EXACT sink windowed_topk_stream uses (_topk_upsert_sink); the sink
     crashes before committing batch 1 on the first run.  After restart
     the staging table must equal the batch-computed per-(hour, type)
-    counts — the replayed batch rewrites the same day partitions with
-    the same state-derived content (no dups, none missing, no stale
-    counts)."""
+    counts — the replayed batch rewrites its own batch_id directory of
+    the update log with the same state-derived content, and the
+    last-writer-wins read resolves every key to its final count (no
+    dups, none missing, no stale counts)."""
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -172,7 +173,7 @@ def test_topk_upsert_sink_crash_restart_exactly_once(spark, tmp_path):
     )
 
     from etl_cpc_schema_spark.streaming.ingest import (
-        _TOPK_STAGE_SCHEMA,
+        _topk_stage_current,
         _topk_upsert_sink,
     )
 
@@ -253,9 +254,7 @@ def test_topk_upsert_sink_crash_restart_exactly_once(spark, tmp_path):
 
     got = {
         (r["hour_start"], r["event_type"]): r["n"]
-        for r in spark.read.schema(_TOPK_STAGE_SCHEMA)
-        .parquet(stage)
-        .collect()
+        for r in _topk_stage_current(spark, stage).collect()
     }
     expected = {
         (r["hour_start"], r["event_type"]): r["n"]
