@@ -35,6 +35,13 @@ HEADLINE = [
     # TPC-H Q3/Q5 analogs: the classic multi-join planning stress
     "q58_shipping_priority",
     "q59_local_supplier_volume",
+    # round-6 planner classes: correlated scalar-aggregate (Q17) and
+    # multi-EXISTS (Q21) — the two heaviest new join shapes
+    "q66_avg_quantity_outliers",
+    "q67_waiting_suppliers",
+    # round-6 pipeline operators with corpus-wide shuffles
+    "docs_dsir_weights",
+    "text_gopher_filters",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -207,6 +207,46 @@ def _topk_stage_current(spark: SparkSession, stage: str) -> DataFrame:
     )
 
 
+def compact_topk_stage(
+    spark: SparkSession, stage: str, into_batch_id: int = -1
+) -> int:
+    """Fold the top-k update log to its current values: resolve
+    last-writer-wins, write ONE ``batch_id=<into_batch_id>`` directory
+    holding the folded rows, then delete the superseded batch
+    directories.  Returns the number of rows in the folded view.
+
+    The periodic maintenance job for a long-lived stream (the log
+    otherwise grows with total updates).  Crash-safety has the same
+    shape as the sink itself: the folded directory is written BEFORE
+    the old ones are removed, and re-running the compaction rewrites
+    the same folded content — the default ``into_batch_id=-1`` sorts
+    BELOW live batch ids, so a crash between write and delete leaves
+    a log whose last-writer-wins view is unchanged (live directories
+    still win over the folded copy), and sink writes racing the
+    compaction are never shadowed.
+    """
+    import os
+    import re as _re
+
+    current = _topk_stage_current(spark, stage).localCheckpoint(eager=True)
+    n = current.count()
+    old_dirs = [
+        d
+        for d in os.listdir(stage)
+        if _re.fullmatch(r"batch_id=-?\d+", d)
+        and d != f"batch_id={into_batch_id}"
+    ]
+    (
+        current.withColumn("batch_id", F.lit(into_batch_id).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{stage}/batch_id={into_batch_id}")
+    )
+    for d in old_dirs:
+        shutil.rmtree(os.path.join(stage, d), ignore_errors=True)
+    return n
+
+
 def windowed_topk_stream(
     spark: SparkSession, events_dir: str, k: int = 3
 ) -> DataFrame:

@@ -269,3 +269,61 @@ def test_topk_upsert_sink_crash_restart_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_topk_stage_compaction(spark, tmp_path):
+    """compact_topk_stage folds the update log to current values (the
+    long-lived stream's maintenance job): last-writer-wins resolution
+    is unchanged by compaction, superseded batch dirs are removed, and
+    a second compaction is a no-op rewrite (idempotent)."""
+    import os
+
+    from etl_cpc_schema_spark.streaming.ingest import (
+        _topk_stage_current,
+        _topk_upsert_sink,
+        compact_topk_stage,
+    )
+
+    stage = str(tmp_path / "stage")
+    sink = _topk_upsert_sink(stage)
+    schema = "hour_start string, event_type string, n long"
+    # three batches updating overlapping keys: last writer must win
+    sink(spark.createDataFrame(
+        [("2024-03-01 00:00:00", "click", 1),
+         ("2024-03-01 00:00:00", "view", 2)], schema), 0)
+    sink(spark.createDataFrame(
+        [("2024-03-01 00:00:00", "click", 5)], schema), 1)
+    sink(spark.createDataFrame(
+        [("2024-03-01 01:00:00", "click", 7)], schema), 2)
+
+    before = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in _topk_stage_current(spark, stage).collect()
+    }
+    assert before == {
+        ("2024-03-01 00:00:00", "click"): 5,
+        ("2024-03-01 00:00:00", "view"): 2,
+        ("2024-03-01 01:00:00", "click"): 7,
+    }
+
+    n = compact_topk_stage(spark, stage)
+    assert n == 3
+    assert sorted(
+        d for d in os.listdir(stage) if d.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+    after = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in _topk_stage_current(spark, stage).collect()
+    }
+    assert after == before
+
+    # a sink write AFTER compaction still wins over the folded copy
+    sink(spark.createDataFrame(
+        [("2024-03-01 00:00:00", "view", 9)], schema), 3)
+    assert {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in _topk_stage_current(spark, stage).collect()
+    }[("2024-03-01 00:00:00", "view")] == 9
+
+    # compaction is idempotent / re-runnable
+    assert compact_topk_stage(spark, stage) == 3
