@@ -5536,6 +5536,136 @@ def q70_nation_value_share_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q71_disjunctive_revenue",
+    f"""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+       OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    GROUP BY p.p_brand ORDER BY p_brand
+    """,
+)
+def q71_disjunctive_revenue_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR of conjunctions
+    that each mix PART-side and LINEITEM-side predicates — the
+    disjunctive cross-table predicate class.  No single branch can be
+    fully pushed to either scan; the optimizer pushes the derivable
+    per-side residuals (brand/type IN-set to part, the quantity hull
+    to lineitem) and evaluates the full disjunction post-join.
+
+    Scale shape: one partkey-equi join (AQE chooses the strategy —
+    part is corpus-growing, never broadcast-forced); the disjunction
+    is pure codegen expression work; the brand groupBy is a bounded
+    key domain.
+    """
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 30)
+            & (q >= 10)
+            & (q <= 35)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(20, 50)
+            & (q >= 20)
+            & (q <= 50)
+        )
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(_rev_e4_col()).cast("bigint").alias("revenue_e4"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q72_market_share",
+    f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CASE WHEN r.r_name = 'ASIA' THEN {_REV_E4_SQL}
+                         ELSE 0 END) AS BIGINT) AS asia_rev_e4,
+           CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4,
+           CAST(CAST(sum(CASE WHEN r.r_name = 'ASIA' THEN {_REV_E4_SQL}
+                              ELSE 0 END) AS HUGEINT) * 10000
+                // sum({_REV_E4_SQL}) AS BIGINT) AS asia_share_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY yr ORDER BY yr
+    """,
+)
+def q72_market_share_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): the GROUPED ratio-of-aggregates
+    class — per order year, the revenue share supplied from one
+    region, as conditional-sum / sum within each group (q63 computes
+    the same shape with a fixed numerator predicate; here the
+    numerator condition comes from a JOINED dimension chain).  The
+    ×10000 product is decimal-widened exactly as in q63 so the share
+    can't wrap past 2^63 at large scale factors.
+
+    Scale shape: nation and region are bounded dims (broadcast-
+    forced); supplier is corpus-growing so its join is AQE's choice;
+    the one guaranteed big shuffle is lineitem⋈orders on orderkey;
+    the year groupBy is a bounded key domain with map-side partials.
+    """
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    rev = _rev_e4_col()
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.sum(F.when(F.col("r_name") == "ASIA", rev).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("asia_rev_e4"),
+            F.sum(rev).cast("bigint").alias("total_rev_e4"),
+        )
+        .select(
+            "yr",
+            "asia_rev_e4",
+            "total_rev_e4",
+            F.expr(
+                "CAST(asia_rev_e4 AS DECIMAL(38,0)) * 10000"
+                " div total_rev_e4"
+            )
+            .cast("bigint")
+            .alias("asia_share_e4"),
+        )
+        .orderBy("yr")
+    )
+
+
+@query(
     "q60_expectations",
     """
     WITH m AS (
@@ -5910,6 +6040,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q70_nation_value_share",
     "text_gopher_filters",
     "docs_dsir_weights",
+    "q71_disjunctive_revenue",
+    "q72_market_share",
     "stream_windowed_topk",
     "q04_semi_join",
     "q05_anti_join",
