@@ -2861,6 +2861,177 @@ def ann_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: ann_pq_topk parameters (shared by query, oracle, recall-pin test).
+#: M=16 subspaces × 16 centroids = 64-bit codes (32× smaller than the
+#: raw 64×32-bit vectors); the 32-candidate ADC shortlist feeds an
+#: exact rerank — shortlist recall@3 ≈ 0.87 on the near-uniform test
+#: corpus (PQ's adversarial case), where raw M=4 ADC alone is ~0.13.
+ANN_PQ_M = 16
+ANN_PQ_KSUB = 16
+ANN_PQ_K = 3
+ANN_PQ_SHORTLIST = 32
+ANN_PQ_QMAX = 64
+ANN_PQ_LLOYD = 1
+
+
+def _pq_topk_oracle(
+    m: int = ANN_PQ_M,
+    ksub: int = ANN_PQ_KSUB,
+    k: int = ANN_PQ_K,
+    shortlist: int = ANN_PQ_SHORTLIST,
+    qmax: int = ANN_PQ_QMAX,
+    lloyd_iters: int = ANN_PQ_LLOYD,
+) -> str:
+    """Unrolled PQ oracle: subspace split → seeded sub-codebooks →
+    exact-integer L2 Lloyd step(s) → codes → ADC cosine top-k.  All
+    subspaces flow through ONE generic CTE chain (the subspace id is
+    a cross-joined column, not per-m SQL), mirroring
+    operators.similarity.pq_train/pq_topk bit-for-bit: squared-L2
+    assignment ``xn + cn − 2·dot`` with (d2 asc, cell asc) ties,
+    rounded-mean updates, empty cells keeping the seed, and the final
+    double division identical to the numpy expression."""
+    sub = 64 // m  # embeddings are 64-dim (asserted Spark-side)
+    sdot = (
+        f"list_sum(list_transform(range({sub}),"
+        " i -> s.x[i+1] * c.cv[i+1]))"
+    )
+    parts = []
+    for it in range(lloyd_iters):
+        parts.append(f"""
+, a{it} AS (
+  SELECT vec_id, m, x, cell FROM (
+    SELECT s.vec_id, s.m, s.x, c.cell,
+           s.xn + c.cn - 2 * {sdot} AS d2
+    FROM sv s JOIN c{it} c USING (m)
+  ) t QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1
+), mu{it} AS (
+  SELECT m, cell, pos,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mu
+  FROM (SELECT m, cell, generate_subscripts(x, 1) AS pos, unnest(x) AS v
+        FROM a{it}) u
+  GROUP BY m, cell, pos
+), c{it + 1} AS (
+  SELECT c.m, c.cell,
+         coalesce(nc.cv, c.cv) AS cv,
+         coalesce(nc.cn, c.cn) AS cn
+  FROM c{it} c LEFT JOIN (
+    SELECT m, cell, cv, list_sum(list_transform(cv, v -> v * v)) AS cn
+    FROM (SELECT m, cell, list(mu ORDER BY pos) AS cv
+          FROM mu{it} GROUP BY m, cell) s2
+  ) nc USING (m, cell)
+)""")
+    lloyd = "".join(parts)
+    cf = f"c{lloyd_iters}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), ms AS (
+  SELECT unnest(range({m})) AS m
+), sv AS (
+  SELECT q.vec_id, ms.m,
+         qv[ms.m * {sub} + 1 : ms.m * {sub} + {sub}] AS x,
+         list_sum(list_transform(qv[ms.m * {sub} + 1 : ms.m * {sub} + {sub}],
+                                 v -> v * v)) AS xn
+  FROM q CROSS JOIN ms
+), c0 AS (
+  SELECT m, vec_id AS cell, x AS cv, xn AS cn FROM sv WHERE vec_id < {ksub}
+){lloyd}, codes AS (
+  SELECT vec_id, m, cell, cn FROM (
+    SELECT s.vec_id, s.m, c.cell, c.cn,
+           s.xn + c.cn - 2 * {sdot} AS d2
+    FROM sv s JOIN {cf} c USING (m)
+  ) t QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1
+), recon AS (
+  SELECT vec_id, sum(cn) AS rn FROM codes GROUP BY vec_id
+), qn AS (
+  SELECT vec_id, list_sum(list_transform(qv, v -> v * v)) AS nsq
+  FROM q WHERE vec_id < {qmax}
+), ad AS (
+  SELECT s.vec_id AS q_id, cd.vec_id AS n_id, sum({sdot}) AS adot
+  FROM sv s
+  JOIN codes cd ON cd.vec_id <> s.vec_id AND cd.m = s.m
+  JOIN {cf} c ON c.m = cd.m AND c.cell = cd.cell
+  WHERE s.vec_id < {qmax}
+  GROUP BY q_id, n_id
+), scored AS (
+  SELECT ad.q_id, ad.n_id,
+         CAST(ad.adot AS DOUBLE)
+           / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(recon.rn AS DOUBLE)))
+           AS cos
+  FROM ad
+  JOIN qn ON qn.vec_id = ad.q_id
+  JOIN recon ON recon.vec_id = ad.n_id
+  WHERE qn.nsq > 0 AND recon.rn > 0
+)
+, cand AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+             AS rn1
+    FROM scored
+  ) t WHERE rn1 <= {shortlist}
+), nall AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, v -> v * v)) AS nsq
+  FROM q
+), rer AS (
+  SELECT cand.q_id, cand.n_id,
+         CAST(list_sum(list_transform(range(len(a.qv)),
+                                      i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+           AS xcos
+  FROM cand
+  JOIN nall a ON a.vec_id = cand.q_id
+  JOIN nall b ON b.vec_id = cand.n_id
+  WHERE a.nsq > 0 AND b.nsq > 0
+)
+SELECT q_id, CAST(n_id AS BIGINT) AS neighbor_id, CAST(rn2 AS BIGINT) AS rank
+FROM (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY xcos DESC, n_id) AS rn2
+  FROM rer
+) t WHERE rn2 <= {k} ORDER BY q_id, rank
+"""
+
+
+@query("ann_pq_topk", _pq_topk_oracle())
+def ann_pq_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION + asymmetric
+    distance (Jégou et al. 2011) with an exact rerank — the
+    memory-compression member of the ANN family: the corpus collapses
+    to M×log2(ksub)-bit codes (64 bits/vector vs 64×32 raw), queries
+    stay full-precision, ADC scoring is M integer table lookups per
+    candidate, and the 32-candidate shortlist is rescored on the
+    exact vectors (the production two-stage shape).  Composable with
+    the IVF/LSH candidate-pruning members (IVF-PQ) at 100 TB; see
+    operators/similarity.py::pq_topk / pq_topk_rerank for the
+    physical shape (codebook training = Arrow/BLAS passes with
+    codebook-sized reduces; scoring = one map pass carrying only
+    per-batch shortlists to the shuffle; rerank = candidate-sized
+    joins).
+    """
+    from .operators.similarity import pq_topk_rerank
+
+    embs = _t(spark, sf, "embeddings")
+    return (
+        pq_topk_rerank(
+            embs,
+            k=ANN_PQ_K,
+            shortlist=ANN_PQ_SHORTLIST,
+            m_subspaces=ANN_PQ_M,
+            ksub=ANN_PQ_KSUB,
+            query_pred=F.col("vec_id") < ANN_PQ_QMAX,
+            lloyd_iters=ANN_PQ_LLOYD,
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------
@@ -6042,6 +6213,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_dsir_weights",
     "q71_disjunctive_revenue",
     "q72_market_share",
+    "ann_pq_topk",
     "stream_windowed_topk",
     "q04_semi_join",
     "q05_anti_join",

@@ -479,3 +479,42 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     assert fps[0] & fps[1], "shared 8-token run produced no shared fingerprint"
     assert not (fps[0] & fps.get(2, set()))
     assert not (fps[1] & fps.get(2, set()))
+
+
+def test_ann_pq_recall_pinned(spark, sf_dir):
+    """PQ recall pin: the 64-bit-code ADC shortlist (M=16 × 16
+    centroids, 32 candidates) + exact rerank measures ~0.87 recall@3
+    on the near-uniform synthetic corpus — PQ's adversarial case (no
+    correlation structure for the sub-codebooks to exploit; raw M=4
+    ADC with no rerank measures ~0.13, which is why the registry
+    query ships the two-stage shape).  A drop below 0.80 means the
+    codebook training, code assignment, LUT scoring, or rerank broke."""
+    from etl_cpc_schema_spark.queries import (
+        ANN_PQ_K,
+        ANN_PQ_KSUB,
+        ANN_PQ_LLOYD,
+        ANN_PQ_M,
+        ANN_PQ_QMAX,
+        ANN_PQ_SHORTLIST,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < ANN_PQ_QMAX)
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_bruteforce(embs, qs, k=ANN_PQ_K).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.pq_topk_rerank(
+            embs,
+            k=ANN_PQ_K,
+            shortlist=ANN_PQ_SHORTLIST,
+            m_subspaces=ANN_PQ_M,
+            ksub=ANN_PQ_KSUB,
+            query_pred=F.col("vec_id") < ANN_PQ_QMAX,
+            lloyd_iters=ANN_PQ_LLOYD,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.80, f"PQ recall@{ANN_PQ_K} collapsed to {recall:.3f}"
