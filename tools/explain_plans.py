@@ -77,6 +77,9 @@ INSPECT = [
     "q70_nation_value_share",
     "text_gopher_filters",
     "docs_dsir_weights",
+    "q71_disjunctive_revenue",
+    "q72_market_share",
+    "ann_pq_topk",
 ]
 
 CHECKS = {
