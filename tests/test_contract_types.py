@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import types as T
 
 import __spark_entry__ as E
+from pyspark.sql import functions as F
 
 BANNED_ORACLE_TYPES = ("DECIMAL", "HUGEINT")
 
@@ -107,3 +108,20 @@ def test_survey_query_count_matches_registry():
     stated = {int(m) for m in re.findall(r"(\d+) declared quer", text)}
     stated |= {int(m) for m in re.findall(r"declared query \((\d+)\)", text)}
     assert stated == {n}, f"SURVEY.md says {stated}, registry has {n}"
+
+
+def test_attach_scalar_key_always_zero(spark):
+    """_attach_scalar's non-foldable constant key must be 0 for EVERY
+    key-source value — fractional doubles (x % 1 is nonzero but casts
+    to 0), negatives, and NULLs (coalesce) — or rows would silently
+    drop from the single-row join."""
+    from etl_cpc_schema_spark.queries import _attach_scalar
+
+    big = spark.createDataFrame(
+        [(2.5,), (-3.75,), (None,), (0.0,), (7.0,)], "v double"
+    )
+    one = big.agg(F.count("v").alias("n_vals"))
+    out = _attach_scalar(big, one, "v")
+    rows = out.collect()
+    assert len(rows) == 5  # no row lost to a key mismatch
+    assert all(r["n_vals"] == 4 for r in rows)
