@@ -738,7 +738,7 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def _pq_partial_sums(embs: DataFrame, C, id_col: str, vec_col: str) -> DataFrame:
+def _pq_partial_sums(embs: DataFrame, C, vec_col: str) -> DataFrame:
     """One PQ-Lloyd accumulation pass: per subspace, assign every
     SUBvector to its nearest sub-centroid by EXACT integer squared-L2
     (``argmin d² = xn + cn − 2·dot``; ties → lowest cell — numpy's
@@ -828,7 +828,7 @@ def pq_train(
     )
     for _ in range(lloyd_iters):
         rows = (
-            _pq_partial_sums(embs, C, id_col, vec_col)
+            _pq_partial_sums(embs, C, vec_col)
             .groupBy("m", "cell", "pos")
             .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
             .filter(F.col("cnt") > 0)

@@ -20,9 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: bits kept per column in the interleaved key.  16 bits x up to 4
-#: columns stays well inside a signed 64-bit key; 65k distinct cells
-#: per dimension is far finer than file-level pruning can exploit.
+#: bits kept per column in the interleaved key, capped at runtime so
+#: len(cols) × bits ≤ 63 (bit 63 is the long's SIGN bit — landing
+#: there would flip half the keys negative and split the curve at the
+#: sign wrap): 2 columns keep all 16, 4 columns drop to 15.  65k (or
+#: 32k) distinct cells per dimension is far finer than file-level
+#: pruning can exploit either way.
 ZORDER_BITS = 16
 
 
@@ -75,6 +78,9 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> Colum
     """
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_key supports 1-4 columns")
+    # keep the top interleaved bit position (bits*n - 1) below the
+    # sign bit of a long
+    bits = min(bits, 63 // len(cols))
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]

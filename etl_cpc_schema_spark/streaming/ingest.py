@@ -129,14 +129,11 @@ def hourly_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete", "stream_hourly").orderBy("hour_start")
 
 
-#: staging-table schema for the windowed top-k (explicit on read so
-#: partition-column type inference can't retype the partition key as a
-#: date and break the string-keyed oracle compare).  ``stage_day`` is
-#: the PARTITION key — day granularity, not hour: one directory per
-#: day keeps the staging file count ~24× lower than per-window dirs
-#: (720 tiny dirs measured 15 s to write+scan at sf0.01; 30 day dirs
-#: measure ~2 s) while per-batch rewrite IO stays bounded by the open
-#: windows' days × types.
+#: update-log schema for the windowed top-k (explicit on read so
+#: partition-value inference can't retype ``batch_id`` — the log's
+#: partition key, one ``batch_id=<n>`` directory per micro-batch that
+#: changed anything — and ``hour_start`` stays the string the oracle
+#: compares).
 _TOPK_STAGE_SCHEMA = (
     "hour_start string, event_type string, n long, batch_id long"
 )
@@ -172,6 +169,11 @@ def _topk_upsert_sink(stage: str):
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # change-free micro-batches (watermark-only progress) write
+        # nothing — otherwise a long-lived stream accrues one empty
+        # directory per idle batch
+        if batch_df.isEmpty():
+            return
         (
             batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
             .coalesce(1)
@@ -222,20 +224,27 @@ def compact_topk_stage(
     the same folded content — the default ``into_batch_id=-1`` sorts
     BELOW live batch ids, so a crash between write and delete leaves
     a log whose last-writer-wins view is unchanged (live directories
-    still win over the folded copy), and sink writes racing the
-    compaction are never shadowed.
+    still win over the folded copy).  Sink writes racing the
+    compaction are never shadowed because the delete set is listed
+    BEFORE the fold is materialized: a batch that commits after the
+    listing is not in ``old_dirs`` (its directory survives and, with
+    a live batch id, outranks the folded copy), and a batch the fold
+    DID see but the listing missed cannot exist — the listing happens
+    first.
     """
     import os
     import re as _re
 
-    current = _topk_stage_current(spark, stage).localCheckpoint(eager=True)
-    n = current.count()
+    # list the deletion candidates BEFORE materializing the fold:
+    # anything committed later survives with a live batch id
     old_dirs = [
         d
         for d in os.listdir(stage)
         if _re.fullmatch(r"batch_id=-?\d+", d)
         and d != f"batch_id={into_batch_id}"
     ]
+    current = _topk_stage_current(spark, stage).localCheckpoint(eager=True)
+    n = current.count()
     (
         current.withColumn("batch_id", F.lit(into_batch_id).cast("long"))
         .coalesce(1)

@@ -86,3 +86,23 @@ def test_zorder_constant_and_null_columns(spark):
     )
     rows = df.select(zorder_key(df, ["a", "b"]).alias("k")).collect()
     assert [r["k"] for r in rows] == [0, 0, 0]
+
+
+def test_zorder_four_columns_stays_nonnegative(spark, sf_dir):
+    """4 columns × the default 16 bits would put the top interleaved
+    bit at position 63 — the long's SIGN bit — so zorder_key caps bits
+    at 63 // n_cols; keys must stay non-negative for every row even
+    when all four columns sit at the top of their ranges."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = li.select(
+        zorder_key(
+            li, ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"]
+        ).alias("k")
+    )
+    from pyspark.sql import functions as F
+
+    row = keys.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).first()
+    assert row["lo"] >= 0
+    assert row["hi"] < (1 << 60)  # 4 cols x 15 bits
