@@ -2874,58 +2874,61 @@ ANN_PQ_QMAX = 64
 ANN_PQ_LLOYD = 1
 
 
-def _pq_topk_oracle(
-    m: int = ANN_PQ_M,
-    ksub: int = ANN_PQ_KSUB,
-    k: int = ANN_PQ_K,
-    shortlist: int = ANN_PQ_SHORTLIST,
-    qmax: int = ANN_PQ_QMAX,
-    lloyd_iters: int = ANN_PQ_LLOYD,
-) -> str:
-    """Unrolled PQ oracle: subspace split → seeded sub-codebooks →
-    exact-integer L2 Lloyd step(s) → codes → ADC cosine top-k.  All
-    subspaces flow through ONE generic CTE chain (the subspace id is
-    a cross-joined column, not per-m SQL), mirroring
-    operators.similarity.pq_train/pq_topk bit-for-bit: squared-L2
-    assignment ``xn + cn − 2·dot`` with (d2 asc, cell asc) ties,
-    rounded-mean updates, empty cells keeping the seed, and the final
-    double division identical to the numpy expression."""
-    sub = 64 // m  # embeddings are 64-dim (asserted Spark-side)
-    sdot = (
+def _pq_sdot(sub: int) -> str:
+    """Subvector dot expression shared by every PQ CTE (aliases
+    ``s`` = subvector row, ``c`` = codebook row)."""
+    return (
         f"list_sum(list_transform(range({sub}),"
         " i -> s.x[i+1] * c.cv[i+1]))"
     )
+
+
+def _pq_codebook_ctes(m: int, ksub: int, lloyd_iters: int) -> tuple[str, int]:
+    """PQ codebook CTE fragment shared by the standalone PQ oracle and
+    the IVFPQ composition: subspace split (``sv``), seeded
+    sub-codebooks (``pqc0``), exact-integer L2 Lloyd step(s), code
+    assignment (``codes``) and reconstruction norms (``recon``).  All
+    subspaces flow through ONE generic chain — the subspace id is a
+    cross-joined column, not per-m SQL.  Mirrors
+    operators.similarity.pq_train/pq_encode bit-for-bit: squared-L2
+    assignment ``xn + cn − 2·dot`` with (d2 asc, cell asc) ties,
+    rounded-mean updates, empty cells keeping the seed.  Names are
+    ``pq``-prefixed so the fragment composes with the IVF chain's
+    ``c{{i}}``/``a{{i}}`` CTEs.  Returns (fragment, subdim); assumes a
+    CTE ``q(vec_id, qv)`` with 64-dim quantized vectors is already in
+    scope.
+    """
+    sub = 64 // m
+    sdot = _pq_sdot(sub)
     parts = []
     for it in range(lloyd_iters):
         parts.append(f"""
-, a{it} AS (
+, pqa{it} AS (
   SELECT vec_id, m, x, cell FROM (
     SELECT s.vec_id, s.m, s.x, c.cell,
            s.xn + c.cn - 2 * {sdot} AS d2
-    FROM sv s JOIN c{it} c USING (m)
+    FROM sv s JOIN pqc{it} c USING (m)
   ) t QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1
-), mu{it} AS (
+), pqmu{it} AS (
   SELECT m, cell, pos,
          CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mu
   FROM (SELECT m, cell, generate_subscripts(x, 1) AS pos, unnest(x) AS v
-        FROM a{it}) u
+        FROM pqa{it}) u
   GROUP BY m, cell, pos
-), c{it + 1} AS (
+), pqc{it + 1} AS (
   SELECT c.m, c.cell,
          coalesce(nc.cv, c.cv) AS cv,
          coalesce(nc.cn, c.cn) AS cn
-  FROM c{it} c LEFT JOIN (
+  FROM pqc{it} c LEFT JOIN (
     SELECT m, cell, cv, list_sum(list_transform(cv, v -> v * v)) AS cn
     FROM (SELECT m, cell, list(mu ORDER BY pos) AS cv
-          FROM mu{it} GROUP BY m, cell) s2
+          FROM pqmu{it} GROUP BY m, cell) s2
   ) nc USING (m, cell)
 )""")
     lloyd = "".join(parts)
-    cf = f"c{lloyd_iters}"
-    return f"""
-WITH q AS (
-  SELECT vec_id, {_QUANT} AS qv FROM embeddings
-), ms AS (
+    cf = f"pqc{lloyd_iters}"
+    fragment = f"""
+, ms AS (
   SELECT unnest(range({m})) AS m
 ), sv AS (
   SELECT q.vec_id, ms.m,
@@ -2933,7 +2936,7 @@ WITH q AS (
          list_sum(list_transform(qv[ms.m * {sub} + 1 : ms.m * {sub} + {sub}],
                                  v -> v * v)) AS xn
   FROM q CROSS JOIN ms
-), c0 AS (
+), pqc0 AS (
   SELECT m, vec_id AS cell, x AS cv, xn AS cn FROM sv WHERE vec_id < {ksub}
 ){lloyd}, codes AS (
   SELECT vec_id, m, cell, cn FROM (
@@ -2943,7 +2946,29 @@ WITH q AS (
   ) t QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1
 ), recon AS (
   SELECT vec_id, sum(cn) AS rn FROM codes GROUP BY vec_id
-), qn AS (
+)"""
+    return fragment, sub
+
+
+def _pq_topk_oracle(
+    m: int = ANN_PQ_M,
+    ksub: int = ANN_PQ_KSUB,
+    k: int = ANN_PQ_K,
+    shortlist: int = ANN_PQ_SHORTLIST,
+    qmax: int = ANN_PQ_QMAX,
+    lloyd_iters: int = ANN_PQ_LLOYD,
+) -> str:
+    """Unrolled PQ oracle: the shared codebook fragment
+    (:func:`_pq_codebook_ctes`) followed by all-pairs ADC cosine
+    scoring, shortlist, and exact rerank — the final double division
+    identical to the numpy expression."""
+    codebook, sub = _pq_codebook_ctes(m, ksub, lloyd_iters)
+    sdot = _pq_sdot(sub)
+    cf = f"pqc{lloyd_iters}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+){codebook}, qn AS (
   SELECT vec_id, list_sum(list_transform(qv, v -> v * v)) AS nsq
   FROM q WHERE vec_id < {qmax}
 ), ad AS (
@@ -3022,6 +3047,150 @@ def ann_pq_topk_q(spark: SparkSession, sf: str) -> DataFrame:
             ksub=ANN_PQ_KSUB,
             query_pred=F.col("vec_id") < ANN_PQ_QMAX,
             lloyd_iters=ANN_PQ_LLOYD,
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+#: ann_ivfpq_topk parameters (shared by query, oracle, recall-pin
+#: test).  The COMPOSED two-lever ANN: IVF cells prune candidates,
+#: PQ codes compress scoring; nprobe=10/shortlist=48 measures
+#: recall@3 ≈ 0.85 on the near-uniform corpus.
+ANN_IVFPQ_CENTROIDS = 32
+ANN_IVFPQ_NPROBE = 10
+ANN_IVFPQ_M = 16
+ANN_IVFPQ_KSUB = 16
+ANN_IVFPQ_SHORTLIST = 48
+ANN_IVFPQ_K = 3
+ANN_IVFPQ_QMAX = 64
+ANN_IVFPQ_IVF_LLOYD = 2
+ANN_IVFPQ_PQ_LLOYD = 1
+
+
+def _ivfpq_topk_oracle(
+    n_centroids: int = ANN_IVFPQ_CENTROIDS,
+    nprobe: int = ANN_IVFPQ_NPROBE,
+    m: int = ANN_IVFPQ_M,
+    ksub: int = ANN_IVFPQ_KSUB,
+    shortlist: int = ANN_IVFPQ_SHORTLIST,
+    k: int = ANN_IVFPQ_K,
+    qmax: int = ANN_IVFPQ_QMAX,
+    ivf_lloyd: int = ANN_IVFPQ_IVF_LLOYD,
+    pq_lloyd: int = ANN_IVFPQ_PQ_LLOYD,
+) -> str:
+    """IVFADC oracle: the IVF Lloyd/assignment chain
+    (:func:`_ivf_lloyd_ctes`, cosine cells) composed with the shared
+    PQ codebook fragment (:func:`_pq_codebook_ctes`, L2 sub-codebooks)
+    — candidates from probed cells, ADC scoring over candidates only,
+    shortlist, exact rerank."""
+    cent_cos_t = (
+        "CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * c.cqv[i+1])) AS DOUBLE)"
+        " / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE)))"
+    )
+    ivf = _ivf_lloyd_ctes(ivf_lloyd, cent_cos_t)
+    ivf_cf = f"c{ivf_lloyd}"
+    codebook, sub = _pq_codebook_ctes(m, ksub, pq_lloyd)
+    sdot = _pq_sdot(sub)
+    pq_cf = f"pqc{pq_lloyd}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq
+  FROM q
+), c0 AS (
+  SELECT vec_id AS cell, qv AS cqv, nsq AS cnsq FROM n WHERE vec_id < {n_centroids}
+){ivf}, assign AS (
+  SELECT vec_id, cell, row_number() OVER (
+           PARTITION BY vec_id ORDER BY ccos DESC, cell) AS cell_rank
+  FROM (
+    SELECT a.vec_id, c.cell, {cent_cos_t} AS ccos
+    FROM n a CROSS JOIN {ivf_cf} c
+  )
+){codebook}, qn AS (
+  SELECT vec_id, nsq FROM n WHERE vec_id < {qmax}
+), cand0 AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id
+  FROM (SELECT vec_id, cell FROM assign
+         WHERE cell_rank <= {nprobe} AND vec_id < {qmax}) a
+  JOIN (SELECT vec_id, cell FROM assign WHERE cell_rank = 1) b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+), ad AS (
+  SELECT c0.q_id, c0.n_id, sum({sdot}) AS adot
+  FROM cand0 c0
+  JOIN sv s ON s.vec_id = c0.q_id
+  JOIN codes cd ON cd.vec_id = c0.n_id AND cd.m = s.m
+  JOIN {pq_cf} c ON c.m = cd.m AND c.cell = cd.cell
+  GROUP BY c0.q_id, c0.n_id
+), scored AS (
+  SELECT ad.q_id, ad.n_id,
+         CAST(ad.adot AS DOUBLE)
+           / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(recon.rn AS DOUBLE)))
+           AS cos
+  FROM ad
+  JOIN qn ON qn.vec_id = ad.q_id
+  JOIN recon ON recon.vec_id = ad.n_id
+  WHERE qn.nsq > 0 AND recon.rn > 0
+), cand AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+             AS rn1
+    FROM scored
+  ) t WHERE rn1 <= {shortlist}
+), rer AS (
+  SELECT cand.q_id, cand.n_id,
+         CAST(list_sum(list_transform(range(len(a.qv)),
+                                      i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+           AS xcos
+  FROM cand
+  JOIN n a ON a.vec_id = cand.q_id
+  JOIN n b ON b.vec_id = cand.n_id
+  WHERE a.nsq > 0 AND b.nsq > 0
+)
+SELECT q_id, CAST(n_id AS BIGINT) AS neighbor_id, CAST(rn2 AS BIGINT) AS rank
+FROM (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY xcos DESC, n_id) AS rn2
+  FROM rer
+) t WHERE rn2 <= {k} ORDER BY q_id, rank
+"""
+
+
+@query("ann_ivfpq_topk", _ivfpq_topk_oracle())
+def ann_ivfpq_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV) — the COMPOSED two-lever ANN
+    the standalone operators' docstrings promise: IVF cells prune the
+    candidate set (queries × nprobe × occupancy, never corpus²), PQ
+    codes compress what gets scored (M integer LUT lookups per
+    candidate), and the ADC shortlist is rescored exactly.  See
+    operators/similarity.py::ivfpq_topk for the physical shape (ADC
+    as zip_with/element_at/aggregate codegen expressions over a
+    query-set-bounded LUT relation; one cell-keyed candidate
+    shuffle).
+    """
+    from .operators.similarity import ivfpq_topk
+
+    embs = _t(spark, sf, "embeddings")
+    return (
+        ivfpq_topk(
+            embs,
+            k=ANN_IVFPQ_K,
+            n_centroids=ANN_IVFPQ_CENTROIDS,
+            nprobe=ANN_IVFPQ_NPROBE,
+            m_subspaces=ANN_IVFPQ_M,
+            ksub=ANN_IVFPQ_KSUB,
+            shortlist=ANN_IVFPQ_SHORTLIST,
+            query_pred=F.col("vec_id") < ANN_IVFPQ_QMAX,
+            ivf_lloyd_iters=ANN_IVFPQ_IVF_LLOYD,
+            pq_lloyd_iters=ANN_IVFPQ_PQ_LLOYD,
         )
         .select(
             "q_id",
@@ -6214,6 +6383,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q71_disjunctive_revenue",
     "q72_market_share",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "stream_windowed_topk",
     "q04_semi_join",
     "q05_anti_join",

@@ -518,3 +518,47 @@ def test_ann_pq_recall_pinned(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.80, f"PQ recall@{ANN_PQ_K} collapsed to {recall:.3f}"
+
+
+def test_ann_ivfpq_recall_pinned(spark, sf_dir):
+    """IVFADC recall pin: IVF candidate pruning (nprobe=10 of 32
+    Lloyd-refined cells) composed with PQ-compressed ADC scoring
+    (64-bit codes) and a 48-candidate exact rerank measures ~0.85
+    recall@3 on the near-uniform corpus — both levers' adversarial
+    case at once.  A drop below 0.80 means the composition (cell
+    probing, code assignment, LUT scoring, or rerank) broke."""
+    from etl_cpc_schema_spark.queries import (
+        ANN_IVFPQ_CENTROIDS,
+        ANN_IVFPQ_IVF_LLOYD,
+        ANN_IVFPQ_K,
+        ANN_IVFPQ_KSUB,
+        ANN_IVFPQ_M,
+        ANN_IVFPQ_NPROBE,
+        ANN_IVFPQ_PQ_LLOYD,
+        ANN_IVFPQ_QMAX,
+        ANN_IVFPQ_SHORTLIST,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < ANN_IVFPQ_QMAX)
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_bruteforce(embs, qs, k=ANN_IVFPQ_K).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.ivfpq_topk(
+            embs,
+            k=ANN_IVFPQ_K,
+            n_centroids=ANN_IVFPQ_CENTROIDS,
+            nprobe=ANN_IVFPQ_NPROBE,
+            m_subspaces=ANN_IVFPQ_M,
+            ksub=ANN_IVFPQ_KSUB,
+            shortlist=ANN_IVFPQ_SHORTLIST,
+            query_pred=F.col("vec_id") < ANN_IVFPQ_QMAX,
+            ivf_lloyd_iters=ANN_IVFPQ_IVF_LLOYD,
+            pq_lloyd_iters=ANN_IVFPQ_PQ_LLOYD,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.80, f"IVFPQ recall@{ANN_IVFPQ_K} collapsed to {recall:.3f}"
