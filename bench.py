@@ -42,6 +42,10 @@ HEADLINE = [
     # round-6 pipeline operators with corpus-wide shuffles
     "docs_dsir_weights",
     "text_gopher_filters",
+    # round-6 ANN additions: PQ memory compression and the composed
+    # IVFADC two-lever shape
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

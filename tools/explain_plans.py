@@ -80,6 +80,7 @@ INSPECT = [
     "q71_disjunctive_revenue",
     "q72_market_share",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 CHECKS = {
