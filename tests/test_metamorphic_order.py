@@ -1,0 +1,56 @@
+"""Metamorphic determinism: declared query results must be invariant
+under INPUT ROW ORDER (shuffled + repartitioned copies of the same
+tables) — on a cluster, scan order and partition assignment are
+arbitrary, so any order sensitivity (an argmax tie broken by arrival,
+a collect_list folded into a hash) is a silent wrong-answer class at
+scale.  The drive-contract cpus/parts variants vary partition COUNT;
+this suite varies the row placement itself."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cpc_schema_spark import queries as Q
+
+#: order-sensitive-looking representatives from each heavy family:
+#: window dedup, banded LSH + verify, iterative components, ANN with
+#: stable-argsort tie-breaks, BPE training's greedy merges, span
+#: scrub's rebuild, and a double aggregation.
+QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "ann_pq_topk",
+    "text_bpe_train",
+    "docs_scrub_dup_spans",
+    "q65_custdist",
+]
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def shuffled_sf(spark, sf_dir, tmp_path_factory):
+    """A copy of the sf dir with every table's rows randomly permuted
+    (seeded) and spread over a different partition count."""
+    out = str(tmp_path_factory.mktemp("shuffled_sf"))
+    for t in _TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        (
+            df.orderBy(F.xxhash64(F.concat_ws("\x00", *df.columns)))
+            .repartition(7)
+            .write.mode("overwrite")
+            .parquet(f"{out}/{t}.parquet")
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_input_order(spark, sf_dir, shuffled_sf, name):
+    base = Q.SPARK_QUERIES[name](spark, sf_dir).collect()
+    perm = Q.SPARK_QUERIES[name](spark, shuffled_sf).collect()
+    assert base == perm, f"{name}: result depends on input row order"
