@@ -738,6 +738,44 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def _make_pq_kernel():
+    """Factory for the per-subspace nearest-sub-centroid kernel — THE
+    exactness-critical PQ piece: squared-L2 ``xn + cn − 2·dot`` with
+    numpy's stable argmin matching the SQL oracle's ``ORDER BY d2,
+    cell`` tie-break bit-for-bit.  ONE implementation shared by the
+    training, encoding, and scoring closures so a tweak cannot desync
+    them.
+
+    Defined NESTED (and captured as a closure local by each worker
+    function) so cloudpickle serializes it BY VALUE: a module-level
+    ``def`` would pickle by reference and require this package on the
+    executors' import path, which the driver contract does not
+    guarantee.
+    """
+
+    def kernel(mat, Cm, cn, mi, sub):
+        """(subvector block, assigned codes) for subspace ``mi``."""
+        X = mat[:, mi * sub : (mi + 1) * sub]
+        xn = (X * X).sum(axis=1)
+        d2 = xn[:, None] + cn[mi][None, :] - 2.0 * (X @ Cm[mi].T)
+        return X, d2.argmin(axis=1)  # first min == lowest cell
+
+    return kernel
+
+
+def _make_batch_quantizer():
+    """Factory for the Arrow-batch quantizer (the closure-safe twin of
+    :func:`_np_quantize` — same by-value pickling rationale as
+    :func:`_make_pq_kernel`)."""
+
+    def quant(values, scale):
+        import numpy as np
+
+        return np.floor(np.vstack(values).astype(np.float64) * scale + 0.5)
+
+    return quant
+
+
 def _pq_partial_sums(embs: DataFrame, C, vec_col: str) -> DataFrame:
     """One PQ-Lloyd accumulation pass: per subspace, assign every
     SUBvector to its nearest sub-centroid by EXACT integer squared-L2
@@ -751,6 +789,7 @@ def _pq_partial_sums(embs: DataFrame, C, vec_col: str) -> DataFrame:
     M, ksub, sub = C.shape
     Cm = C.astype(np.float64)
     scale = float(_SCALE)
+    kern, quant = _make_pq_kernel(), _make_batch_quantizer()
     schema = "m int, cell long, pos int, s long, cnt long"
 
     def gen(batches):
@@ -761,16 +800,10 @@ def _pq_partial_sums(embs: DataFrame, C, vec_col: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.floor(
-                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
-                + 0.5
-            )
+            mat = quant(pdf[vec_col].to_numpy(), scale)
             out_m, out_cell, out_pos, out_s, out_cnt = [], [], [], [], []
             for mi in range(M):
-                X = mat[:, mi * sub : (mi + 1) * sub]
-                xn = (X * X).sum(axis=1)
-                d2 = xn[:, None] + cn[mi][None, :] - 2.0 * (X @ Cm[mi].T)
-                best = np.argmin(d2, axis=1)  # first min == lowest cell
+                X, best = kern(mat, Cm, cn, mi, sub)
                 S = np.zeros((ksub, sub))
                 np.add.at(S, best, X)
                 cnt = np.bincount(best, minlength=ksub)
@@ -886,6 +919,11 @@ def pq_topk(
     qdf = embs
     if query_pred is not None:
         qdf = qdf.filter(query_pred)
+    if qdf.rdd.isEmpty():
+        # empty query selection → empty result, not a vstack crash
+        return embs.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int"
+        )
     q_ids, Q = _collect_matrix(qdf, id_col, vec_col)
     qorder = np.argsort(q_ids)
     q_ids, Q = q_ids[qorder].astype(np.int64), Q[qorder]
@@ -897,6 +935,7 @@ def pq_topk(
     q_nsq = (Q * Q).sum(axis=1)
     scale = float(_SCALE)
     kk = int(k)
+    kern, quant = _make_pq_kernel(), _make_batch_quantizer()
     schema = "q_id long, neighbor_id long, cos double"
 
     def score(batches):
@@ -909,19 +948,13 @@ def pq_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.floor(
-                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
-                + 0.5
-            )
+            mat = quant(pdf[vec_col].to_numpy(), scale)
             vid = pdf[id_col].astype("int64").to_numpy()
             n = len(vid)
             adot = np.zeros((len(q_ids), n))
             recon = np.zeros(n)
             for mi in range(M):
-                X = mat[:, mi * sub : (mi + 1) * sub]
-                xn = (X * X).sum(axis=1)
-                d2 = xn[:, None] + cn[mi][None, :] - 2.0 * (X @ Cm[mi].T)
-                code = np.argmin(d2, axis=1)
+                _, code = kern(mat, Cm, cn, mi, sub)
                 adot += lut[:, mi, :][:, code]
                 recon += cn[mi][code]
             valid = recon > 0
@@ -954,6 +987,49 @@ def pq_topk(
             )
 
     scored = embs.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank")
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    embs: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine rescore of a (q_id, neighbor_id) candidate table,
+    top-k per query — the shared second stage of every
+    shortlist-then-rerank ANN path (pq_topk_rerank, ivfpq_topk).
+    Candidate-sized joins against the quantized corpus; zero-norm
+    sides are excluded on BOTH engines (a NULL cosine would depend on
+    engine null-ordering defaults); ties break on neighbor id,
+    matching the rer CTE of the SQL oracles."""
+    z = quantized(embs, id_col, vec_col)
+    qz = z.select(
+        F.col("vid").alias("q_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    nz = z.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("qv").alias("n_qv"),
+        F.col("nsq").alias("n_nsq"),
+    )
+    dot = VE.dot_q(F.col("q_qv"), F.col("n_qv"))
+    cos = VE.cosine_q(dot, F.col("q_nsq"), F.col("n_nsq"))
+    scored = (
+        cand.join(qz, "q_id")
+        .join(nz, "neighbor_id")
+        .filter((F.col("q_nsq") > 0) & (F.col("n_nsq") > 0))
+        .select("q_id", "neighbor_id", cos.alias("cos"))
+    )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -1000,35 +1076,7 @@ def pq_topk_rerank(
         query_pred=query_pred,
         lloyd_iters=lloyd_iters,
     ).select("q_id", "neighbor_id")
-    z = quantized(embs, id_col, vec_col)
-    qz = z.select(
-        F.col("vid").alias("q_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nsq").alias("q_nsq"),
-    )
-    nz = z.select(
-        F.col("vid").alias("neighbor_id"),
-        F.col("qv").alias("n_qv"),
-        F.col("nsq").alias("n_nsq"),
-    )
-    dot = VE.dot_q(F.col("q_qv"), F.col("n_qv"))
-    cos = VE.cosine_q(dot, F.col("q_nsq"), F.col("n_nsq"))
-    scored = (
-        cand.join(qz, "q_id")
-        .join(nz, "neighbor_id")
-        # zero-norm sides are excluded on BOTH engines (a NULL cosine
-        # would depend on engine null-ordering defaults)
-        .filter((F.col("q_nsq") > 0) & (F.col("n_nsq") > 0))
-        .select("q_id", "neighbor_id", cos.alias("cos"))
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "rank")
-    )
+    return _exact_rerank(cand, embs, k, id_col, vec_col)
 
 
 def pq_encode(
@@ -1049,6 +1097,7 @@ def pq_encode(
     M, ksub, sub = C.shape
     Cm = C.astype(np.float64)
     scale = float(_SCALE)
+    kern, quant = _make_pq_kernel(), _make_batch_quantizer()
     schema = "vid long, codes array<int>, recon_nsq long"
 
     def gen(batches):
@@ -1059,18 +1108,12 @@ def pq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.floor(
-                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
-                + 0.5
-            )
+            mat = quant(pdf[vec_col].to_numpy(), scale)
             n = len(pdf)
             codes = np.zeros((n, M), dtype=np.int32)
             recon = np.zeros(n)
             for mi in range(M):
-                X = mat[:, mi * sub : (mi + 1) * sub]
-                xn = (X * X).sum(axis=1)
-                d2 = xn[:, None] + cn[mi][None, :] - 2.0 * (X @ Cm[mi].T)
-                code = np.argmin(d2, axis=1)
+                _, code = kern(mat, Cm, cn, mi, sub)
                 codes[:, mi] = code
                 recon += cn[mi][code]
             yield pd.DataFrame(
@@ -1142,6 +1185,10 @@ def ivfpq_topk(
     qdf = embs
     if query_pred is not None:
         qdf = qdf.filter(query_pred)
+    out_schema = "q_id long, neighbor_id long, rank int"
+    if qdf.rdd.isEmpty():
+        # empty query selection → empty result, not a vstack crash
+        return embs.sparkSession.createDataFrame([], out_schema)
     q_ids, Q = _collect_matrix(qdf, id_col, vec_col)
     qorder = np.argsort(q_ids)
     q_ids, Q = q_ids[qorder].astype(np.int64), Q[qorder]
@@ -1161,9 +1208,19 @@ def ivfpq_topk(
         lut_rows, "q_id long, lut array<array<bigint>>, q_nsq long"
     )
 
-    # the inner join against the LUT (which holds exactly the query
-    # ids) IS the probe-side restriction — no separate filter needed
-    probes = ranked.filter(F.col("cell_rank") <= nprobe)
+    # restrict probes to the QUERY SET before the cell join (broadcast
+    # semi-join against the query-bounded LUT ids): joining the
+    # unrestricted probe side on cell first would materialize
+    # corpus × nprobe × occupancy pairs and only then discard
+    # non-queries — the corpus² shape this operator exists to avoid
+    probes = (
+        ranked.filter(F.col("cell_rank") <= nprobe)
+        .join(
+            F.broadcast(lut.select("q_id")),
+            F.col("vid") == F.col("q_id"),
+            "left_semi",
+        )
+    )
     pairs = (
         probes.select(F.col("vid").alias("q_id"), "cell")
         .join(index, "cell")
@@ -1195,30 +1252,4 @@ def ivfpq_topk(
         .filter(F.col("rn1") <= shortlist)
         .select("q_id", F.col("n_id").alias("neighbor_id"))
     )
-    z = quantized(embs, id_col, vec_col)
-    qz = z.select(
-        F.col("vid").alias("q_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nsq").alias("q_nsq"),
-    )
-    nz = z.select(
-        F.col("vid").alias("neighbor_id"),
-        F.col("qv").alias("n_qv"),
-        F.col("nsq").alias("n_nsq"),
-    )
-    xdot = VE.dot_q(F.col("q_qv"), F.col("n_qv"))
-    xcos = VE.cosine_q(xdot, F.col("q_nsq"), F.col("n_nsq"))
-    rer = (
-        cand.join(qz, "q_id")
-        .join(nz, "neighbor_id")
-        .filter((F.col("q_nsq") > 0) & (F.col("n_nsq") > 0))
-        .select("q_id", "neighbor_id", xcos.alias("cos"))
-    )
-    w2 = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        rer.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "rank")
-    )
+    return _exact_rerank(cand, embs, k, id_col, vec_col)

@@ -81,9 +81,32 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> Colum
     # keep the top interleaved bit position (bits*n - 1) below the
     # sign bit of a long
     bits = min(bits, 63 // len(cols))
+    from pyspark.sql import types as T
+
+    # numeric view per column: temporal types map to their epoch
+    # ordinal (date → days, timestamp → seconds) — z-ordering on a
+    # date column is the canonical OPTIMIZE ZORDER BY case
+    num = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.DateType,)):
+            num[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            num[c] = F.col(c).cast("double")
+        elif isinstance(dt, T.NumericType):
+            num[c] = F.col(c)
+        else:
+            raise TypeError(
+                f"zorder_key: column {c!r} has non-orderable-numeric "
+                f"type {dt.simpleString()}; cast it to a numeric or "
+                "temporal type first"
+            )
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        aggs += [
+            F.min(num[c]).alias(f"__lo_{c}"),
+            F.max(num[c]).alias(f"__hi_{c}"),
+        ]
     row = df.agg(*aggs).first()
     cells = []
     for c in cols:
@@ -93,7 +116,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> Colum
             continue
         cells.append(
             _scale_to_bits(
-                F.coalesce(F.col(c), F.lit(lo)), float(lo), float(hi), bits
+                F.coalesce(num[c], F.lit(lo)), float(lo), float(hi), bits
             )
         )
     return _interleave(cells, bits)

@@ -169,11 +169,12 @@ def _topk_upsert_sink(stage: str):
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # change-free micro-batches (watermark-only progress) write
-        # nothing — otherwise a long-lived stream accrues one empty
-        # directory per idle batch
-        if batch_df.isEmpty():
-            return
+        # written UNCONDITIONALLY: an isEmpty() pre-check would run the
+        # whole micro-batch plan a second time (foreachBatch frames
+        # recompute per action), doubling hot-path latency to save one
+        # empty directory on idle batches — compact_topk_stage folds
+        # those away, so idle-batch dirs are bounded by the compaction
+        # cadence instead
         (
             batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
             .coalesce(1)

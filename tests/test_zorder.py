@@ -106,3 +106,28 @@ def test_zorder_four_columns_stays_nonnegative(spark, sf_dir):
     ).first()
     assert row["lo"] >= 0
     assert row["hi"] < (1 << 60)  # 4 cols x 15 bits
+
+
+def test_zorder_temporal_column(spark, sf_dir, tmp_path):
+    """Z-ordering on a timestamp column (the canonical OPTIMIZE
+    ZORDER BY case) maps the temporal value to its epoch ordinal
+    instead of crashing in float(); both clustered columns narrow."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from etl_cpc_schema_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "ts", "user_id")
+    dest = str(tmp_path / "ev_z")
+    write_zordered(ev, dest, ["ts", "user_id"], target_files=8)
+    back = spark.read.parquet(dest)
+    assert back.count() == ev.count()
+    files = sorted(glob.glob(f"{dest}/*.parquet"))
+    assert len(files) >= 4
+    assert _mean_span_fraction(files, "user_id") < 0.7
+
+    # non-numeric, non-temporal columns fail loudly, naming the column
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="event_type"):
+        zorder_key(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), ["event_type"]
+        )
