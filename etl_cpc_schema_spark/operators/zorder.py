@@ -29,23 +29,40 @@ from pyspark.sql import functions as F
 ZORDER_BITS = 16
 
 
-def _scale_to_bits(col: Column, lo: float, hi: float, bits: int) -> Column:
+def _scale_to_bits(
+    col: Column, lo, hi, bits: int, integral: bool = False
+) -> Column:
     """Affine-map a numeric column into [0, 2^bits) as a long.
 
     Constant-range scaling (not ntile): a window rank would shuffle
     the full table once more just to compute the key, while min/max
     are a cheap one-row aggregate; equal-width cells are exactly what
     min-max file stats can prune against.
+
+    For ``integral`` columns the offset ``col - lo`` is computed in
+    the LONG domain before the double division: casting a 64-bit value
+    beyond 2^53 (snowflake-style ids) straight to double would round
+    away its low bits, skewing cell boundaries and — in the
+    narrow-range-at-large-offset degenerate case — collapsing the
+    whole affine map to one cell (round-7 ADVICE).  With the exact
+    offset, only a SPAN wider than 2^53 still quantizes (boundaries
+    then shift by < 1 ulp relative — harmless for file-level
+    pruning); a span at or beyond 2^63 falls back to the double path
+    since the long subtraction itself would overflow.
     """
     span = hi - lo
     if span <= 0:  # constant column — every row lands in cell 0
         return F.lit(0).cast("long")
     max_cell = (1 << bits) - 1
-    scaled = (
-        (col.cast("double") - F.lit(float(lo)))
-        / F.lit(float(span))
-        * F.lit(max_cell)
-    )
+    if integral and span < (1 << 63):
+        offset = col.cast("long") - F.lit(int(lo)).cast("long")
+        scaled = offset.cast("double") / F.lit(float(span)) * F.lit(max_cell)
+    else:
+        scaled = (
+            (col.cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * F.lit(max_cell)
+        )
     return F.least(
         F.greatest(scaled.cast("long"), F.lit(0)), F.lit(max_cell)
     )
@@ -110,13 +127,18 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> Colum
     row = df.agg(*aggs).first()
     cells = []
     for c in cols:
+        dt = df.schema[c].dataType
+        # exact-offset path for whole-number domains (incl. date →
+        # epoch days): keeps ids beyond 2^53 from collapsing — see
+        # _scale_to_bits
+        integral = isinstance(dt, (T.DateType, T.IntegralType))
         lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
         if lo is None:  # all-NULL column
             cells.append(F.lit(0).cast("long"))
             continue
         cells.append(
             _scale_to_bits(
-                F.coalesce(num[c], F.lit(lo)), float(lo), float(hi), bits
+                F.coalesce(num[c], F.lit(lo)), lo, hi, bits, integral
             )
         )
     return _interleave(cells, bits)

@@ -232,17 +232,26 @@ def compact_topk_stage(
     a live batch id, outranks the folded copy), and a batch the fold
     DID see but the listing missed cannot exist — the listing happens
     first.
+
+    Listing and deletion go through the Hadoop FileSystem API, so the
+    maintenance job runs against the same URI-addressed storage
+    (HDFS/S3/file://) the sink writes to — a plain local path works
+    too (Hadoop resolves it against the default FS).
     """
-    import os
     import re as _re
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(stage)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
     # list the deletion candidates BEFORE materializing the fold:
     # anything committed later survives with a live batch id
     old_dirs = [
-        d
-        for d in os.listdir(stage)
-        if _re.fullmatch(r"batch_id=-?\d+", d)
-        and d != f"batch_id={into_batch_id}"
+        st.getPath()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+        and _re.fullmatch(r"batch_id=-?\d+", st.getPath().getName())
+        and st.getPath().getName() != f"batch_id={into_batch_id}"
     ]
     current = _topk_stage_current(spark, stage).localCheckpoint(eager=True)
     n = current.count()
@@ -252,8 +261,8 @@ def compact_topk_stage(
         .write.mode("overwrite")
         .parquet(f"{stage}/batch_id={into_batch_id}")
     )
-    for d in old_dirs:
-        shutil.rmtree(os.path.join(stage, d), ignore_errors=True)
+    for p in old_dirs:
+        fs.delete(p, True)  # recursive; False return = already gone
     return n
 
 

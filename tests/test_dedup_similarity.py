@@ -198,6 +198,92 @@ def test_lsh_topk_subset_of_bucket(embs):
         assert b[q] == b[n]
 
 
+def test_lsh_topk_multitable_unprobed_keeps_any_table_collision(spark):
+    """tables>1 with probe_bits < planes (here 0): a pair colliding in
+    ANY table must survive the first-hit dedup EXACTLY ONCE, even when
+    an earlier table sits at bucket-Hamming 1 via an UNPROBED bit.
+
+    Round-7 ADVICE regression: the old first-hit filter kept a match
+    only when its table was the first at Hamming<=1, referencing
+    tables the probe (probe_bits=0 probes exact buckets only) never
+    reached — no join row exists there, so the real match was silently
+    dropped.  This seed-7 14-vector set has 14 pair/table layouts
+    where first-Hamming<=1 table != first-colliding table, so the old
+    filter demonstrably loses pairs here."""
+    import itertools
+    import random
+
+    random.seed(7)
+    dims, planes, tables = 8, 4, 4
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(dims)])
+        for i in range(14)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sig = {
+        r["vid"]: list(r["bks"])
+        for r in SIM._signature_frame(
+            embs, planes, tables, "vec_id", "embedding", dims
+        ).collect()
+    }
+    expected = set()
+    exposes_old_bug = 0
+    for q, n in itertools.permutations(sig, 2):
+        hams = [bin(a ^ b).count("1") for a, b in zip(sig[q], sig[n])]
+        if any(h == 0 for h in hams):
+            expected.add((q, n))
+            if hams[next(i for i, h in enumerate(hams) if h <= 1)] != 0:
+                exposes_old_bug += 1
+    assert exposes_old_bug > 0  # the fixture actually exercises the case
+    got = [
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(
+            embs, k=100, planes=planes, tables=tables, probe_bits=0
+        ).collect()
+    ]
+    assert len(got) == len(set(got))  # dedup: each pair exactly once
+    assert set(got) == expected
+
+
+def test_lsh_topk_multitable_partial_probe_semantics(spark):
+    """probe_bits strictly between 0 and planes with tables>1: the
+    pair set is exactly 'xor == 0, or one flipped bit whose plane
+    index < probe_bits, in ANY table' — the reachable set the probe
+    actually emits — with each pair appearing once."""
+    import itertools
+    import random
+
+    random.seed(11)
+    dims, planes, tables, pb = 8, 4, 3, 2
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(dims)])
+        for i in range(14)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sig = {
+        r["vid"]: list(r["bks"])
+        for r in SIM._signature_frame(
+            embs, planes, tables, "vec_id", "embedding", dims
+        ).collect()
+    }
+    expected = {
+        (q, n)
+        for q, n in itertools.permutations(sig, 2)
+        if any(
+            (a ^ b) == 0 or (bin(a ^ b).count("1") == 1 and (a ^ b) < 2**pb)
+            for a, b in zip(sig[q], sig[n])
+        )
+    }
+    got = [
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(
+            embs, k=100, planes=planes, tables=tables, probe_bits=pb
+        ).collect()
+    ]
+    assert len(got) == len(set(got))
+    assert set(got) == expected
+
+
 def test_multimodal_meta_shapes(docs):
     out = MM.extract_meta(MM.attach_fake_payload(docs)).collect()
     by_id = {r["doc_id"]: r for r in out}
@@ -562,3 +648,32 @@ def test_ann_ivfpq_recall_pinned(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.80, f"IVFPQ recall@{ANN_IVFPQ_K} collapsed to {recall:.3f}"
+
+
+def test_ivf_pq_seeding_tolerates_sparse_ids(spark):
+    """Seed selection is 'the n lowest-id vectors', not 'ids < n'
+    (round-7 ADVICE): offset/sparse ids previously produced an empty
+    seed set and crashed in np.vstack; an empty corpus now fails with
+    a descriptive error instead."""
+    import random
+
+    random.seed(3)
+    rows = [
+        (1000 + 7 * i, [round(random.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(40)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cells = SIM.ivf_assign(embs, n_centroids=4)
+    assert cells.filter("cell_rank = 1").count() == 40
+    # seed cell ids are the 4 LOWEST vector ids present
+    got_cells = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    assert got_cells <= {1000, 1007, 1014, 1021}
+
+    C = SIM.pq_train(embs, m_subspaces=2, ksub=4)
+    assert C.shape == (2, 4, 4)
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        SIM.ivf_assign(empty, n_centroids=4)
+    with pytest.raises(ValueError, match="empty"):
+        SIM.pq_train(empty)

@@ -131,3 +131,26 @@ def test_zorder_temporal_column(spark, sf_dir, tmp_path):
         zorder_key(
             spark.read.parquet(f"{sf_dir}/events.parquet"), ["event_type"]
         )
+
+
+def test_zorder_snowflake_ids_beyond_2_53(spark):
+    """64-bit ids past 2^53 with a narrow range at a large offset: the
+    old float path quantized ids to multiples of the double ulp (256
+    at 2^60) BEFORE subtracting lo, collapsing 1024 evenly spaced ids
+    into ~17 coarse cells.  The integer-offset path (round-7 ADVICE)
+    computes (id - lo) exactly in the long domain, so the full cell
+    range fills."""
+    from pyspark.sql import functions as F
+
+    base = 1 << 60  # snowflake-style epoch-packed id territory
+    rows = [(base + i, i % 7) for i in range(0, 4096, 4)]
+    df = spark.createDataFrame(rows, "big_id bigint, grp int")
+    keys = df.select(zorder_key(df, ["big_id"], bits=8).alias("k"))
+    n_cells = keys.select(F.countDistinct("k")).first()[0]
+    # 1024 evenly spaced ids into 256 cells: the exact-offset map fills
+    # the whole cell range; the ulp-quantized float path managed ~17
+    assert n_cells > 200
+
+    # two-column interleave with the huge-offset id still spans cells
+    keys2 = df.select(zorder_key(df, ["big_id", "grp"], bits=8).alias("k"))
+    assert keys2.select(F.countDistinct("k")).first()[0] > 200
