@@ -2737,6 +2737,144 @@ def ann_knn_join_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: docs_semdedup: cosine threshold for a k-NN edge to count as a
+#: semantic duplicate.  0.4 on the synthetic 64-dim corpus keeps ~100
+#: of ~1500 top-3 edges at sf0.01 — real cluster structure without
+#: connecting everything (the top-3 cosine median is ~0.33).
+SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle(
+    planes: int = ANN_PROBED_PLANES,
+    tables: int = ANN_PROBED_TABLES,
+    k: int = ANN_PROBED_K,
+    tau: float = SEMDEDUP_TAU,
+) -> str:
+    # the ann_knn_join candidate semantics (bucket-Hamming <= 1 in ANY
+    # table, every vector a query) -> top-k by (cos desc, id) ->
+    # cosine-threshold edge filter -> recursive-CTE closure (the
+    # dedup_components oracle pattern) -> keep-lowest-id
+    bks = ", ".join(
+        f"CAST({_lsh_bucket_terms(planes, t * planes)} AS BIGINT)"
+        for t in range(tables)
+    )
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq,
+         [{bks}] AS bks
+  FROM q
+), scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+  FROM n a JOIN n b
+    ON a.vec_id != b.vec_id
+   AND len(list_filter(range({tables}),
+           t -> bit_count(xor(a.bks[t+1], b.bks[t+1])) <= 1)) > 0
+), knn AS (
+  SELECT q_id, neighbor_id, cos FROM (
+    SELECT q_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored
+  ) t WHERE rn <= {k}
+), edges AS (
+  SELECT DISTINCT least(q_id, neighbor_id) AS d1,
+                  greatest(q_id, neighbor_id) AS d2
+  FROM knn WHERE cos >= {tau}
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM edges
+  UNION
+  SELECT d2 AS a, d1 AS b FROM edges
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT e.vec_id,
+       CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS rep,
+       (coalesce(c.component, e.vec_id) = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+ORDER BY vec_id
+"""
+
+
+@query("docs_semdedup", _semdedup_oracle())
+def docs_semdedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style embedding-space cluster dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): build the approximate k-NN graph, keep only edges
+    whose EXACT (quantized) cosine clears ``SEMDEDUP_TAU``, take
+    connected components, and keep each semantic cluster's lowest-id
+    member (singletons keep themselves).  The embedding-space twin of
+    the MinHash path (docs_dedup_clustered / docs_corpus_build) — the
+    modern semantic dedup a training-data pipeline runs when lexical
+    near-dup misses paraphrases.
+
+    Composition of existing scale paths, no new shuffle class:
+    * k-NN graph: ``lsh_knn_join_blas`` — bucketed BLAS, candidate
+      volume corpus × tables × (1+planes) × occupancy, never corpus²;
+    * edge verification: the corpus×k k-NN edge list joins back to the
+      quantized vectors (edge-sized shuffles) and scores one
+      whole-stage-codegen cosine per edge;
+    * clustering: hash-min components, O(log n) rounds, checkpointed;
+    * representative: one broadcast-sized left join of (node,
+      component) onto the corpus.
+    """
+    from .operators.components import connected_components
+
+    VE = SIM.VE
+    embs = _t(spark, sf, "embeddings")
+    knn = SIM.lsh_knn_join_blas(
+        embs, k=ANN_PROBED_K, planes=ANN_PROBED_PLANES, tables=ANN_PROBED_TABLES
+    )
+    qn = SIM.quantized(embs)
+    a = qn.select(
+        F.col("vid").alias("q_id"),
+        F.col("qv").alias("aqv"),
+        F.col("nsq").alias("ansq"),
+    )
+    b = qn.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("qv").alias("bqv"),
+        F.col("nsq").alias("bnsq"),
+    )
+    edges = (
+        knn.join(a, "q_id")
+        .join(b, "neighbor_id")
+        .withColumn(
+            "cos",
+            VE.cosine_q(
+                VE.dot_q(F.col("aqv"), F.col("bqv")),
+                F.col("ansq"),
+                F.col("bnsq"),
+            ),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+        .select(
+            F.least("q_id", "neighbor_id").alias("d1"),
+            F.greatest("q_id", "neighbor_id").alias("d2"),
+        )
+        .distinct()
+    )
+    comp = connected_components(edges)
+    rep = F.coalesce("component", F.col("vec_id"))
+    return (
+        embs.join(comp, embs.vec_id == comp.node, "left")
+        .select(
+            "vec_id",
+            rep.cast("bigint").alias("rep"),
+            (rep == F.col("vec_id")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 #: ann_ivf_topk parameters (shared by query, oracle, recall-pin test).
 #: nprobe=8 of 32 cells probes ~25% of the corpus for recall ~0.78 on
 #: the synthetic test embeddings — near-uniform vectors are the
@@ -6006,6 +6144,158 @@ def q72_market_share_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q73_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#21'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT l2.l_suppkey FROM lineitem l2
+            WHERE l2.l_returnflag = 'R'
+              AND l2.l_quantity > 49
+              AND l2.l_shipdate >= TIMESTAMP '1997-11-01'
+              AND l2.l_shipdate < TIMESTAMP '1997-12-01')
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+)
+def q73_supplier_part_counts_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): grouped
+    COUNT(DISTINCT) combined with NOT IN — the one subquery-planning
+    class no prior query exercises together (q26 is a global distinct;
+    q67's anti join has no distinct aggregate).  "Blacklisted"
+    suppliers (Q16's complaints filter) are those with a full-quantity
+    return in November 1997; the oracle keeps the NOT IN form so
+    DuckDB plans the null-aware rewrite, while the Spark side writes
+    the rewrite explicitly as a left-anti join (the subquery's key is
+    non-null by construction, so anti join IS the NOT-IN semantics).
+
+    Scale shape: the blacklist aggregates lineitem down to a
+    distinct-supplier set BEFORE the anti join (quantity/date filters
+    pushed to the scan), the anti join runs on suppkey (AQE may
+    broadcast the small blacklist side at runtime — not forced), the
+    part join carries the brand/size pushdown, and count(distinct
+    suppkey) per (brand, type) is Spark's two-phase distinct
+    aggregate: partial dedup of (group, suppkey) map-side, so the
+    shuffle carries distinct combinations, not raw lineitem."""
+    li = _t(spark, sf, "lineitem")
+    blacklist = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") > 49)
+            & (F.col("l_shipdate") >= F.lit("1997-11-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-12-01").cast("timestamp"))
+        )
+        .select("l_suppkey")
+    )
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#21")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+    )
+    return (
+        li.join(blacklist, "l_suppkey", "left_anti")
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+_QTY_CENTS_SQL = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "q74_dominant_suppliers",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum({_QTY_CENTS_SQL}) AS BIGINT) AS qty_ps
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM ps
+        WHERE ps.l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND ps.qty_ps * 2 > (
+                SELECT CAST(sum({_QTY_CENTS_SQL}) AS BIGINT)
+                FROM lineitem l2
+                WHERE l2.l_partkey = ps.l_partkey
+                  AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+      AND s.s_nationkey IN (
+            SELECT n_nationkey FROM nation
+            WHERE n_name IN ('NATION_3','NATION_7','NATION_11',
+                             'NATION_15','NATION_19'))
+    ORDER BY s_suppkey
+    """,
+)
+def q74_dominant_suppliers_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): CHAINED IN
+    subqueries gated by a CORRELATED AGGREGATE threshold — suppliers
+    (in a nation set) who shipped >50% of some 'small%' part's 1997
+    volume.  The original gates partsupp availability against a
+    correlated lineitem sum; this schema has no partsupp, so the pair
+    aggregate itself (per partkey+suppkey) plays the inner relation
+    and the 50%-of-part-total threshold is the correlated gate.  The
+    oracle keeps the nested-IN + correlated-subquery form; the Spark
+    side writes the standard decorrelation: AGGREGATE FIRST, then two
+    stacked left-semi joins.
+
+    Scale shape: lineitem collapses to (partkey, suppkey) pair sums in
+    one shuffle (ship-year pushed to the scan), the per-part total
+    reuses the SAME partkey partitioning (AQE aligns the exchanges),
+    the threshold is an integer cross-multiplication on the joined
+    row, the part-name semi join carries the LIKE pushdown, and the
+    supplier semi join runs on the dominant-pair set (dimension-sized,
+    AQE's broadcast choice).  Nation is a bounded dim, broadcast-
+    forced.  No per-row subquery execution anywhere."""
+    qty_cents = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty_cents).cast("bigint").alias("qty_ps")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum(qty_cents).cast("bigint").alias("qty_part")
+    )
+    small_parts = _t(spark, sf, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    dominant = (
+        ps.join(per_part, ps["l_partkey"] == F.col("pp_partkey"))
+        .filter(F.col("qty_ps") * 2 > F.col("qty_part"))
+        .join(small_parts, ps["l_partkey"] == F.col("p_partkey"), "left_semi")
+    )
+    nat = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_3", "NATION_7", "NATION_11", "NATION_15", "NATION_19"
+        )
+    )
+    s = _t(spark, sf, "supplier")
+    return (
+        s.join(
+            F.broadcast(nat),
+            s["s_nationkey"] == nat["n_nationkey"],
+            "left_semi",
+        )
+        .join(dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "q60_expectations",
     """
     WITH m AS (
@@ -6333,66 +6623,77 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
 #: driver samples a subset of the registry per round; this list points
-#: the sample at the current evidence gap (VERDICT r5 "Next round" #2):
-#: the 28 queries whose last driver sample was round 3 — leading with
-#: the ones whose implementations were REBUILT in round 5 after that
-#: sample (Arrow/BLAS ANN signatures, the shared-tokenization text_*
-#: family, the Pillow multimodal path) — then the r03 streams and
-#: docs_* block, then queries touched this round (broadcast-hint
-#: removal, the new Q17/Q21 analogs, the bounded streaming top-k).
+#: the sample at the current evidence gap (VERDICT r6 "Next round" #2):
+#: round-7 additions first, then the 9 queries MODIFIED in round 6
+#: after their last driver sample, then the ANN operators whose shared
+#: kernels changed this round (lsh_topk multi-table dedup, IVF/PQ
+#: seeding), then the 45-query block whose latest driver evidence is
+#: round 4.  The stable window/misc tail (q37-q49) sits last — if the
+#: sample cuts off, it drops the queries whose code is oldest-stable.
 _DRIVER_PRIORITY: list[str] = [
-    # r03-stale AND rebuilt in r5 — the driver has never seen this code
+    # new in round 7 — never driver-sampled
+    "docs_semdedup",
+    "q73_supplier_part_counts",
+    "q74_dominant_suppliers",
+    # modified in round 6 AFTER their last driver sample (VERDICT r6)
+    "q17_pricing_summary",
+    "q62_nation_trade_volume",
+    "q65_custdist",
+    "ann_ivf_topk",
+    "docs_dup_spans",
+    "docs_scrub_dup_spans",
+    "stream_sessionize",
+    "text_bm25_topk",
+    "text_winnowing",
+    # shared ANN kernels changed in round 7 (probe-dedup predicate,
+    # seeding path) — re-sample even though r6 rows exist
     "ann_lsh_topk_probed",
-    "ann_lsh_topk",
-    "ann_lsh_buckets",
-    "ann_cosine_topk",
-    "dedup_embedding_lsh",
-    "text_stats",
-    "text_quality_filter",
-    "text_langid",
-    "text_fingerprint",
-    "text_token_freq",
-    "text_token_bpe",
-    "text_pii_scrub",
-    "text_url_domains",
-    "text_repetition",
-    "text_rolling_hash",
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frames",
-    # r03-stale streams
-    "stream_user_counts_stateful",
-    "stream_static_join",
-    "stream_dedup_counts",
-    # r03-stale docs_* block
-    "docs_pipeline",
-    "docs_chunk",
-    "docs_contamination",
-    "docs_pack_sequences",
-    "docs_train_split",
-    "docs_stratified_sample",
-    "docs_temperature_sample",
-    # new or rebuilt in round 6 — need a current driver row
-    "q66_avg_quantity_outliers",
-    "q67_waiting_suppliers",
-    "q68_sales_opportunity",
-    "q69_top_supplier",
-    "q70_nation_value_share",
-    "text_gopher_filters",
-    "docs_dsir_weights",
-    "q71_disjunctive_revenue",
-    "q72_market_share",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    "stream_windowed_topk",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q06_left_join_default",
-    "q14_pipeline_composite",
-    "q18_join_agg",
-    "q58_shipping_priority",
-    "q59_local_supplier_volume",
-    "q63_promo_share",
+    # r4-stale block: latest driver sample two rounds old
+    "approx_hll_mergeable",
+    "approx_quantiles_bounded",
+    "docs_cdc_chunk",
+    "docs_cdc_dedup",
+    "docs_corpus_build",
+    "stream_hourly_counts",
+    "stream_stream_join",
+    "text_rare_tokens",
+    "q07_distinct_sort",
+    "q08_max_per_group",
+    "q09_group_count",
+    "q10_topn_rank",
+    "q11_conditional_status",
+    "q12_parent_lookup",
+    "q13_normalize_split",
+    "q15_tumbling_window",
+    "q16_dedup_last_wins",
+    "q19_rollup",
+    "q20_set_ops",
+    "q21_running_window",
+    "q22_sessionize",
+    "q23_asof_join",
+    "q24_pivot_counts",
+    "q25_cube",
+    "q26_distinct_exact",
+    "q28_unpivot",
+    "q29_interval_join",
+    "q30_skewed_agg",
+    "q32_quantiles",
+    "q33_grouped_topk",
+    "q37_range_window",
+    "q38_window_misc",
+    "q39_grouping_sets",
+    "q40_stats_agg",
+    "q41_string_funcs",
+    "q42_datetime_funcs",
+    "q43_variant_extract",
+    "q44_asof_forward",
+    "q45_salted_join",
+    "q46_nullsafe_join",
+    "q47_udtf_enumerate",
+    "q48_resample_gapfill",
+    "q49_snapshot_diff",
 ]
 
 
