@@ -75,6 +75,15 @@ HEADLINE = [
     # needs a tracked number, not just correctness rows
     "stream_hourly_counts",
     "stream_stream_join",
+    # round-7 additions: the SemDeDup embedding-space composite, the
+    # two remaining TPC-H subquery-planning shapes (Q16/Q20), the
+    # hashed-feature quality classifier (map-only), and the count-min
+    # heavy-hitter sketch
+    "docs_semdedup",
+    "q73_supplier_part_counts",
+    "q74_dominant_suppliers",
+    "docs_quality_logreg",
+    "approx_heavy_hitters",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median

@@ -1205,6 +1205,143 @@ def approx_hll_mergeable_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: approx_heavy_hitters count-min sketch geometry.  W=16 is chosen
+#: BELOW the test vocabulary (~40 types) so bucket collisions actually
+#: occur and the min-over-depth estimator is exercised (W >> vocab
+#: would make est == exact trivially); at 100 TB W is the accuracy
+#: lever (W ≈ e/ε counters per row — still kilobytes, the whole
+#: sketch is D×W counters regardless of corpus size).
+CMS_D = 4
+CMS_W = 16
+CMS_TOPK = 10
+
+
+def _cms_bucket_sql(tok_expr: str, j_expr: str) -> str:
+    """DuckDB twin of ``portable_hash64(tok, seed=f"cms{j}") % CMS_W``
+    with the depth index as a SQL column."""
+    return (
+        f"CAST('0x' || substr(md5('cms' || CAST({j_expr} AS VARCHAR) "
+        f"|| ':' || {tok_expr}), 1, 15) AS BIGINT) % {CMS_W}"
+    )
+
+
+@query(
+    "approx_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT u.t AS tok FROM documents, unnest({_TOKS_SQL}) AS u(t)
+    ), ex AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY tok
+    ), topk AS (
+      SELECT tok, n_exact FROM (
+        SELECT tok, n_exact,
+               row_number() OVER (ORDER BY n_exact DESC, tok) AS rn
+        FROM ex
+      ) t WHERE rn <= {CMS_TOPK}
+    ), sk AS (
+      SELECT r.j AS j, {_cms_bucket_sql('tok.tok', 'r.j')} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tok CROSS JOIN range({CMS_D}) r(j)
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT k.tok, k.n_exact, min(s.c) AS est
+      FROM topk k
+      CROSS JOIN range({CMS_D}) r(j)
+      JOIN sk s ON s.j = r.j
+               AND s.bucket = {_cms_bucket_sql('k.tok', 'r.j')}
+      GROUP BY k.tok, k.n_exact
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok
+    )
+    SELECT e.tok, e.n_exact, CAST(e.est AS BIGINT) AS est,
+           e.est >= e.n_exact AS never_under,
+           (e.est - e.n_exact) * {CMS_W} <= 2 * t.n_total AS within_eps
+    FROM est e CROSS JOIN tot t
+    ORDER BY n_exact DESC, tok
+    """,
+)
+def approx_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters via a COUNT-MIN sketch (Cormode & Muthukrishnan
+    2005) built with plain DataFrame aggregation — the third mergeable
+    sketch in the approx family (HLL: distinct, GK: quantiles, CMS:
+    frequencies).  Each of ``CMS_D`` hash rows buckets every token
+    into ``CMS_W`` counters; a token's estimate is the MIN of its
+    bucket counts across rows.  The output pins both sketch
+    guarantees per heavy hitter: ``never_under`` (CMS never
+    underestimates — structural, holds for every token) and
+    ``within_eps`` (overestimate ≤ 2·N/W on this data).
+
+    Scale shape / why this is the cluster-native form: the sketch is a
+    ``groupBy(j, bucket).count()`` — Spark's partial aggregation IS
+    the CMS merge (counters add), so the shuffle carries at most
+    D×W×partitions pre-merged rows no matter the corpus size, and the
+    final sketch is D×W = {CMS_D}×{CMS_W} counters.  Estimation joins
+    the candidate set (top-k, bounded) against the sketch on
+    (j, bucket) — AQE broadcasts the sketch side at runtime (bounded
+    aggregate, not forced).  The one-row total-token aggregate
+    attaches via the constant-key broadcast (:func:`_attach_scalar`).
+    """
+    from .functions.hashing import portable_hash64
+
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    ex = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("n_exact"))
+    topk = (
+        ex.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("n_exact").desc(), "tok")
+            ),
+        )
+        .filter(F.col("rn") <= CMS_TOPK)
+        .drop("rn")
+    )
+
+    def bucket(tok_col):
+        return [
+            F.struct(
+                F.lit(j).alias("j"),
+                (portable_hash64(tok_col, seed=f"cms{j}") % CMS_W).alias(
+                    "bucket"
+                ),
+            )
+            for j in range(CMS_D)
+        ]
+
+    sk = (
+        tok.select(F.explode(F.array(*bucket(F.col("tok")))).alias("p"))
+        .select("p.j", "p.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    est = (
+        topk.select(
+            "tok",
+            "n_exact",
+            F.explode(F.array(*bucket(F.col("tok")))).alias("p"),
+        )
+        .select("tok", "n_exact", "p.j", "p.bucket")
+        .join(sk, ["j", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").cast("bigint").alias("est"))
+    )
+    tot = tok.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        _attach_scalar(est, tot, "n_exact")
+        .select(
+            "tok",
+            "n_exact",
+            "est",
+            (F.col("est") >= F.col("n_exact")).alias("never_under"),
+            (
+                (F.col("est") - F.col("n_exact")) * CMS_W
+                <= 2 * F.col("n_total")
+            ).alias("within_eps"),
+        )
+        .orderBy(F.col("n_exact").desc(), "tok")
+    )
+
+
 @query(
     "q39_grouping_sets",
     """
@@ -2826,12 +2963,36 @@ def docs_semdedup_q(spark: SparkSession, sf: str) -> DataFrame:
     * representative: one broadcast-sized left join of (node,
       component) onto the corpus.
     """
+    embs = _t(spark, sf, "embeddings")
+    return semdedup(
+        embs,
+        k=ANN_PROBED_K,
+        planes=ANN_PROBED_PLANES,
+        tables=ANN_PROBED_TABLES,
+        tau=SEMDEDUP_TAU,
+    )
+
+
+def semdedup(
+    embs: DataFrame,
+    k: int = ANN_PROBED_K,
+    planes: int = ANN_PROBED_PLANES,
+    tables: int = ANN_PROBED_TABLES,
+    tau: float = SEMDEDUP_TAU,
+    probe_bits: int | None = None,
+) -> DataFrame:
+    """The SemDeDup composition as a parameterized operator: ``planes``
+    (and optionally ``probe_bits``) are the occupancy lever — at a
+    growing corpus, raise ``planes`` with log2(n) so bucket occupancy
+    (and thus candidate volume per vector) holds constant, exactly as
+    :func:`~.operators.similarity.lsh_knn_join_blas` prescribes.  The
+    declared query pins the oracle-matched fixed parameters; the scale
+    bench drives this with scheduled planes."""
     from .operators.components import connected_components
 
     VE = SIM.VE
-    embs = _t(spark, sf, "embeddings")
     knn = SIM.lsh_knn_join_blas(
-        embs, k=ANN_PROBED_K, planes=ANN_PROBED_PLANES, tables=ANN_PROBED_TABLES
+        embs, k=k, planes=planes, tables=tables, probe_bits=probe_bits
     )
     qn = SIM.quantized(embs)
     a = qn.select(
@@ -2855,7 +3016,7 @@ def docs_semdedup_q(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("bnsq"),
             ),
         )
-        .filter(F.col("cos") >= SEMDEDUP_TAU)
+        .filter(F.col("cos") >= tau)
         .select(
             F.least("q_id", "neighbor_id").alias("d1"),
             F.greatest("q_id", "neighbor_id").alias("d2"),
@@ -3456,6 +3617,76 @@ def text_gopher_filters_q(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+#: docs_quality_logreg hashed-feature space: 2001 integer weight
+#: levels centered on 0 (range [-1000, 1000]) and a +50 per-token
+#: intercept, i.e. keep iff the mean token weight exceeds -50.  On a
+#: uniform hash the keep rate is ~p(mean > -50/1000) — most docs keep,
+#: the left tail drops, which is the shape of a real quality model.
+QLR_LEVELS = 2001
+QLR_INTERCEPT = 50
+
+
+@query(
+    "docs_quality_logreg",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(toks,
+                    t -> {portable_hash64_sql('t', 'qlw')} % {QLR_LEVELS}
+                         - {(QLR_LEVELS - 1) // 2})), 0) AS BIGINT) AS score_sum,
+             CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM t
+    )
+    SELECT doc_id, score_sum, n_tokens,
+           score_sum + {QLR_INTERCEPT} * n_tokens > 0 AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def docs_quality_logreg_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-quality-classifier scoring via the hashing trick
+    (fastText-style linear model, Joulin et al. 2016): each token maps
+    to an INTEGER weight through a portable hash (no vocabulary table
+    to ship — the hash IS the feature lookup), the document score is
+    the weight sum, and the keep decision is the integer
+    cross-multiplied form of ``mean weight > -intercept``.  The
+    weights here are hash-derived stand-ins with the exact plumbing a
+    trained model uses: swap ``portable_hash64 % LEVELS`` for
+    ``hash -> weight_array[hash % 2^k]`` (a literal array lookup) and
+    nothing else changes.
+
+    Scale shape: map-only — tokenize, one ``aggregate`` HOF per row
+    (whole-stage codegen, no Python), zero shuffles before the
+    contract sort.  At 100 TB this is the cheapest possible classifier
+    application: no join against a weight table, no UDF, one scan.
+    Exact-integer score, so both engines agree on every boundary doc.
+    """
+    from .functions.hashing import portable_hash64
+
+    half = (QLR_LEVELS - 1) // 2
+    d = _t(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    s = d.select(
+        "doc_id",
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + (portable_hash64(t, seed="qlw") % QLR_LEVELS - half),
+        ).alias("score_sum"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    return s.select(
+        "doc_id",
+        "score_sum",
+        "n_tokens",
+        (F.col("score_sum") + QLR_INTERCEPT * F.col("n_tokens") > 0).alias(
+            "keep"
+        ),
     ).orderBy("doc_id")
 
 
@@ -6635,6 +6866,8 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_semdedup",
     "q73_supplier_part_counts",
     "q74_dominant_suppliers",
+    "docs_quality_logreg",
+    "approx_heavy_hitters",
     # modified in round 6 AFTER their last driver sample (VERDICT r6)
     "q17_pricing_summary",
     "q62_nation_trade_volume",

@@ -70,6 +70,8 @@ DOC_QUERIES = [
     "docs_incremental_dedup",
     "text_gopher_filters",
     "docs_dsir_weights",
+    "docs_quality_logreg",
+    "approx_heavy_hitters",
 ]
 
 EDGE_ROWS = [

@@ -81,6 +81,8 @@ _BOUNDED_DERIVATIVE_OK = {
     # hashed-feature log-ratio table: at most _DSIR_B=1024 rows (fixed
     # feature-space constant), regardless of corpus size
     "docs_dsir_weights": "bucket log-ratio table, <= 1024 rows (B fixed)",
+    # uncorrelated scalar subquery via _attach_scalar
+    "approx_heavy_hitters": "one-row global token-count aggregate",
 }
 
 #: allowlisted queries whose bounded broadcast side is a RAW frame

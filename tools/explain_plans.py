@@ -81,6 +81,13 @@ INSPECT = [
     "q72_market_share",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # round 7: SemDeDup composite, Q16/Q20 planner shapes, hashed
+    # quality classifier, count-min heavy hitters
+    "docs_semdedup",
+    "q73_supplier_part_counts",
+    "q74_dominant_suppliers",
+    "docs_quality_logreg",
+    "approx_heavy_hitters",
 ]
 
 CHECKS = {

