@@ -1286,16 +1286,12 @@ def approx_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     tok = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
     ex = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("n_exact"))
-    topk = (
-        ex.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("n_exact").desc(), "tok")
-            ),
-        )
-        .filter(F.col("rn") <= CMS_TOPK)
-        .drop("rn")
-    )
+    # orderBy+limit, NOT a global row_number window: Spark plans this
+    # as TakeOrderedAndProject (per-partition top-k, then a k-sized
+    # merge on one task) — the distinct-token relation is
+    # vocabulary-sized here but corpus-scale in general, and a
+    # partitionless window would drag all of it through one task.
+    topk = ex.orderBy(F.col("n_exact").desc(), "tok").limit(CMS_TOPK)
 
     def bucket(tok_col):
         return [
