@@ -6816,6 +6816,58 @@ def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_approx_distinct",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           true AS within_bounds
+    FROM events GROUP BY 1 ORDER BY hour_start
+    """,
+)
+def stream_approx_distinct_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The EIGHTH streaming class: a mergeable sketch inside streaming
+    state — per-hour distinct users estimated by an HLL++ sketch
+    (``approx_count_distinct``, rsd 2%) in the windowed streaming
+    aggregation, then checked against the batch exact count with the
+    tolerance-flag oracle pattern (``approx_hll_mergeable``'s bar:
+    the oracle asserts the flag, the flag asserts the estimate sits
+    within 5× rsd of exact).  Why it matters at scale: exact
+    distinct-per-window state grows with key cardinality (unbounded on
+    a 100 TB event stream), the sketch is fixed-size per window and
+    merges across micro-batches by construction.
+
+    Scale shape: streaming side is one watermarked window aggregation
+    (state = one sketch per open window); batch side is one exact
+    distinct aggregate; the comparison join carries one row per hour
+    (window-count bounded), AQE-sized.
+    """
+    from .streaming.ingest import approx_distinct_stream
+
+    est = approx_distinct_stream(spark, sf)
+    exact = (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour_start")
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return (
+        exact.join(est, "hour_start")
+        .select(
+            "hour_start",
+            "n_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.10)
+            ).alias("within_bounds"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+@query(
     "stream_sessionize",
     # q22's batch shape with the SAME strict-> gap predicate:
     # session_window's gap boundary is inclusive (an event exactly
@@ -6864,6 +6916,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q74_dominant_suppliers",
     "docs_quality_logreg",
     "approx_heavy_hitters",
+    "stream_approx_distinct",
     # modified in round 6 AFTER their last driver sample (VERDICT r6)
     "q17_pricing_summary",
     "q62_nation_trade_volume",

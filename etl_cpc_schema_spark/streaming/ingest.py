@@ -408,6 +408,37 @@ def attribution_join_stream(
     )
 
 
+def approx_distinct_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Windowed APPROX-DISTINCT through the streaming engine: a
+    DataSketches HLL sketch (``hll_sketch_agg`` — the same sketch
+    ``approx_hll_mergeable`` pins for mergeability; near-exact in its
+    sparse range, unlike ``approx_count_distinct``'s HLL++ which
+    biases a few % low at small cardinalities) per tumbling hour held
+    in streaming aggregation state.  This is the cluster-native shape
+    for "unique users per window" on an unbounded stream — exact
+    distinct would hold every key in state forever-growing per window,
+    while the sketch is a fixed few KB per window regardless of
+    cardinality, and the watermark evicts closed windows.  Returns
+    (hour_start, n_est); the declared query joins it against the batch
+    exact count and asserts the rsd bound (same tolerance-flag oracle
+    pattern as ``approx_hll_mergeable``)."""
+    agg = (
+        events_stream(spark, events_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_est")
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "n_est",
+        )
+    )
+    return run_to_memory(agg, "complete", "stream_approxd")
+
+
 def dedup_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming exact dedup: the events source is UNIONED WITH ITSELF
     (every event arrives twice), then watermark-scoped keyed-state

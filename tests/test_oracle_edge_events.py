@@ -43,6 +43,7 @@ EVENT_QUERIES = [
     "stream_sessionize",
     "stream_dedup_counts",
     "stream_windowed_topk",
+    "stream_approx_distinct",
     "q55_funnel",
     "q56_cohort_retention",
 ]
