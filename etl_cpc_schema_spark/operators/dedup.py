@@ -409,6 +409,120 @@ def benchmark_contamination(
     )
 
 
+#: bloom_contamination levers.  m = 2^16 bits (1024 int64 words — a
+#: 8 KiB plan literal here; a 100 TB deployment raises m into the
+#: hundreds of MB and ships it as a broadcast variable instead, the
+#: probe expression is unchanged).  k = 4 hash functions.
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    key_col: str = "s",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> list[int]:
+    """Build a Bloom-filter bitmap (list of ``m_bits/64`` int64 words)
+    over a distinct-key frame, distributedly: explode each key into
+    its ``k`` bit positions, reduce with ONE ``bit_or`` groupBy on the
+    word index (≤ m_bits/64 groups — control-plane sized, like a
+    codebook collect), and assemble the dense word array on the
+    driver.  Hashes are :func:`~..functions.hashing.portable_hash64`
+    with seeds ``bf0..bf{k-1}`` — deterministic, so the same corpus
+    always yields the same bitmap on any cluster."""
+    n_words = m_bits // 64
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    H.portable_hash64(F.col(key_col), seed=f"bf{i}") % m_bits
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    rows = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("widx"),
+            # SQL shiftleft takes a column shift amount; the PySpark
+            # wrapper's numBits is int-only
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("w"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["widx"]] = r["w"]
+    return words
+
+
+def _bloom_might_contain(
+    key: Column, words: list[int], m_bits: int, k: int
+) -> Column:
+    """All-k-bits-set probe against a literal bitmap — pure codegen
+    expressions (element_at + getbit), no join and no Python."""
+    bm = F.array(*[F.lit(w).cast("long") for w in words])
+    pred = F.lit(True)
+    for i in range(k):
+        pos = H.portable_hash64(key, seed=f"bf{i}") % m_bits
+        word = F.element_at(bm, (pos / 64).cast("int") + 1)
+        pred = pred & (F.getbit(word, (pos % 64).cast("int")) == 1)
+    return pred
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shared) — :func:`benchmark_contamination` semantics
+    through a Bloom-filter prefilter: the benchmark's shingles are
+    compressed into an ``m_bits`` bitmap; every corpus shingle probes
+    the bitmap map-side (k getbit expressions, no join), and only the
+    survivors — true contaminations plus the Bloom false-positive
+    residue — reach the exact-confirm equi-join.  Blooms have no false
+    negatives, so the result is IDENTICAL to the exact operator (the
+    declared query's oracle is literally the exact SQL).
+
+    Why this exists at 100 TB: when the benchmark suite is large
+    enough that its shingle set no longer broadcasts as a hash
+    relation (10^9+ shingles — tens of GB), the bitmap still ships to
+    every executor at ~1 bit per 10 shingles, the corpus-side shuffle
+    into the confirm join carries only the prefiltered sliver
+    (|contaminated| + fp·|corpus shingles| rows instead of all corpus
+    shingles), and the confirm join's build side stays the exact
+    shingle set, partitioned normally.  The prefilter is pure
+    whole-stage-codegen; tune fp via m_bits (fp ≈ (1−e^{−kn/m})^k).
+    """
+    b_str = (
+        shingle_table(benchmark, id_col, text_col, n)
+        .select(F.explode("shingles").alias("sh_str"))
+        .distinct()
+    )
+    words = bloom_bitmap(
+        b_str.select(F.xxhash64("sh_str").alias("s")), "s", m_bits, k
+    )
+    c = (
+        shingle_table(corpus, id_col, text_col, n)
+        .select("doc_id", F.explode("shingles").alias("sh_str"))
+        .select("doc_id", F.xxhash64("sh_str").alias("s"))
+    )
+    candidates = c.filter(_bloom_might_contain(F.col("s"), words, m_bits, k))
+    exact = b_str.select(F.xxhash64("sh_str").alias("s"))
+    return (
+        candidates.join(exact, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def simhash_table(
     docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

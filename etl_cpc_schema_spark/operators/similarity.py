@@ -566,12 +566,25 @@ def _ivf_partial_sums(embs: DataFrame, cells, C, id_col: str, vec_col: str) -> D
 
 
 def _ivf_rank_cells(
-    embs: DataFrame, cells, C, rank_limit: int, id_col: str, vec_col: str
+    embs: DataFrame,
+    cells,
+    C,
+    rank_limit: int,
+    id_col: str,
+    vec_col: str,
+    emit_cos: bool = False,
 ) -> DataFrame:
-    """(vid, qv, nsq, cell, cell_rank): every vector's ``rank_limit``
-    nearest centroids, ranked (cos desc, cell asc) INSIDE the Arrow
-    worker — no window shuffle; a stable argsort over ascending-cell
-    columns reproduces the SQL tie-break exactly."""
+    """(vid, qv, nsq, cell, cell_rank[, ccos]): every vector's
+    ``rank_limit`` nearest centroids, ranked (cos desc, cell asc)
+    INSIDE the Arrow worker — no window shuffle; a stable argsort over
+    ascending-cell columns reproduces the SQL tie-break exactly.
+
+    With ``emit_cos`` the centroid cosine itself is appended.  It is
+    bit-identical to the SQL oracle's float64 expression: quantized
+    coordinates are integers, so every dot product is an exact integer
+    below 2^53 (summation order irrelevant), and sqrt / multiply /
+    divide are each a single correctly-rounded IEEE op in both
+    engines."""
     import numpy as np
 
     n_cells, dims = C.shape
@@ -580,6 +593,8 @@ def _ivf_rank_cells(
     scale = float(_SCALE)
     limit = min(rank_limit, n_cells)
     schema = "vid long, qv array<bigint>, nsq bigint, cell long, cell_rank int"
+    if emit_cos:
+        schema += ", ccos double"
 
     def gen(batches):
         import numpy as np
@@ -599,18 +614,18 @@ def _ivf_rank_cells(
             vid = pdf[id_col].astype("int64").to_numpy()
             qv = list(mat.astype(np.int64))
             frames = []
+            rows = np.arange(len(vid))
             for r in range(limit):
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "vid": vid,
-                            "qv": qv,
-                            "nsq": nsq,
-                            "cell": cells[order[:, r]],
-                            "cell_rank": np.int32(r + 1),
-                        }
-                    )
-                )
+                cols = {
+                    "vid": vid,
+                    "qv": qv,
+                    "nsq": nsq,
+                    "cell": cells[order[:, r]],
+                    "cell_rank": np.int32(r + 1),
+                }
+                if emit_cos:
+                    cols["ccos"] = cos[rows, order[:, r]]
+                frames.append(pd.DataFrame(cols))
             yield pd.concat(frames, ignore_index=True)
 
     return embs.select(id_col, vec_col).mapInPandas(gen, schema)
@@ -623,8 +638,11 @@ def ivf_assign(
     vec_col: str = "embedding",
     rank_limit: int = 1,
     lloyd_iters: int = 0,
+    emit_cos: bool = False,
 ) -> DataFrame:
-    """(vid, qv, nsq, cell, cell_rank) — IVF cell assignment.
+    """(vid, qv, nsq, cell, cell_rank[, ccos]) — IVF cell assignment
+    (``emit_cos`` appends the centroid cosine, see
+    :func:`_ivf_rank_cells`).
 
     Seed centroids are the ``n_centroids`` lowest-id vectors: a
     deterministic "training sample" both Spark and the SQL oracle can
@@ -685,7 +703,9 @@ def ivf_assign(
             i = cell_index[int(c)]
             for r in rs:
                 C[i, r["pos"]] = np.floor(float(r["s"]) / float(r["cnt"]) + 0.5)
-    return _ivf_rank_cells(embs, cells, C, rank_limit, id_col, vec_col)
+    return _ivf_rank_cells(
+        embs, cells, C, rank_limit, id_col, vec_col, emit_cos=emit_cos
+    )
 
 
 def ivf_topk(
@@ -753,6 +773,70 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank")
+    )
+
+
+def kmeans_prototype_prune(
+    embs: DataFrame,
+    n_clusters: int = 16,
+    lloyd_iters: int = 2,
+    prune_num: int = 1,
+    prune_den: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, proto_rank, n_cluster, keep) — k-means
+    prototype-distance data pruning (SSL-prototypes, Sorscher et al.
+    2022 "Beyond neural scaling laws"; the cluster stage of SemDeDup,
+    Abbas et al. 2023): cluster the embedding space with Lloyd's
+    k-means, rank each cluster's members by cosine to their own
+    centroid (rank 1 = most prototypical), and drop the most
+    prototypical ``prune_num/prune_den`` fraction of every cluster —
+    on abundant data the easy, redundant examples near the prototypes
+    contribute least to training.
+
+    ``keep`` is the exact-integer form of
+    ``proto_rank > n_cluster * prune_num / prune_den``:
+    ``proto_rank * prune_den > n_cluster * prune_num`` — no float
+    ratio, so both engines agree on every boundary row.  The ranking
+    cosine is bit-equal across engines (integer-exact dot products,
+    see :func:`_ivf_rank_cells` ``emit_cos``), and ties break on id.
+
+    Physical shape: centroid training is :func:`ivf_assign` (``1 +
+    lloyd_iters`` Arrow/BLAS map passes, shuffles bounded by
+    n_clusters × dims — the corpus never shuffles during training);
+    the ranking needs ONE shuffle on ``cell`` for the per-cluster
+    window, with partition width ~corpus/n_clusters.  Raise
+    ``n_clusters`` with corpus size to hold cluster width (and thus
+    the window task size) constant — the same occupancy lever as IVF;
+    a pathological all-points-one-cluster corpus degrades to a global
+    sort, which real embedding sets don't exhibit once Lloyd rounds
+    have spread the centroids.
+    """
+    assigned = ivf_assign(
+        embs,
+        n_clusters,
+        id_col,
+        vec_col,
+        rank_limit=1,
+        lloyd_iters=lloyd_iters,
+        emit_cos=True,
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("ccos").desc(), F.col("vid"))
+    wc = Window.partitionBy("cell")
+    return (
+        assigned.select("vid", "cell", "ccos")
+        .withColumn("proto_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_cluster", F.count("*").over(wc).cast("bigint"))
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            "proto_rank",
+            "n_cluster",
+            (
+                F.col("proto_rank") * prune_den > F.col("n_cluster") * prune_num
+            ).alias("keep"),
+        )
     )
 
 

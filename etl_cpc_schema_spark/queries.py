@@ -3156,6 +3156,80 @@ def ann_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: docs_kmeans_prune parameters (shared by query, oracle, tests).
+#: 16 clusters × 2 Lloyd rounds; prune the 1/4 most-prototypical of
+#: every cluster (SSL-prototypes keeps the hard examples when data is
+#: abundant).
+KMP_CLUSTERS = 16
+KMP_LLOYD = 2
+KMP_NUM = 1
+KMP_DEN = 4
+
+
+def _kmeans_prune_oracle(
+    n_clusters: int = KMP_CLUSTERS,
+    lloyd_iters: int = KMP_LLOYD,
+    prune_num: int = KMP_NUM,
+    prune_den: int = KMP_DEN,
+) -> str:
+    cent_cos_t = (
+        "CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * c.cqv[i+1])) AS DOUBLE)"
+        " / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE)))"
+    )
+    lloyd = _ivf_lloyd_ctes(lloyd_iters, cent_cos_t)
+    cf = f"c{lloyd_iters}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq
+  FROM q
+), c0 AS (
+  SELECT vec_id AS cell, qv AS cqv, nsq AS cnsq FROM n WHERE vec_id < {n_clusters}
+){lloyd}, assign AS (
+  SELECT vec_id, cell, ccos FROM (
+    SELECT a.vec_id, c.cell, {cent_cos_t} AS ccos
+    FROM n a CROSS JOIN {cf} c
+  ) t QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+)
+SELECT vec_id, cell, proto_rank, n_cluster,
+       proto_rank * {prune_den} > n_cluster * {prune_num} AS keep
+FROM (
+  SELECT vec_id, cell,
+         CAST(row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id)
+              AS BIGINT) AS proto_rank,
+         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cluster
+  FROM assign
+) r ORDER BY vec_id
+"""
+
+
+@query("docs_kmeans_prune", _kmeans_prune_oracle())
+def docs_kmeans_prune_q(spark: SparkSession, sf: str) -> DataFrame:
+    """K-means prototype-distance pruning (SSL-prototypes, Sorscher et
+    al. 2022): cluster the embedding space (16 centroids, 2
+    deterministic Lloyd rounds — the identical integer rounded-mean
+    iteration as ann_ivf_topk, which the oracle unrolls), rank every
+    cluster's members by cosine to their own centroid, and drop the
+    most-prototypical quarter of each cluster.  The data-pruning
+    complement to SemDeDup: semdedup removes near-DUPLICATES inside
+    clusters, this removes the REDUNDANT easy core around each
+    prototype.  Exact-integer keep rule (rank·4 > size·1) and
+    bit-equal float64 cosines keep every boundary row cross-engine
+    stable.  Scale: training never shuffles the corpus (Arrow/BLAS map
+    passes + dimension-sized reductions); ranking is ONE shuffle on
+    cell with ~corpus/16 partition width — raise n_clusters with
+    corpus size exactly like IVF occupancy."""
+    return SIM.kmeans_prototype_prune(
+        _t(spark, sf, "embeddings"),
+        n_clusters=KMP_CLUSTERS,
+        lloyd_iters=KMP_LLOYD,
+        prune_num=KMP_NUM,
+        prune_den=KMP_DEN,
+    ).orderBy("vec_id")
+
+
 #: ann_pq_topk parameters (shared by query, oracle, recall-pin test).
 #: M=16 subspaces × 16 centroids = 64-bit codes (32× smaller than the
 #: raw 64×32-bit vectors); the 32-candidate ADC shortlist feeds an
@@ -4374,6 +4448,47 @@ def docs_contamination_q(spark: SparkSession, sf: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     return DD.benchmark_contamination(corpus, bench, n=3).orderBy("doc_id")
+
+
+@query(
+    "docs_bloom_contamination",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(greatest(len(t)-2, 0)),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ), b AS (
+      SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0
+    ), c AS (
+      SELECT doc_id, s FROM ex WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM c JOIN b USING (s)
+    GROUP BY c.doc_id ORDER BY doc_id
+    """,
+)
+def docs_bloom_contamination_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination through a Bloom-filter prefilter
+    (operators/dedup.py::bloom_contamination): the benchmark slice's
+    trigram shingles compress into a 2^16-bit bitmap (built with ONE
+    bit_or groupBy, 1024 int64 words); corpus shingles probe it
+    map-side with 4 getbit expressions — pure whole-stage codegen, no
+    join — and only survivors reach the exact-confirm equi-join.
+    Blooms admit false positives but never false negatives, so the
+    oracle is the EXACT contamination SQL: the result is identical to
+    docs_contamination by construction, which is the point — the
+    bitmap is a performance lever, not an approximation of the answer.
+    At 100 TB this is the shape that survives a benchmark suite too
+    big to broadcast as a hash relation: ~1 bit ships per 10 benchmark
+    shingles, and the confirm join's corpus side is pre-shrunk to the
+    contaminated sliver plus fp residue."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return DD.bloom_contamination(corpus, bench, n=3).orderBy("doc_id")
 
 
 @query(
@@ -6911,6 +7026,8 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 #: sample cuts off, it drops the queries whose code is oldest-stable.
 _DRIVER_PRIORITY: list[str] = [
     # new in round 7 — never driver-sampled
+    "docs_kmeans_prune",
+    "docs_bloom_contamination",
     "docs_semdedup",
     "q73_supplier_part_counts",
     "q74_dominant_suppliers",

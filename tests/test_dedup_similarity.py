@@ -677,3 +677,82 @@ def test_ivf_pq_seeding_tolerates_sparse_ids(spark):
         SIM.ivf_assign(empty, n_centroids=4)
     with pytest.raises(ValueError, match="empty"):
         SIM.pq_train(empty)
+
+
+def test_bloom_bitmap_no_false_negatives_and_prunes(spark):
+    """The Bloom prefilter's contract: every member probes TRUE (no
+    false negatives — this is what makes the exact oracle valid for
+    docs_bloom_contamination), and non-members overwhelmingly probe
+    FALSE (the prefilter actually prunes the confirm join's input)."""
+    members = spark.range(0, 500).select(F.col("id").alias("s"))
+    words = DD.bloom_bitmap(members, "s")
+    assert len(words) == DD.BLOOM_M_BITS // 64
+
+    probe_in = members.filter(
+        DD._bloom_might_contain(F.col("s"), words, DD.BLOOM_M_BITS, DD.BLOOM_K)
+    )
+    assert probe_in.count() == 500  # zero false negatives
+
+    outsiders = spark.range(10_000, 30_000).select(F.col("id").alias("s"))
+    fp = outsiders.filter(
+        DD._bloom_might_contain(F.col("s"), words, DD.BLOOM_M_BITS, DD.BLOOM_K)
+    ).count()
+    # 500 keys * 4 hashes in 2^16 bits -> ~3% set bits, fp ~ 1e-6;
+    # anything under 1% of 20k proves the prefilter prunes
+    assert fp < 200
+
+
+def test_bloom_contamination_equals_exact(spark):
+    """bloom_contamination is a performance path, not an approximation:
+    its output must be row-identical to benchmark_contamination."""
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta words diverge here completely"),
+            (2, "no overlap with anything benchmark related at all"),
+            (3, "zeta eta theta shared tail plus unique middle parts"),
+        ],
+        "doc_id bigint, text string",
+    )
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in DD.benchmark_contamination(corpus, bench, n=3).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared"])
+        for r in DD.bloom_contamination(corpus, bench, n=3).collect()
+    }
+    assert bloom == exact
+    assert {d for d, _ in exact} == {1, 3}
+
+
+def test_kmeans_prune_drops_quarter_per_cluster(spark):
+    """Per-cluster bookkeeping of kmeans_prototype_prune: ranks are a
+    permutation of 1..n within each cluster, and the keep rule drops
+    exactly floor(n/4) rows — the most-prototypical quarter."""
+    import random
+
+    random.seed(11)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(60)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = SIM.kmeans_prototype_prune(embs, n_clusters=4, lloyd_iters=1).collect()
+    assert len(out) == 60
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        n = len(rs)
+        assert sorted(r["proto_rank"] for r in rs) == list(range(1, n + 1))
+        assert all(r["n_cluster"] == n for r in rs)
+        kept = [r for r in rs if r["keep"]]
+        assert len(kept) == n - n // 4
+        # the dropped rows are exactly the lowest (most prototypical) ranks
+        assert {r["proto_rank"] for r in rs if not r["keep"]} == set(
+            range(1, n // 4 + 1)
+        )
