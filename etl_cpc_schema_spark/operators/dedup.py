@@ -409,10 +409,10 @@ def benchmark_contamination(
     )
 
 
-#: bloom_contamination levers.  m = 2^16 bits (1024 int64 words — a
-#: 8 KiB plan literal here; a 100 TB deployment raises m into the
-#: hundreds of MB and ships it as a broadcast variable instead, the
-#: probe expression is unchanged).  k = 4 hash functions.
+#: bloom_contamination levers.  m = 2^16 bits (1024 int64 words — an
+#: 8 KiB plan literal here; past BLOOM_LITERAL_MAX_WORDS the bitmap
+#: ships as a broadcast variable probed by a vectorized Arrow kernel,
+#: see _bloom_prefilter).  k = 4 hash functions.
 BLOOM_M_BITS = 1 << 16
 BLOOM_K = 4
 
@@ -473,6 +473,58 @@ def _bloom_might_contain(
     return pred
 
 
+#: Above this word count the bitmap stops being a plan literal
+#: (codegen chokes on six-figure literal arrays) and ships as a task
+#: broadcast consumed by a vectorized Arrow kernel instead.
+BLOOM_LITERAL_MAX_WORDS = 4096  # 2^18 bits = 32 KiB
+
+
+def _bloom_prefilter(
+    df: DataFrame, key_col: str, words: list[int], m_bits: int, k: int
+) -> DataFrame:
+    """Rows of ``df`` whose ``key_col`` might be in the Bloom set.
+
+    Small bitmaps inline as a literal array and the probe is pure
+    whole-stage codegen (:func:`_bloom_might_contain`).  Large bitmaps
+    (the 100 TB benchmark-suite case) ship ONCE per executor as a
+    Spark broadcast variable; the k bit positions are still computed
+    JVM-side with the exact hash expressions the build used, and one
+    Arrow pass tests all k bits vectorized in numpy — same semantics,
+    no per-row Python."""
+    if len(words) <= BLOOM_LITERAL_MAX_WORDS:
+        return df.filter(_bloom_might_contain(F.col(key_col), words, m_bits, k))
+    import numpy as np
+
+    pos_cols = [f"__bfp{i}" for i in range(k)]
+    proj = df
+    for i, pc in enumerate(pos_cols):
+        proj = proj.withColumn(
+            pc, H.portable_hash64(F.col(key_col), seed=f"bf{i}") % m_bits
+        )
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(words, dtype=np.int64)
+    )
+    base_cols = list(df.columns)
+    out_schema = df.schema
+
+    def gen(batches):
+        import numpy as np
+
+        W = bc.value.view(np.uint64)
+        one = np.uint64(1)
+        six3 = np.uint64(63)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.ones(len(pdf), dtype=bool)
+            for pc in pos_cols:
+                p = pdf[pc].to_numpy().astype(np.uint64)
+                keep &= ((W[(p >> np.uint64(6)).astype(np.int64)] >> (p & six3)) & one) == one
+            yield pdf.loc[keep, base_cols]
+
+    return proj.mapInPandas(gen, out_schema)
+
+
 def bloom_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -514,7 +566,7 @@ def bloom_contamination(
         .select("doc_id", F.explode("shingles").alias("sh_str"))
         .select("doc_id", F.xxhash64("sh_str").alias("s"))
     )
-    candidates = c.filter(_bloom_might_contain(F.col("s"), words, m_bits, k))
+    candidates = _bloom_prefilter(c, "s", words, m_bits, k)
     exact = b_str.select(F.xxhash64("sh_str").alias("s"))
     return (
         candidates.join(exact, "s")

@@ -756,3 +756,26 @@ def test_kmeans_prune_drops_quarter_per_cluster(spark):
         assert {r["proto_rank"] for r in rs if not r["keep"]} == set(
             range(1, n // 4 + 1)
         )
+
+
+def test_bloom_broadcast_kernel_path_matches_literal(spark):
+    """Past BLOOM_LITERAL_MAX_WORDS the bitmap ships as a broadcast
+    variable probed by the Arrow kernel instead of a plan literal —
+    both paths must keep and drop exactly the same rows."""
+    keys = spark.range(0, 300).select(F.col("id").alias("s"))
+    probes = spark.range(0, 5000).select(F.col("id").alias("s"))
+    big_m = 64 * (DD.BLOOM_LITERAL_MAX_WORDS * 2)  # forces the kernel path
+    words = DD.bloom_bitmap(keys, "s", m_bits=big_m)
+    assert len(words) > DD.BLOOM_LITERAL_MAX_WORDS
+
+    kernel = {
+        r["s"] for r in DD._bloom_prefilter(probes, "s", words, big_m, DD.BLOOM_K).collect()
+    }
+    literal = {
+        r["s"]
+        for r in probes.filter(
+            DD._bloom_might_contain(F.col("s"), words, big_m, DD.BLOOM_K)
+        ).collect()
+    }
+    assert kernel == literal
+    assert set(range(300)) <= kernel  # still no false negatives

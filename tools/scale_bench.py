@@ -66,6 +66,13 @@ OPERATORS = [
     "ann_pq_topk",
     "ann_ivfpq_topk_scaled",
     "docs_semdedup_scaled",
+    # late round-7: prototype-distance pruning with k ∝ √n (training
+    # flops n·k = n^1.5 and cluster width n/k = √n both stay
+    # sub-quadratic), and the Bloom decontamination prefilter with
+    # m_bits ∝ benchmark shingles (fixed m would saturate the bitmap
+    # at 100× and silently degrade to the exact path's volume)
+    "docs_kmeans_prune_scaled",
+    "docs_bloom_contamination_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -152,10 +159,53 @@ def main() -> int:
         planes = max(6, math.ceil(math.log2(max(n, 16) / 16)))
         return semdedup(embs, k=3, planes=planes, tables=8, probe_bits=6)
 
+    def _kmeans_prune_scaled(spark, sf_dir):
+        # k ∝ √n: assignment cost n·k = n^1.5 (vectorized BLAS map
+        # passes), per-cluster window width n/k = √n — both
+        # sub-quadratic; fixed k would grow the ranking window's
+        # partitions linearly, fixed width (k ∝ n) would make training
+        # quadratic.
+        import math
+
+        from etl_cpc_schema_spark.operators.similarity import (
+            kmeans_prototype_prune,
+        )
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = embs.count()
+        return kmeans_prototype_prune(
+            embs, n_clusters=max(16, int(math.isqrt(n))), lloyd_iters=1
+        )
+
+    def _bloom_contamination_scaled(spark, sf_dir):
+        # m_bits ∝ benchmark shingle count (~16 bits/key at k=4 →
+        # fp ≈ 0.2%): the registry's fixed 2^16 bitmap saturates once
+        # the benchmark outgrows it and every probe returns true —
+        # exact answers still, but the prefilter stops pruning and
+        # the timing would measure the exact path plus probe overhead.
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators import dedup as DD
+        from etl_cpc_schema_spark.operators.dedup import shingle_table
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = d.filter(F.col("doc_id") % 50 == 0)
+        corpus = d.filter(F.col("doc_id") % 50 != 0)
+        n_sh = (
+            shingle_table(bench, "doc_id", "text", 3)
+            .select(F.explode("shingles").alias("s"))
+            .distinct()
+            .count()
+        )
+        m_bits = 1 << max(16, (16 * max(n_sh, 1) - 1).bit_length())
+        return DD.bloom_contamination(corpus, bench, n=3, m_bits=m_bits)
+
     extra = {
         "ann_knn_join_scaled": _knn_scaled,
         "ann_ivfpq_topk_scaled": _ivfpq_scaled,
         "docs_semdedup_scaled": _semdedup_scaled,
+        "docs_kmeans_prune_scaled": _kmeans_prune_scaled,
+        "docs_bloom_contamination_scaled": _bloom_contamination_scaled,
     }
 
     results: dict[str, dict] = {}
