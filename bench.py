@@ -84,6 +84,11 @@ HEADLINE = [
     "q74_dominant_suppliers",
     "docs_quality_logreg",
     "approx_heavy_hitters",
+    # late round-7: k-means prototype pruning (Lloyd training + one
+    # cell-keyed window) and the Bloom-prefiltered decontamination
+    # (bitmap build + codegen probe + exact confirm)
+    "docs_kmeans_prune",
+    "docs_bloom_contamination",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median

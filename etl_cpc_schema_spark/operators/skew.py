@@ -18,7 +18,7 @@ tasks stay consistent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,3 +79,34 @@ def two_stage_agg(
         partial = salted.groupBy(key, "__salt").agg(F.sum(agg_col).alias("__p"))
     final_fn = F.sum
     return partial.groupBy(key).agg(final_fn("__p").alias(f"{agg}_{agg_col}"))
+
+
+def grouped_bottomk(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    k: int,
+    factor: int = 16,
+) -> DataFrame:
+    """Exact k smallest ``order_col`` values per ``key`` without a
+    single-reducer-per-key sort: stage 1 ranks inside (key, salt)
+    sub-partitions (salt = hash of the order column, so duplicates of
+    a hot key spread over ``factor`` reducers) and keeps each
+    sub-partition's k smallest — a superset of the answer; stage 2
+    ranks the surviving ≤ factor·k rows per key.  The second window's
+    partitions are bounded by factor·k regardless of group size, which
+    is what makes a per-SOURCE sketch build safe when one source
+    dominates the corpus.  Emits (key, order_col, rn) with rn 1..k
+    ascending; ties broken by value equality only (callers pass
+    distinct values).
+    """
+    w1 = Window.partitionBy(key, "__salt").orderBy(order_col)
+    w2 = Window.partitionBy(key).orderBy(order_col)
+    return (
+        df.withColumn("__salt", _salt(F.col(order_col), factor))
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("__salt", "__rn1")
+    )

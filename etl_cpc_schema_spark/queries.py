@@ -1338,6 +1338,163 @@ def approx_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: docs_source_overlap KMV (k-minimum-values / theta) sketch geometry:
+#: k = 64 minima per source over the 60-bit portable-hash domain.
+KMV_K = 64
+KMV_DOMAIN = 1 << 60  # portable_hash64 range: 15 hex digits of md5
+
+
+def _kmv_overlap_oracle(k: int = KMV_K) -> str:
+    # (k-1)·2^60 overflows BIGINT; 63·2^60 is exact in DOUBLE
+    # (63 < 2^53 times a power of two), and both engines then perform
+    # the identical single correctly-rounded division + floor.
+    numer = float((k - 1) * KMV_DOMAIN)
+    return f"""
+WITH sh AS (
+  SELECT source,
+         list_distinct(list_transform(range(greatest(len(t)-2, 0)),
+           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+  FROM (SELECT source, {_TOKS_SQL} AS t FROM documents)
+), ex AS (
+  SELECT DISTINCT source, {portable_hash64_sql('s', 'kmv')} AS h
+  FROM (SELECT source, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+), rk AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM ex
+), sk AS (
+  SELECT source, h FROM rk WHERE rn <= {k}
+), prs AS (
+  SELECT DISTINCT a.source AS src_a, b.source AS src_b
+  FROM sk a JOIN sk b ON a.h = b.h AND a.source < b.source
+), u AS (
+  SELECT src_a, src_b, h,
+         max(CASE WHEN tag = 'a' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN tag = 'b' THEN 1 ELSE 0 END) AS in_b
+  FROM (
+    SELECT p.src_a, p.src_b, s.h, 'a' AS tag
+    FROM prs p JOIN sk s ON s.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, s.h, 'b' AS tag
+    FROM prs p JOIN sk s ON s.source = p.src_b
+  ) t GROUP BY 1, 2, 3
+), r AS (
+  SELECT src_a, src_b, h, in_a, in_b,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS urn
+  FROM u
+), agg AS (
+  SELECT src_a, src_b,
+         CAST(least({k}, count(*)) AS BIGINT) AS kk,
+         CAST(count(*) AS BIGINT) AS n_union,
+         CAST(sum(CASE WHEN urn <= {k} AND in_a = 1 AND in_b = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+         max(CASE WHEN urn <= {k} THEN h END) AS kth
+  FROM r GROUP BY 1, 2
+)
+SELECT src_a, src_b, kk, shared,
+       CAST(CASE WHEN n_union < {k} THEN n_union
+                 ELSE floor({numer} / kth) END AS BIGINT) AS est_union,
+       CAST(floor(CAST(shared AS DOUBLE)
+                  * (CASE WHEN n_union < {k} THEN n_union
+                          ELSE floor({numer} / kth) END)
+                  / kk) AS BIGINT) AS est_intersection
+FROM agg ORDER BY src_a, src_b
+"""
+
+
+def kmv_source_overlap(d: DataFrame, k: int = KMV_K) -> DataFrame:
+    """The docs_source_overlap computation over any (source, text)
+    frame — parameterized so the accuracy test can drive it with a
+    corpus of KNOWN overlap."""
+    from .functions.hashing import portable_hash64
+    from .operators.skew import grouped_bottomk
+
+    ex = d.select(
+        "source", F.explode(TX.word_shingles(F.col("text"), 3)).alias("s")
+    )
+    dist = ex.select(
+        "source", portable_hash64(F.col("s"), seed="kmv").alias("h")
+    ).distinct()
+    sk = grouped_bottomk(dist, "source", "h", k).select("source", "h")
+
+    a, b = sk.alias("a"), sk.alias("b")
+    prs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .select(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .distinct()
+    )
+    tagged = (
+        prs.join(sk.withColumnRenamed("source", "src_a"), "src_a")
+        .select("src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            prs.join(sk.withColumnRenamed("source", "src_b"), "src_b")
+            .select("src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+    )
+    u = tagged.groupBy("src_a", "src_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    r = u.withColumn("urn", F.row_number().over(w))
+    agg = r.groupBy("src_a", "src_b").agg(
+        F.least(F.lit(k), F.count("*")).cast("bigint").alias("kk"),
+        F.count("*").cast("bigint").alias("n_union"),
+        F.sum(
+            F.when(
+                (F.col("urn") <= k) & (F.col("in_a") == 1) & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("shared"),
+        F.max(F.when(F.col("urn") <= k, F.col("h"))).alias("kth"),
+    )
+    numer = float((k - 1) * KMV_DOMAIN)
+    est_union = F.when(
+        F.col("n_union") < k, F.col("n_union")
+    ).otherwise(F.floor(F.lit(numer) / F.col("kth")))
+    return agg.select(
+        "src_a",
+        "src_b",
+        "kk",
+        "shared",
+        est_union.cast("bigint").alias("est_union"),
+        F.floor(F.col("shared").cast("double") * est_union / F.col("kk"))
+        .cast("bigint")
+        .alias("est_intersection"),
+    ).orderBy("src_a", "src_b")
+
+
+@query("docs_source_overlap", _kmv_overlap_oracle())
+def docs_source_overlap_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise corpus-overlap estimation between sources via KMV
+    (k-minimum-values / theta) sketches (Beyer et al. 2007; the
+    DataSketches theta family) — the fourth mergeable sketch in the
+    approx family (HLL: distinct, GK: quantiles, CMS: frequencies,
+    KMV: set intersections, which HLL cannot do).  Each source keeps
+    its k=64 smallest distinct shingle hashes; for a pair, the k
+    smallest of the sketch UNION form a uniform sample of the union,
+    so distinct-union ≈ (k−1)·2^60/kth-min and intersection ≈
+    (shared-in-top-k / k) · union.  Everything emitted is
+    exact-integer (hash counts and floors of identical
+    correctly-rounded float64 expressions), so the oracle runs the
+    SAME estimator, not a tolerance band; the estimator's ACCURACY
+    against exact overlap is pinned separately in
+    tests/test_dedup_similarity.py.  Pairs with disjoint sketches are
+    absent (their estimate is 0) — that convention is what lets pair
+    enumeration be an equi-join on sketch hash instead of a banned
+    source×source cross join.
+
+    Scale shape: the corpus is touched ONCE, map-only, to shingle and
+    hash (distinct + per-source bottom-k via
+    operators/skew.py::grouped_bottomk — the salted two-stage window,
+    so one dominant source cannot pile its whole shingle set on one
+    reducer).  Everything after the sketch build operates on ≤
+    sources × k rows — control-plane sized, AQE broadcasts freely.
+    At 100 TB: sketches for 10^5 sources are 10^5 × 64 longs; the
+    pair stage only materializes pairs that actually collide."""
+    return kmv_source_overlap(_t(spark, sf, "documents"), k=KMV_K)
+
+
 @query(
     "q39_grouping_sets",
     """
@@ -1970,6 +2127,51 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         ancestor_paths(edges)
         .select("symbol", "ancestor", F.col("depth").cast("bigint").alias("depth"))
         .orderBy("symbol", "depth", "ancestor")
+    )
+
+
+_Q75_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(p_partkey AS {str_t}) AS symbol, p_brand AS parent
+  FROM {part}
+  UNION
+  SELECT DISTINCT p_brand AS symbol, 'ROOT' AS parent
+  FROM {part}
+  UNION
+  SELECT 'ROOT' AS symbol, CAST(NULL AS {str_t}) AS parent
+), up AS (
+  SELECT symbol, parent AS ancestor, 1 AS depth
+  FROM edges WHERE parent IS NOT NULL
+  UNION ALL
+  SELECT u.symbol, e.parent, u.depth + 1
+  FROM up u JOIN edges e ON u.ancestor = e.symbol
+  WHERE e.parent IS NOT NULL
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_ancestors,
+       CAST(max(depth) AS BIGINT) AS root_depth
+FROM up GROUP BY symbol ORDER BY symbol
+"""
+
+
+@query(
+    "q75_recursive_closure",
+    _Q75_SQL.format(str_t="VARCHAR", part="part"),
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4 ``WITH RECURSIVE`` —
+    UnionLoop/UnionLoopRef in the physical plan): ancestor-closure
+    aggregates over the part → brand → ROOT tree, the SAME traversal
+    q31 performs with explicit iterative broadcast self-joins
+    (operators/hierarchy.py).  Having both pins that the engine's
+    new recursion planner and the hand-rolled loop agree — and gives
+    SQL users the declarative form.  Spark executes one equi-join per
+    recursion level against the (aggregated, dimension-sized) edge
+    list; depth is bounded by the hierarchy (2 here), and the engine's
+    ``spark.sql.cteRecursionLevelLimit`` guards runaway graphs.  Both
+    engines run near-identical SQL — only the table reference and
+    VARCHAR/STRING spelling differ."""
+    return spark.sql(
+        _Q75_SQL.format(str_t="STRING", part=f"parquet.`{sf}/part.parquet`")
     )
 
 
@@ -6982,6 +7184,56 @@ def stream_approx_distinct_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bloom_gate_oracle(m_bits: int, k: int) -> str:
+    probes = "\n      ".join(
+        f"AND {portable_hash64_sql('s', f'bf{i}')} % {m_bits} IN (SELECT pos FROM bpos)"
+        for i in range(k)
+    )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {portable_hash64_sql('s', f'bf{i}')} % {m_bits} AS pos "
+        "FROM ex WHERE doc_id % 50 = 0"
+        for i in range(k)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(greatest(len(t)-2, 0)),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ), bpos AS (
+      SELECT DISTINCT pos FROM (
+      {union}
+      )
+    ), cand AS (
+      SELECT doc_id FROM ex
+      WHERE doc_id % 50 <> 0
+      {probes}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates
+    FROM cand GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("stream_bloom_gate", _bloom_gate_oracle(DD.BLOOM_M_BITS, DD.BLOOM_K))
+def stream_bloom_gate_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The NINTH streaming class: a STATELESS map-only stream transform
+    — the Bloom decontamination prefilter running inline on a document
+    stream (streaming/ingest.py::bloom_gate_stream).  No watermark, no
+    state store, append mode: per-batch cost is pure expression work
+    and state size is zero at any stream length, which is the whole
+    point of gating in-stream and exact-confirming downstream in batch
+    (docs_bloom_contamination).  The bitmap hashes shingle STRINGS
+    with the portable md5 hash, so the oracle recomputes every set bit
+    and the candidate counts match EXACTLY — false positives included
+    (a Bloom filter is deterministic: "approximate" is its precision,
+    not its reproducibility)."""
+    from .streaming.ingest import bloom_gate_stream
+
+    return bloom_gate_stream(spark, sf)
+
+
 @query(
     "stream_sessionize",
     # q22's batch shape with the SAME strict-> gap predicate:
@@ -7028,6 +7280,9 @@ _DRIVER_PRIORITY: list[str] = [
     # new in round 7 — never driver-sampled
     "docs_kmeans_prune",
     "docs_bloom_contamination",
+    "docs_source_overlap",
+    "stream_bloom_gate",
+    "q75_recursive_closure",
     "docs_semdedup",
     "q73_supplier_part_counts",
     "q74_dominant_suppliers",

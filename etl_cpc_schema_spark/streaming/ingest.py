@@ -350,6 +350,74 @@ def windowed_topk_stream(
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def bloom_gate_stream(
+    spark: SparkSession,
+    data_dir: str,
+    n: int = 3,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Streaming decontamination gate — the NINTH streaming class: a
+    STATELESS map-only stream transform (no watermark, no state store,
+    append mode), which is exactly how a Bloom prefilter deploys in a
+    real ingest stream: the cheap gate runs inline on arriving
+    documents, the exact confirm runs downstream in batch
+    (operators/dedup.py::bloom_contamination).
+
+    The bitmap is built once, batch-side, from the benchmark slice
+    (doc_id % 50 == 0) over shingle STRINGS with the portable md5 hash
+    — no xxhash64 step — so the DuckDB oracle can recompute every set
+    bit and the per-document candidate counts match EXACTLY, false
+    positives included (a Bloom filter is deterministic; "approximate"
+    refers to its precision, not its reproducibility).  Each streamed
+    corpus document filters its own shingle array through the k getbit
+    probes inside a higher-order ``filter`` — per-row expressions,
+    zero shuffles, state size zero regardless of stream length.
+
+    Emits (doc_id, n_candidates) for streamed docs with ≥1 surviving
+    shingle.
+    """
+    from ..functions import text as TX
+    from ..operators import dedup as DD
+
+    m_bits = DD.BLOOM_M_BITS if m_bits is None else m_bits
+    k = DD.BLOOM_K if k is None else k
+
+    batch = spark.read.parquet(f"{data_dir}/documents.parquet")
+    bench = batch.filter(F.col("doc_id") % 50 == 0)
+    b_str = (
+        DD.shingle_table(bench, "doc_id", "text", n)
+        .select(F.explode("shingles").alias("sh_str"))
+        .distinct()
+    )
+    words = DD.bloom_bitmap(b_str, "sh_str", m_bits, k)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(data_dir)
+    )
+    gated = (
+        stream.filter(F.col("doc_id") % 50 != 0)
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    TX.word_shingles(F.col("text"), n),
+                    lambda s: DD._bloom_might_contain(s, words, m_bits, k),
+                )
+            )
+            .cast("bigint")
+            .alias("n_candidates"),
+        )
+        .filter(F.col("n_candidates") > 0)
+    )
+    # stateless map-only stream: no state partitions to pin
+    return run_to_memory(gated, "append", "stream_bloom", None).orderBy(
+        "doc_id"
+    )
+
+
 def static_join_counts_stream(spark: SparkSession, data_dir: str) -> DataFrame:
     """Stream-static join: the events STREAM broadcast-joins the static
     customer dimension (re-read per micro-batch — picking up dim

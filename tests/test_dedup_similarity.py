@@ -779,3 +779,32 @@ def test_bloom_broadcast_kernel_path_matches_literal(spark):
     }
     assert kernel == literal
     assert set(range(300)) <= kernel  # still no false negatives
+
+
+def test_kmv_overlap_estimator_accuracy(spark):
+    """KMV sketch accuracy on a corpus of KNOWN overlap: two sources
+    whose shingle sets intersect in roughly half, one disjoint source.
+    Standard error of the union estimate is ~1/sqrt(k-1) (~13% at
+    k=64); pin a generous 3-sigma band, and pin that the disjoint
+    source produces NO pair rows."""
+    from etl_cpc_schema_spark.queries import kmv_source_overlap
+
+    n = 3000
+    text_a = " ".join(f"t{i}" for i in range(n))
+    text_b = " ".join(f"t{i}" for i in range(n // 2, n + n // 2))
+    text_c = " ".join(f"z{i}" for i in range(n))
+    d = spark.createDataFrame(
+        [("srcA", text_a), ("srcB", text_b), ("srcC", text_c)],
+        "source string, text string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r for r in kmv_source_overlap(d).collect()
+    }
+    assert set(rows) == {("srcA", "srcB")}  # srcC is disjoint: no row
+    r = rows[("srcA", "srcB")]
+    # exact: |A| = |B| = n-2 shingles, |A ∩ B| = n/2 - 2, |A ∪ B| = 3n/2 - 2
+    exact_union = 3 * n // 2 - 2
+    exact_inter = n // 2 - 2
+    assert abs(r["est_union"] - exact_union) < 0.40 * exact_union
+    assert abs(r["est_intersection"] - exact_inter) < 0.55 * exact_inter
+    assert r["kk"] == 64 and 0 < r["shared"] < 64

@@ -72,6 +72,11 @@ DOC_QUERIES = [
     "docs_dsir_weights",
     "docs_quality_logreg",
     "approx_heavy_hitters",
+    "docs_bloom_contamination",
+    "docs_source_overlap",
+    # streaming, but documents-only: the stateless Bloom gate must
+    # survive empty/whitespace/tiny docs exactly like the batch path
+    "stream_bloom_gate",
 ]
 
 EDGE_ROWS = [

@@ -215,3 +215,51 @@ def test_orc_roundtrip_documents(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception, match="already exists"):
         write_orc(docs, dest)
+
+
+def test_cpczip_datasource_matches_reader_and_splits_per_member(spark, tmp_path):
+    """The Python DataSource (spark.read.format('cpczip')) must emit
+    the exact rows read_zip_members does AND plan one input partition
+    per zip MEMBER (binaryFile parallelizes per archive — the fat-zip
+    shape the reference downloader produces would serialize there)."""
+    from etl_cpc_schema_spark.sources import pydatasource as P
+
+    _make_zip(
+        tmp_path / "CPCTitleList202505.zip",
+        {
+            "cpc-section-A.txt": "A HUMAN NECESSITIES\nA01B1/00 0 Hand tools\n",
+            "cpc-section-B.txt": "B PERFORMING OPERATIONS\n",
+            "readme.txt": "ignore me\n",
+        },
+    )
+    _make_zip(
+        tmp_path / "CPCTitleList202508.zip",
+        {"cpc-section-C.txt": "C CHEMISTRY\n"},
+    )
+    (tmp_path / "not_a_zip.zip").write_bytes(b"truncated garbage")
+
+    P.register(spark)
+    df = (
+        spark.read.format("cpczip")
+        .option("member_prefix", "cpc-section-")
+        .load(str(tmp_path / "*.zip"))
+    )
+    got = {(r["file_name"], r["line"]) for r in df.collect()}
+    ref = R.read_zip_members(
+        spark, str(tmp_path / "*.zip"), member_prefix="cpc-section-"
+    )
+    want = {(r["file_name"], r["line"]) for r in ref.collect()}
+    assert got == want and len(got) == 4
+    # one partition per filtered member (3), not per archive (2)
+    assert df.rdd.getNumPartitions() == 3
+    # source_file stays collision-proof: archive!member
+    assert all("!" in r["source_file"] for r in df.collect())
+
+
+def test_cpczip_datasource_empty_match(spark, tmp_path):
+    from etl_cpc_schema_spark.sources import pydatasource as P
+
+    P.register(spark)
+    df = spark.read.format("cpczip").load(str(tmp_path / "nothing-*.zip"))
+    assert df.count() == 0
+    assert df.columns == ["file_name", "source_file", "line"]
