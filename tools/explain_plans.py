@@ -88,6 +88,12 @@ INSPECT = [
     "q74_dominant_suppliers",
     "docs_quality_logreg",
     "approx_heavy_hitters",
+    # late round-7: k-means pruning, Bloom decontamination (batch),
+    # the KMV source-overlap sketch, and the native recursive CTE
+    "docs_kmeans_prune",
+    "docs_bloom_contamination",
+    "docs_source_overlap",
+    "q75_recursive_closure",
 ]
 
 CHECKS = {
