@@ -85,10 +85,15 @@ HEADLINE = [
     "docs_quality_logreg",
     "approx_heavy_hitters",
     # late round-7: k-means prototype pruning (Lloyd training + one
-    # cell-keyed window) and the Bloom-prefiltered decontamination
-    # (bitmap build + codegen probe + exact confirm)
+    # cell-keyed window), the Bloom-prefiltered decontamination
+    # (bitmap build + codegen probe + exact confirm), the KMV
+    # source-overlap sketch (salted bottom-k build), the native
+    # recursive CTE, and the one-pass column profiler
     "docs_kmeans_prune",
     "docs_bloom_contamination",
+    "docs_source_overlap",
+    "q75_recursive_closure",
+    "q76_profile_events",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median

@@ -1682,6 +1682,187 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q76_profile_events",
+    """
+    WITH m AS (
+      SELECT 'event_id' AS col_name, count(*) AS n_rows,
+             sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+             count(DISTINCT event_id) AS n_distinct,
+             min(event_id) AS lo, max(event_id) AS hi
+      FROM events
+      UNION ALL
+      SELECT 'event_type', count(*),
+             sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT event_type), -1, -1
+      FROM events
+      UNION ALL
+      SELECT 'props', count(*),
+             sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT props), -1, -1
+      FROM events
+      UNION ALL
+      SELECT 'ts', count(*),
+             sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT ts), min(epoch_us(ts)), max(epoch_us(ts))
+      FROM events
+      UNION ALL
+      SELECT 'user_id', count(*),
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT user_id), min(user_id), max(user_id)
+      FROM events
+      UNION ALL
+      SELECT 'value', count(*),
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT value),
+             min(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+             max(CAST(floor(value * 100 + 0.5) AS BIGINT))
+      FROM events
+    )
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
+    FROM m ORDER BY col_name
+    """,
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE-PASS column profiling (the deequ/dataset-summary shape):
+    null count, exact distinct count, and an integer-encoded min/max
+    for every column of events, computed in a SINGLE aggregation over
+    ONE scan — Spark plans the six count(DISTINCT) via one Expand
+    (rows × columns pre-aggregation), not six scans; the oracle's
+    per-column UNION ALL is the readable but 6-scan equivalent.
+    Non-orderable/string columns carry the -1 sentinel (NULLs in
+    numeric outputs float pandas columns — the repo's standing rule);
+    doubles are profiled in e2-quantized integer cents and timestamps
+    as epoch micros, so every emitted number is exact-integer
+    cross-engine.  At 100 TB: profiling cost is one corpus pass with
+    an expand factor equal to the distinct-counted column count; for
+    wider tables swap exact distincts for HLL
+    (approx_count_distinct) column-by-column — same single-pass
+    shape, fixed-size state."""
+    e = _t(spark, sf, "events")
+    n1 = F.lit(-1).cast("bigint")
+
+    def prof(name, col, lo=None, hi=None):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(col.isNull().cast("long")).alias("n_null"),
+            F.count_distinct(col).alias("n_distinct"),
+            (lo if lo is not None else n1).cast("bigint").alias("lo"),
+            (hi if hi is not None else n1).cast("bigint").alias("hi"),
+        )
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    row = e.agg(
+        F.array(
+            prof("event_id", F.col("event_id"),
+                 F.min("event_id"), F.max("event_id")),
+            prof("event_type", F.col("event_type")),
+            prof("props", F.col("props")),
+            prof("ts", F.col("ts"),
+                 F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))),
+            prof("user_id", F.col("user_id"),
+                 F.min("user_id"), F.max("user_id")),
+            prof("value", F.col("value"), F.min(cents), F.max(cents)),
+        ).alias("profiles")
+    )
+    return (
+        row.select(F.explode("profiles").alias("p"))
+        .select("p.*")
+        .withColumn("n_rows", F.col("n_rows").cast("bigint"))
+        .withColumn("n_null", F.col("n_null").cast("bigint"))
+        .withColumn("n_distinct", F.col("n_distinct").cast("bigint"))
+        .orderBy("col_name")
+    )
+
+
+@query(
+    "q77_integrity_checks",
+    """
+    WITH c AS (
+      SELECT 'events_user_fk' AS check_name,
+             (SELECT count(*) FROM events e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = e.user_id)) AS n_violations
+      UNION ALL
+      SELECT 'events_value_range',
+             (SELECT count(*) FROM events
+              WHERE value IS NULL OR value < 0 OR value > 1000000)
+      UNION ALL
+      SELECT 'lineitem_orders_fk',
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'orders_customer_fk',
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'orders_pk_unique',
+             (SELECT count(*) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING count(*) > 1))
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM c ORDER BY check_name
+    """,
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style data-quality / integrity suite: referential
+    integrity as LEFT ANTI joins (orders→customer, lineitem→orders,
+    events→customer — the last one legitimately FAILING on this data,
+    so the suite demonstrably detects violations, not just vacuous
+    passes), primary-key uniqueness as a grouped HAVING count, and a
+    value-range completeness check as one filtered aggregate.  Each
+    check is the minimal distributed shape for its class — anti joins
+    shuffle on the key (AQE broadcasts the dimension side), the
+    uniqueness check is one groupBy, the range check one scan — and
+    emits a uniform (check_name, n_violations, passed) row, which is
+    the contract a quality gate in front of a 100 TB corpus build
+    consumes (docs_corpus_build composes the same way)."""
+    e = _t(spark, sf, "events")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+
+    def check(name, n_col):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            n_col.cast("bigint").alias("n_violations"),
+        ).alias("chk")
+
+    checks = [
+        e.join(c, e.user_id == c.c_custkey, "left_anti")
+        .agg(check("events_user_fk", F.count(F.lit(1)))),
+        e.filter(
+            F.col("value").isNull()
+            | (F.col("value") < 0)
+            | (F.col("value") > 1_000_000)
+        ).agg(check("events_value_range", F.count(F.lit(1)))),
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(check("lineitem_orders_fk", F.count(F.lit(1)))),
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(check("orders_customer_fk", F.count(F.lit(1)))),
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(check("orders_pk_unique", F.count(F.lit(1)))),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out.select(
+        "chk.check_name",
+        "chk.n_violations",
+        (F.col("chk.n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+@query(
     "q49_snapshot_diff",
     """
     WITH old AS (
@@ -7283,6 +7464,8 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_source_overlap",
     "stream_bloom_gate",
     "q75_recursive_closure",
+    "q76_profile_events",
+    "q77_integrity_checks",
     "docs_semdedup",
     "q73_supplier_part_counts",
     "q74_dominant_suppliers",
