@@ -417,26 +417,38 @@ BLOOM_M_BITS = 1 << 16
 BLOOM_K = 4
 
 
+def _bloom_pos(key: Column, i: int, m_bits: int, portable: bool) -> Column:
+    """Bit position of hash ``i`` for ``key``.  The default is native
+    ``xxhash64(key, i)`` — one JVM hash per probe; ``portable`` swaps
+    in the md5-derived :func:`~..functions.hashing.portable_hash64`
+    (~4× slower per probe) for callers whose ORACLE must recompute the
+    exact set bits (stream_bloom_gate).  Both are deterministic — the
+    same corpus always yields the same bitmap on any cluster — the
+    difference is only SQL-reproducibility."""
+    if portable:
+        return H.portable_hash64(key, seed=f"bf{i}") % m_bits
+    return F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+
+
 def bloom_bitmap(
     keys: DataFrame,
     key_col: str = "s",
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    portable: bool = False,
 ) -> list[int]:
     """Build a Bloom-filter bitmap (list of ``m_bits/64`` int64 words)
     over a distinct-key frame, distributedly: explode each key into
-    its ``k`` bit positions, reduce with ONE ``bit_or`` groupBy on the
-    word index (≤ m_bits/64 groups — control-plane sized, like a
-    codebook collect), and assemble the dense word array on the
-    driver.  Hashes are :func:`~..functions.hashing.portable_hash64`
-    with seeds ``bf0..bf{k-1}`` — deterministic, so the same corpus
-    always yields the same bitmap on any cluster."""
+    its ``k`` bit positions (:func:`_bloom_pos`), reduce with ONE
+    ``bit_or`` groupBy on the word index (≤ m_bits/64 groups —
+    control-plane sized, like a codebook collect), and assemble the
+    dense word array on the driver."""
     n_words = m_bits // 64
     pos = keys.select(
         F.explode(
             F.array(
                 *[
-                    H.portable_hash64(F.col(key_col), seed=f"bf{i}") % m_bits
+                    _bloom_pos(F.col(key_col), i, m_bits, portable)
                     for i in range(k)
                 ]
             )
@@ -460,14 +472,15 @@ def bloom_bitmap(
 
 
 def _bloom_might_contain(
-    key: Column, words: list[int], m_bits: int, k: int
+    key: Column, words: list[int], m_bits: int, k: int, portable: bool = False
 ) -> Column:
     """All-k-bits-set probe against a literal bitmap — pure codegen
-    expressions (element_at + getbit), no join and no Python."""
+    expressions (element_at + getbit), no join and no Python.  The
+    ``portable`` flag MUST match the one the bitmap was built with."""
     bm = F.array(*[F.lit(w).cast("long") for w in words])
     pred = F.lit(True)
     for i in range(k):
-        pos = H.portable_hash64(key, seed=f"bf{i}") % m_bits
+        pos = _bloom_pos(key, i, m_bits, portable)
         word = F.element_at(bm, (pos / 64).cast("int") + 1)
         pred = pred & (F.getbit(word, (pos % 64).cast("int")) == 1)
     return pred
@@ -480,7 +493,12 @@ BLOOM_LITERAL_MAX_WORDS = 4096  # 2^18 bits = 32 KiB
 
 
 def _bloom_prefilter(
-    df: DataFrame, key_col: str, words: list[int], m_bits: int, k: int
+    df: DataFrame,
+    key_col: str,
+    words: list[int],
+    m_bits: int,
+    k: int,
+    portable: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` whose ``key_col`` might be in the Bloom set.
 
@@ -492,14 +510,16 @@ def _bloom_prefilter(
     Arrow pass tests all k bits vectorized in numpy — same semantics,
     no per-row Python."""
     if len(words) <= BLOOM_LITERAL_MAX_WORDS:
-        return df.filter(_bloom_might_contain(F.col(key_col), words, m_bits, k))
+        return df.filter(
+            _bloom_might_contain(F.col(key_col), words, m_bits, k, portable)
+        )
     import numpy as np
 
     pos_cols = [f"__bfp{i}" for i in range(k)]
     proj = df
     for i, pc in enumerate(pos_cols):
         proj = proj.withColumn(
-            pc, H.portable_hash64(F.col(key_col), seed=f"bf{i}") % m_bits
+            pc, _bloom_pos(F.col(key_col), i, m_bits, portable)
         )
     bc = df.sparkSession.sparkContext.broadcast(
         np.asarray(words, dtype=np.int64)

@@ -390,7 +390,10 @@ def bloom_gate_stream(
         .select(F.explode("shingles").alias("sh_str"))
         .distinct()
     )
-    words = DD.bloom_bitmap(b_str, "sh_str", m_bits, k)
+    # portable hashing (md5-derived): the oracle must recompute the
+    # exact set bits — the batch operator's faster native-hash default
+    # is not SQL-reproducible
+    words = DD.bloom_bitmap(b_str, "sh_str", m_bits, k, portable=True)
 
     stream = (
         spark.readStream.schema(batch.schema)
@@ -404,7 +407,9 @@ def bloom_gate_stream(
             F.size(
                 F.filter(
                     TX.word_shingles(F.col("text"), n),
-                    lambda s: DD._bloom_might_contain(s, words, m_bits, k),
+                    lambda s: DD._bloom_might_contain(
+                        s, words, m_bits, k, portable=True
+                    ),
                 )
             )
             .cast("bigint")
