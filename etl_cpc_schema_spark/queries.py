@@ -1862,6 +1862,43 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("check_name")
 
 
+_Q78_SQL = """
+SELECT c.c_custkey, l.o_orderkey AS latest_order
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey
+  FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) l
+ORDER BY c.c_custkey
+"""
+
+
+@query(
+    "q78_lateral_topk",
+    _Q78_SQL.format(customer="customer", orders="orders"),
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL table subquery with ORDER BY + LIMIT — the
+    top-1-per-correlation planning class (each customer's most recent
+    order).  Catalyst DECORRELATES it into a WindowGroupLimit
+    (map-side partial top-1 per o_custkey BEFORE the shuffle, then a
+    final top-1) joined back on the key — the plan one would
+    hand-write with a window, derived from the declarative correlated
+    form.  Customers with no orders drop (inner lateral), identically
+    in both engines.  At 100 TB the partial WindowGroupLimit is the
+    part that matters: the shuffle carries at most one row per
+    (partition, customer), not the order history."""
+    return spark.sql(
+        _Q78_SQL.format(
+            customer=f"parquet.`{sf}/customer.parquet`",
+            orders=f"parquet.`{sf}/orders.parquet`",
+        )
+    )
+
+
 @query(
     "q49_snapshot_diff",
     """
@@ -7458,7 +7495,7 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 #: round 4.  The stable window/misc tail (q37-q49) sits last — if the
 #: sample cuts off, it drops the queries whose code is oldest-stable.
 _DRIVER_PRIORITY: list[str] = [
-    # new in round 7 — never driver-sampled
+    # Tier 1 — never driver-sampled (round-7 additions).
     "docs_kmeans_prune",
     "docs_bloom_contamination",
     "docs_source_overlap",
@@ -7466,13 +7503,16 @@ _DRIVER_PRIORITY: list[str] = [
     "q75_recursive_closure",
     "q76_profile_events",
     "q77_integrity_checks",
+    "q78_lateral_topk",
     "docs_semdedup",
     "q73_supplier_part_counts",
     "q74_dominant_suppliers",
     "docs_quality_logreg",
     "approx_heavy_hitters",
     "stream_approx_distinct",
-    # modified in round 6 AFTER their last driver sample (VERDICT r6)
+    # Tier 2 — modified in round 6/7 AFTER their last driver sample
+    # (VERDICT r6), plus the ANN queries whose shared kernels changed
+    # in round 7 (lsh_topk multi-table probe dedup, IVF/PQ seeding).
     "q17_pricing_summary",
     "q62_nation_trade_volume",
     "q65_custdist",
@@ -7482,38 +7522,28 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_sessionize",
     "text_bm25_topk",
     "text_winnowing",
-    # shared ANN kernels changed in round 7 (probe-dedup predicate,
-    # seeding path) — re-sample even though r6 rows exist
     "ann_lsh_topk_probed",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    # r4-stale block: latest driver sample two rounds old
+    # Tier 3 — the r4-stale block (latest driver evidence three rounds
+    # old), riskiest shapes first: stateful streams, composites,
+    # sketches, CDC, then windows/planner shapes.  The trivial
+    # scan/agg queries (q07-q13 etc.) sit past the 50-row sample
+    # cut-off this round and lead the r8 rotation.
+    "stream_hourly_counts",
+    "stream_stream_join",
+    "docs_corpus_build",
     "approx_hll_mergeable",
     "approx_quantiles_bounded",
     "docs_cdc_chunk",
     "docs_cdc_dedup",
-    "docs_corpus_build",
-    "stream_hourly_counts",
-    "stream_stream_join",
     "text_rare_tokens",
-    "q07_distinct_sort",
-    "q08_max_per_group",
-    "q09_group_count",
-    "q10_topn_rank",
-    "q11_conditional_status",
-    "q12_parent_lookup",
-    "q13_normalize_split",
-    "q15_tumbling_window",
-    "q16_dedup_last_wins",
-    "q19_rollup",
-    "q20_set_ops",
     "q21_running_window",
     "q22_sessionize",
     "q23_asof_join",
-    "q24_pivot_counts",
-    "q25_cube",
-    "q26_distinct_exact",
-    "q28_unpivot",
+    "q44_asof_forward",
+    "q45_salted_join",
+    "q46_nullsafe_join",
     "q29_interval_join",
     "q30_skewed_agg",
     "q32_quantiles",
@@ -7522,15 +7552,27 @@ _DRIVER_PRIORITY: list[str] = [
     "q38_window_misc",
     "q39_grouping_sets",
     "q40_stats_agg",
-    "q41_string_funcs",
-    "q42_datetime_funcs",
-    "q43_variant_extract",
-    "q44_asof_forward",
-    "q45_salted_join",
-    "q46_nullsafe_join",
     "q47_udtf_enumerate",
     "q48_resample_gapfill",
     "q49_snapshot_diff",
+    "q24_pivot_counts",
+    "q25_cube",
+    "q28_unpivot",
+    "q15_tumbling_window",
+    "q16_dedup_last_wins",
+    "q19_rollup",
+    "q20_set_ops",
+    "q26_distinct_exact",
+    "q41_string_funcs",
+    "q42_datetime_funcs",
+    "q43_variant_extract",
+    "q07_distinct_sort",
+    "q08_max_per_group",
+    "q09_group_count",
+    "q10_topn_rank",
+    "q11_conditional_status",
+    "q12_parent_lookup",
+    "q13_normalize_split",
 ]
 
 
