@@ -29,6 +29,14 @@ from .functions.hashing import portable_hash64_sql
 
 #: shared oracle tokenization idiom (empty-token-filtered; see ADVICE r1)
 _TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+#: docs_quality_logreg hashed-feature space: 2001 integer weight
+#: levels centered on 0 (range [-1000, 1000]) and a +50 per-token
+#: intercept, i.e. keep iff the mean token weight exceeds -50.  On a
+#: uniform hash the keep rate is ~p(mean > -50/1000) — most docs keep,
+#: the left tail drops, which is the shape of a real quality model.
+QLR_LEVELS = 2001
+QLR_INTERCEPT = 50
 from .operators import dedup as DD
 from .operators import multimodal as MM
 from .operators import similarity as SIM
@@ -2986,6 +2994,89 @@ def docs_corpus_build_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _modern_corpus_oracle(budget: int = 256) -> str:
+    half = (QLR_LEVELS - 1) // 2
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS tchars,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) AS n_stop,
+         len(list_distinct(toks)) AS n_types,
+         coalesce(list_sum(list_transform(toks,
+             t2 -> {portable_hash64_sql('t2', 'qlw')} % {QLR_LEVELS} - {half})), 0)
+           AS score_sum
+  FROM t
+), gate AS (
+  SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens FROM m
+  WHERE doc_id % 50 <> 0
+    AND n BETWEEN 30 AND 50000
+    AND 3 * n <= tchars AND tchars <= 10 * n
+    AND 5 * n_alpha >= 4 * n
+    AND n_stop >= 2
+    AND 10 * n_types >= 3 * n
+    AND score_sum + {QLR_INTERCEPT} * n > 0
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(toks)-2, 0)),
+           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+  FROM t
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+), b AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0
+), contam AS (
+  SELECT DISTINCT c.doc_id FROM ex c JOIN b USING (s) WHERE c.doc_id % 50 <> 0
+), clean AS (
+  SELECT * FROM gate WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(CAST(sum(n_tokens) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens AS DOUBLE) / {budget}) AS BIGINT) AS bin_id
+FROM clean ORDER BY doc_id
+"""
+
+
+@query("docs_modern_corpus", _modern_corpus_oracle())
+def docs_modern_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The MODERN-stack corpus materialization — docs_corpus_build's
+    2024-era sibling composed from the round-6/7 operators: Gopher
+    heuristic rules ∧ hashed-feature quality classifier (the SHARED
+    gopher_keep / quality_logreg_keep expressions the standalone
+    queries pin) → Bloom-prefiltered benchmark decontamination (drop
+    any doc sharing a trigram shingle with the held-out slice —
+    operators/dedup.py::bloom_contamination, exact confirm after the
+    bitmap gate) → 256-token sequence packing of the survivors
+    (operators/packing.py::pack_sequences, the distributed
+    running-total bin assignment).  One output table: the packed,
+    filtered, decontaminated training corpus.
+
+    100 TB shape: the gates are map-only codegen over ONE scan; the
+    decontamination runs on the GATED subset (identical membership to
+    gating after — doc-keyed anti-join — but ~40% less probe volume);
+    packing adds streams×buckets-bounded shuffles.  Every stage is the
+    already-audited standalone plan; composition adds one anti-join
+    on doc_id."""
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    gated = corpus.filter(
+        gopher_keep(F.col("text")) & quality_logreg_keep(F.col("text"))
+    )
+    contam_ids = DD.bloom_contamination(gated, bench, n=3).select("doc_id")
+    clean = gated.join(contam_ids, "doc_id", "left_anti")
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(clean, budget=256, stream_col="lang").orderBy(
+        "doc_id"
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     bit_terms = " + ".join(
         f"""(CASE WHEN list_sum(list_transform(t,
@@ -4036,6 +4127,59 @@ def text_quality_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def gopher_rules(text_col) -> dict:
+    """The Gopher rule columns over a text column (exact INTEGER
+    cross-multiplication thresholds; the rule set text_gopher_filters
+    pins against its oracle) — consumed by the docs_modern_corpus
+    composite."""
+    toks = TX.tokens(text_col)
+    n = F.size(toks)
+    tchars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = TX.stopword_count(text_col)
+    n_types = F.size(F.array_distinct(toks))
+    return {
+        "r_word_count": n.between(30, 50000),
+        "r_mean_word_len": (3 * n <= tchars) & (tchars <= 10 * n),
+        "r_alpha_words": 5 * n_alpha >= 4 * n,
+        "r_stopwords": n_stop >= 2,
+        "r_type_token": 10 * n_types >= 3 * n,
+    }
+
+
+def gopher_keep(text_col):
+    keep = F.lit(True)
+    for c in gopher_rules(text_col).values():
+        keep = keep & c
+    return keep
+
+
+def quality_logreg_score(text_col) -> tuple:
+    """(score_sum, n_tokens) with hashed integer weights (the scoring
+    docs_quality_logreg pins against its oracle) — consumed by the
+    docs_modern_corpus composite."""
+    from .functions.hashing import portable_hash64
+
+    half = (QLR_LEVELS - 1) // 2
+    toks = TX.tokens(text_col)
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + (portable_hash64(t, seed="qlw") % QLR_LEVELS - half),
+    )
+    return score, F.size(toks)
+
+
+def quality_logreg_keep(text_col):
+    score, n = quality_logreg_score(text_col)
+    return score + QLR_INTERCEPT * n > 0
+
+
+
 @query(
     "text_gopher_filters",
     f"""
@@ -4110,13 +4254,6 @@ def text_gopher_filters_q(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-#: docs_quality_logreg hashed-feature space: 2001 integer weight
-#: levels centered on 0 (range [-1000, 1000]) and a +50 per-token
-#: intercept, i.e. keep iff the mean token weight exceeds -50.  On a
-#: uniform hash the keep rate is ~p(mean > -50/1000) — most docs keep,
-#: the left tail drops, which is the shape of a real quality model.
-QLR_LEVELS = 2001
-QLR_INTERCEPT = 50
 
 
 @query(
@@ -7496,6 +7633,7 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 #: sample cuts off, it drops the queries whose code is oldest-stable.
 _DRIVER_PRIORITY: list[str] = [
     # Tier 1 — never driver-sampled (round-7 additions).
+    "docs_modern_corpus",
     "docs_kmeans_prune",
     "docs_bloom_contamination",
     "docs_source_overlap",

@@ -73,6 +73,9 @@ OPERATORS = [
     # at 100× and silently degrade to the exact path's volume)
     "docs_kmeans_prune_scaled",
     "docs_bloom_contamination_scaled",
+    # the modern-stack end-to-end composite (gates -> bloom decontam
+    # -> packing): every stage linear, so the composition must be too
+    "docs_modern_corpus",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
