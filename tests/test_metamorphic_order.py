@@ -25,6 +25,14 @@ QUERIES = [
     "text_bpe_train",
     "docs_scrub_dup_spans",
     "q65_custdist",
+    # round-7: k-means seeding is orderBy+limit and the ranking window
+    # has explicit tie-breaks — but the Lloyd accumulation is a
+    # floating-free integer sum, so row order must not matter; the KMV
+    # sketch's bottom-k and the composite's running-total packing are
+    # the other new order-sensitive-looking shapes
+    "docs_kmeans_prune",
+    "docs_source_overlap",
+    "docs_modern_corpus",
 ]
 
 _TABLES = (

@@ -77,6 +77,7 @@ DOC_QUERIES = [
     # streaming, but documents-only: the stateless Bloom gate must
     # survive empty/whitespace/tiny docs exactly like the batch path
     "stream_bloom_gate",
+    "docs_modern_corpus",
 ]
 
 EDGE_ROWS = [

@@ -94,6 +94,8 @@ INSPECT = [
     "docs_bloom_contamination",
     "docs_source_overlap",
     "q75_recursive_closure",
+    "q78_lateral_topk",
+    "docs_modern_corpus",
 ]
 
 CHECKS = {
