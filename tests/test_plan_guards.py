@@ -66,6 +66,9 @@ _BOUNDED_DERIVATIVE_OK = {
     "docs_domain_mix": "keep-rate table, one row per source",
     "docs_temperature_sample": "rate table, one row per lang",
     "docs_pack_sequences": "bounds/offsets, one row per stream",
+    # the modern composite inherits pack_sequences' per-stream bounds
+    # broadcast (one row per lang after the groupBy)
+    "docs_modern_corpus": "pack bounds/offsets, one row per stream",
     # per-event-type aggregate: one row per type
     "q34_udaf_geomean": "per-event_type aggregate",
     # SCD merge: the broadcast side is the INCREMENTAL BATCH (bounded by
