@@ -5551,6 +5551,68 @@ def text_lm_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ccnet_buckets_oracle() -> str:
+    return f"""
+    WITH ppl AS (
+      {_lm_ppl_oracle()}
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(ntile(3) OVER (
+             PARTITION BY d.lang
+             ORDER BY CAST(p.nll_e4 AS DOUBLE) / p.n_bigrams, d.doc_id
+           ) AS BIGINT) AS bucket_id,
+           CASE ntile(3) OVER (
+             PARTITION BY d.lang
+             ORDER BY CAST(p.nll_e4 AS DOUBLE) / p.n_bigrams, d.doc_id
+           ) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM documents d JOIN ppl p USING (doc_id)
+    WHERE p.n_bigrams > 0
+    ORDER BY d.doc_id
+    """
+
+
+@query("docs_ccnet_buckets", _ccnet_buckets_oracle())
+def docs_ccnet_buckets_q(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): per language,
+    split the corpus into head / middle / tail terciles by LM
+    perplexity (here the corpus-trained bigram NLL per bigram from
+    text_lm_perplexity — the SAME scored frame, composed), lowest
+    perplexity first.  The canonical web-curation stage: train on
+    head, sample middle, drop or down-weight tail.  Ordering is the
+    single correctly-rounded float64 division nll_e4/n_bigrams (both
+    engines bit-equal) with doc_id tie-break, and ntile follows the
+    SQL-standard ceil-first-groups split in both engines, so bucket
+    boundaries agree exactly.  Documents with no bigrams (< 2 tokens)
+    are dropped, as CCNet drops unscorable docs.
+
+    Scale shape: the LM scoring's plan is text_lm_perplexity's
+    (audited); bucketing adds ONE per-language window — the same
+    shuffle-on-lang the packing stage already uses.  At 100 TB with
+    few huge languages, replace exact ntile with approx percentile
+    thresholds (approx_quantiles_bounded's sketch) joined back
+    map-side — the declared query keeps the exact form the oracle can
+    mirror."""
+    ppl = SPARK_QUERIES["text_lm_perplexity"](spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    j = d.join(ppl, "doc_id").filter(F.col("n_bigrams") > 0)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("nll_e4").cast("double") / F.col("n_bigrams"), "doc_id"
+    )
+    b = F.ntile(3).over(w)
+    return (
+        j.select(
+            "doc_id",
+            "lang",
+            b.cast("bigint").alias("bucket_id"),
+            F.when(b == 1, "head")
+            .when(b == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _scrub_spans_oracle(n: int = 8) -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
     return f"""
@@ -7640,6 +7702,7 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 #: sample cuts off, it drops the queries whose code is oldest-stable.
 _DRIVER_PRIORITY: list[str] = [
     # Tier 1 — never driver-sampled (round-7 additions).
+    "docs_ccnet_buckets",
     "docs_modern_corpus",
     "docs_kmeans_prune",
     "docs_bloom_contamination",
