@@ -33,6 +33,7 @@ QUERIES = [
     "docs_kmeans_prune",
     "docs_source_overlap",
     "docs_modern_corpus",
+    "docs_ccnet_buckets",
 ]
 
 _TABLES = (

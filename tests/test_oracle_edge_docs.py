@@ -78,6 +78,7 @@ DOC_QUERIES = [
     # survive empty/whitespace/tiny docs exactly like the batch path
     "stream_bloom_gate",
     "docs_modern_corpus",
+    "docs_ccnet_buckets",
 ]
 
 EDGE_ROWS = [
