@@ -665,6 +665,23 @@ def ivf_assign(
     at all.  At 100 TB: ``1 + lloyd_iters`` map passes, shuffles
     bounded by n_centroids × dims.
     """
+    cells, C = ivf_train(embs, n_centroids, id_col, vec_col, lloyd_iters)
+    return _ivf_rank_cells(
+        embs, cells, C, rank_limit, id_col, vec_col, emit_cos=emit_cos
+    )
+
+
+def ivf_train(
+    embs: DataFrame,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+):
+    """(cells, C) — the trained IVF centroid set (quantized-integer
+    coordinates), extracted from :func:`ivf_assign` so an index can be
+    trained ONCE, persisted (:func:`save_ivfpq_index`), and probed by
+    later jobs without retraining."""
     import numpy as np
 
     # "the n_centroids lowest-id vectors" literally: orderBy+limit is
@@ -679,7 +696,7 @@ def ivf_assign(
     )
     if len(ids) == 0:
         raise ValueError(
-            "ivf_assign: corpus is empty — cannot seed "
+            "ivf_train: corpus is empty — cannot seed "
             f"{n_centroids} centroids from id column {id_col!r}"
         )
     order = np.argsort(ids)
@@ -703,9 +720,7 @@ def ivf_assign(
             i = cell_index[int(c)]
             for r in rs:
                 C[i, r["pos"]] = np.floor(float(r["s"]) / float(r["cnt"]) + 0.5)
-    return _ivf_rank_cells(
-        embs, cells, C, rank_limit, id_col, vec_col, emit_cos=emit_cos
-    )
+    return cells, C
 
 
 def ivf_topk(
@@ -1257,6 +1272,7 @@ def ivfpq_topk(
     query_pred=None,
     ivf_lloyd_iters: int = 1,
     pq_lloyd_iters: int = 1,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV) — the COMPOSED two-lever ANN:
     IVF cells prune the candidate set (queries × nprobe × occupancy,
@@ -1278,26 +1294,36 @@ def ivfpq_topk(
     """
     import numpy as np
 
-    ranked = iter_checkpoint(
-        ivf_assign(
-            embs,
-            n_centroids,
-            id_col,
-            vec_col,
-            rank_limit=nprobe,
-            lloyd_iters=ivf_lloyd_iters,
-        ),
-        eager=False,
-    )
-    C = pq_train(embs, m_subspaces, ksub, id_col, vec_col, pq_lloyd_iters)
+    if index_path is None:
+        ranked = iter_checkpoint(
+            ivf_assign(
+                embs,
+                n_centroids,
+                id_col,
+                vec_col,
+                rank_limit=nprobe,
+                lloyd_iters=ivf_lloyd_iters,
+            ),
+            eager=False,
+        )
+        C = pq_train(embs, m_subspaces, ksub, id_col, vec_col, pq_lloyd_iters)
+        codes = pq_encode(embs, C, id_col, vec_col)
+        index = (
+            ranked.filter(F.col("cell_rank") == 1)
+            .select(F.col("vid").alias("n_id"), "cell")
+            .join(codes.withColumnRenamed("vid", "n_id"), "n_id")
+        )
+    else:
+        # persisted index (save_ivfpq_index): skip training AND the
+        # full-corpus probe ranking — only the query subset is ranked
+        # against the loaded centroids (strictly less work than the
+        # in-session path, identical results — test-pinned)
+        cells, Civf, C = load_ivfpq_index(embs.sparkSession, index_path)
+        index = embs.sparkSession.read.parquet(f"{index_path}/codes.parquet")
+        pr_src = embs if query_pred is None else embs.filter(query_pred)
+        ranked = _ivf_rank_cells(pr_src, cells, Civf, nprobe, id_col, vec_col)
     Cm = C.astype(np.float64)
     M, _, sub = C.shape
-    codes = pq_encode(embs, C, id_col, vec_col)
-    index = (
-        ranked.filter(F.col("cell_rank") == 1)
-        .select(F.col("vid").alias("n_id"), "cell")
-        .join(codes.withColumnRenamed("vid", "n_id"), "n_id")
-    )
 
     qdf = embs
     if query_pred is not None:
@@ -1373,3 +1399,86 @@ def ivfpq_topk(
         .select("q_id", F.col("n_id").alias("neighbor_id"))
     )
     return _exact_rerank(cand, embs, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Index persistence — train once, probe many
+# ---------------------------------------------------------------------------
+
+
+def save_ivfpq_index(
+    embs: DataFrame,
+    path: str,
+    n_centroids: int = 32,
+    m_subspaces: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_lloyd_iters: int = 1,
+    pq_lloyd_iters: int = 1,
+) -> None:
+    """Persist a trained IVFADC index as three parquet tables under
+    ``path``: ``centroids.parquet`` (cell, cqv — the trained IVF
+    centroid set), ``codebook.parquet`` (m, cell, cv — the PQ
+    sub-codebooks), and ``codes.parquet`` (n_id, cell, codes,
+    recon_nsq — every vector's cell assignment and PQ code).  All
+    coordinates are the exact-integer quantized values, so a
+    load-and-probe reproduces the in-session plan BIT-FOR-BIT
+    (pinned by tests/test_dedup_similarity.py).
+
+    Why: :func:`ivfpq_topk` trains per call — right for one-shot
+    analytics, wasteful for the serve-many-query-batches pattern.  At
+    100 TB the codes table is the big artifact (8-16 bytes/vector,
+    written distributed); centroids and codebook are control-plane
+    sized.  Rebuild the index when the corpus drifts (the same cadence
+    as any ANN system); incremental upserts append to codes.parquet
+    with the EXISTING centroids via :func:`_ivf_rank_cells` +
+    :func:`pq_encode`."""
+    spark = embs.sparkSession
+    cells, Civf = ivf_train(embs, n_centroids, id_col, vec_col, ivf_lloyd_iters)
+    Cpq = pq_train(embs, m_subspaces, ksub, id_col, vec_col, pq_lloyd_iters)
+    assigned = (
+        _ivf_rank_cells(embs, cells, Civf, 1, id_col, vec_col)
+        .filter(F.col("cell_rank") == 1)
+        .select(F.col("vid").alias("n_id"), "cell")
+    )
+    codes = pq_encode(embs, Cpq, id_col, vec_col).withColumnRenamed(
+        "vid", "n_id"
+    )
+    assigned.join(codes, "n_id").write.mode("overwrite").parquet(
+        f"{path}/codes.parquet"
+    )
+    spark.createDataFrame(
+        [(int(cells[i]), [int(v) for v in Civf[i]]) for i in range(len(cells))],
+        "cell long, cqv array<bigint>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    M, K, _sub = Cpq.shape
+    spark.createDataFrame(
+        [
+            (mi, c, [int(v) for v in Cpq[mi][c]])
+            for mi in range(M)
+            for c in range(K)
+        ],
+        "m int, cell int, cv array<bigint>",
+    ).write.mode("overwrite").parquet(f"{path}/codebook.parquet")
+
+
+def load_ivfpq_index(spark, path: str):
+    """(cells, Civf, Cpq) — the control-plane matrices of a persisted
+    index (:func:`save_ivfpq_index`); the codes table stays distributed
+    and is read lazily by :func:`ivfpq_topk`."""
+    import numpy as np
+
+    cent = spark.read.parquet(f"{path}/centroids.parquet").orderBy("cell").collect()
+    if not cent:
+        raise ValueError(f"load_ivfpq_index: no centroids under {path!r}")
+    cells = np.array([r["cell"] for r in cent], dtype=np.int64)
+    Civf = np.array([r["cqv"] for r in cent], dtype=np.float64)
+    cb = spark.read.parquet(f"{path}/codebook.parquet").collect()
+    M = max(r["m"] for r in cb) + 1
+    K = max(r["cell"] for r in cb) + 1
+    sub = len(cb[0]["cv"])
+    Cpq = np.zeros((M, K, sub), dtype=np.float64)
+    for r in cb:
+        Cpq[r["m"], r["cell"]] = r["cv"]
+    return cells, Civf, Cpq

@@ -808,3 +808,41 @@ def test_kmv_overlap_estimator_accuracy(spark):
     assert abs(r["est_union"] - exact_union) < 0.40 * exact_union
     assert abs(r["est_intersection"] - exact_inter) < 0.55 * exact_inter
     assert r["kk"] == 64 and 0 < r["shared"] < 64
+
+
+def test_ivfpq_index_persistence_roundtrip(spark, tmp_path):
+    """save_ivfpq_index -> ivfpq_topk(index_path=...) must reproduce
+    the in-session train-and-probe results BIT-FOR-BIT: the persisted
+    centroid/codebook/code coordinates are the exact integers the
+    direct path computes, and the indexed probe ranks only the query
+    subset."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(16)])
+        for i in range(120)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    kw = dict(
+        k=3, n_centroids=8, nprobe=4, m_subspaces=4, ksub=8,
+        shortlist=16, query_pred=F.col("vec_id") < 20,
+        ivf_lloyd_iters=1, pq_lloyd_iters=1,
+    )
+    direct = {
+        (r["q_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.ivfpq_topk(embs, **kw).collect()
+    }
+    path = str(tmp_path / "ivfpq_index")
+    SIM.save_ivfpq_index(
+        embs, path, n_centroids=8, m_subspaces=4, ksub=8,
+        ivf_lloyd_iters=1, pq_lloyd_iters=1,
+    )
+    indexed = {
+        (r["q_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.ivfpq_topk(embs, **kw, index_path=path).collect()
+    }
+    assert indexed == direct and len(direct) > 0
+
+    cells, Civf, Cpq = SIM.load_ivfpq_index(spark, path)
+    assert len(cells) == 8 and Cpq.shape == (4, 8, 4)
