@@ -545,6 +545,28 @@ def _bloom_prefilter(
     return proj.mapInPandas(gen, out_schema)
 
 
+def save_bloom_bitmap(spark, words: list[int], path: str) -> None:
+    """Persist a Bloom bitmap (the ``bloom_bitmap`` word list) as a
+    (widx, w) parquet table — the train-once-probe-many artifact for a
+    standing decontamination service: build the benchmark bitmap when
+    the eval suite changes, reuse it across every ingest run.  Zero
+    words are elided; :func:`load_bloom_bitmap` restores them."""
+    n_words = len(words)
+    rows = [(i, w, n_words) for i, w in enumerate(words) if w]
+    spark.createDataFrame(
+        rows or [(0, 0, n_words)], "widx int, w long, n_words int"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bloom_bitmap(spark, path: str) -> list[int]:
+    rows = spark.read.parquet(path).collect()
+    words = [0] * rows[0]["n_words"]
+    for r in rows:
+        if r["w"]:
+            words[r["widx"]] = r["w"]
+    return words
+
+
 def bloom_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

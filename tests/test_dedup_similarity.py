@@ -846,3 +846,11 @@ def test_ivfpq_index_persistence_roundtrip(spark, tmp_path):
 
     cells, Civf, Cpq = SIM.load_ivfpq_index(spark, path)
     assert len(cells) == 8 and Cpq.shape == (4, 8, 4)
+
+
+def test_bloom_bitmap_persistence_roundtrip(spark, tmp_path):
+    keys = spark.range(0, 400).select(F.col("id").alias("s"))
+    words = DD.bloom_bitmap(keys, "s")
+    path = str(tmp_path / "bloom")
+    DD.save_bloom_bitmap(spark, words, path)
+    assert DD.load_bloom_bitmap(spark, path) == words
