@@ -439,6 +439,54 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q79_sliding_window",
+    """
+    WITH cov AS (
+      SELECT make_timestamp(
+               (CAST(epoch_us(ts) AS BIGINT) // 900000000 - u.k) * 900000000
+             ) AS win_start,
+             event_type
+      FROM events, unnest(range(4)) AS u(k)
+      WHERE make_timestamp(
+              (CAST(epoch_us(ts) AS BIGINT) // 900000000 - u.k) * 900000000
+            ) > ts - INTERVAL 1 HOUR
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM cov GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    """SLIDING (overlapping) window aggregation — 1-hour windows every
+    15 minutes per event type, the windowing class q15/stream_hourly's
+    tumbling windows don't cover: each event lands in 4 overlapping
+    windows.  Spark's ``F.window(ts, '1 hour', '15 minutes')``
+    replicates each row once per covering window BEFORE the
+    aggregation (epoch-aligned starts, start <= ts < end); the oracle
+    derives the same 4 covering starts arithmetically per event.  The
+    identical expression runs under Structured Streaming with a
+    watermark — sliding state is windows/slide × keys rows.  At
+    100 TB: the ×(len/slide) row replication happens map-side and is
+    immediately collapsed by partial aggregation, so the shuffle
+    carries windows × types rows, not events × 4."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
     "q16_dedup_last_wins",
     """
     SELECT user_id, event_id, event_type,
@@ -7703,6 +7751,7 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # Tier 1 — never driver-sampled (round-7 additions).
     "docs_ccnet_buckets",
+    "q79_sliding_window",
     "docs_modern_corpus",
     "docs_kmeans_prune",
     "docs_bloom_contamination",
