@@ -46,6 +46,11 @@ EVENT_QUERIES = [
     "stream_approx_distinct",
     "q55_funnel",
     "q56_cohort_retention",
+    # round-7: sliding windows (boundary-timestamp events land in
+    # exactly 4 covering windows) and the one-pass profiler (NULL
+    # value/props rows exercise the null counters and -1 sentinels)
+    "q79_sliding_window",
+    "q76_profile_events",
 ]
 
 # (event_id, ts literal, user_id, event_type, value, props)
