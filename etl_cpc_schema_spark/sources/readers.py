@@ -267,6 +267,22 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across SCHEMA-EVOLVED file generations
+    (``mergeSchema``): a long-lived dataset directory accumulates
+    files written under successive schema versions (the reference's
+    monthly re-publishes add columns over the years); the merged read
+    unions the schemas and fills columns absent from older files with
+    NULL.  Spark's default read takes ONE footer's schema — silently
+    DROPPING later columns when an old file is sampled first — so a
+    versioned-dataset consumer must read through this.  Footer
+    merging is a planning-time cost over file metadata only (no data
+    scan); at 100 TB prefer declaring the current contract schema
+    explicitly (``spark.read.schema(...)``) and keep this for the
+    exploratory path.  Pinned by tests/test_sources.py."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def compact_parquet(
     spark: SparkSession, src: str, dest: str, target_files: int = 1
 ) -> int:

@@ -263,3 +263,22 @@ def test_cpczip_datasource_empty_match(spark, tmp_path):
     df = spark.read.format("cpczip").load(str(tmp_path / "nothing-*.zip"))
     assert df.count() == 0
     assert df.columns == ["file_name", "source_file", "line"]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """read_parquet_evolved unions schema generations: v2's new column
+    is present and NULL-filled for v1 rows, and every row from both
+    generations survives."""
+    base = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, "A01B"), (2, "B22F")], "id bigint, symbol string"
+    ).write.parquet(base + "/g=1")
+    spark.createDataFrame(
+        [(3, "C07D", "ACTIVE")], "id bigint, symbol string, status string"
+    ).write.parquet(base + "/g=2")
+
+    df = R.read_parquet_evolved(spark, base)
+    rows = {r["id"]: (r["symbol"], r["status"]) for r in df.collect()}
+    assert set(df.columns) >= {"id", "symbol", "status"}
+    assert rows[1] == ("A01B", None) and rows[3] == ("C07D", "ACTIVE")
+    assert len(rows) == 3
