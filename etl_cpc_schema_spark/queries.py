@@ -3244,6 +3244,65 @@ def ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HARD_NEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, label, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq
+  FROM q
+), scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neg_id, b.label AS neg_label,
+         CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+  FROM n a JOIN n b
+    ON a.vec_id < 32 AND a.vec_id != b.vec_id AND a.label != b.label
+)
+SELECT q_id, neg_id, CAST(neg_label AS BIGINT) AS neg_label, rn AS rank FROM (
+  SELECT q_id, neg_id, neg_label,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id) AS rn
+  FROM scored
+) t WHERE rn <= 3 ORDER BY q_id, rank
+"""
+
+
+@query("docs_hard_negatives", _HARD_NEG_ORACLE)
+def docs_hard_negatives_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector (vec_id < 32), the top-3 MOST SIMILAR vectors
+    with a DIFFERENT label — the near-miss negatives that carry the
+    training signal (random negatives are trivially separable; the
+    standard mining step for dense retrievers and embedding models).
+    The label-mismatch mask applies inside the scoring kernel BEFORE
+    the per-batch prune (``cosine_topk_bruteforce(exclude_match_col=
+    'label')``), so same-label look-alikes never displace genuine
+    negatives from the shortlist.
+
+    Scale shape: the exact brute-force baseline — query set broadcast,
+    corpus streamed through one Arrow/BLAS pass, per-batch top-k
+    prune, tiny final window.  For corpus-scale mining swap the same
+    mask into the bucketed paths (lsh/ivf probe sides), exactly as the
+    exact/approximate pairing works for plain top-k."""
+    embs = _t(spark, sf, "embeddings")
+    queries_df = embs.filter(F.col("vec_id") < 32)
+    out = SIM.cosine_topk_bruteforce(
+        embs, queries_df, k=3, exclude_match_col="label"
+    )
+    lab = embs.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").cast("bigint").alias("neg_label"),
+    )
+    return (
+        out.select(
+            "q_id", F.col("neighbor_id").alias("neg_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .join(lab, "neg_id")
+        .select("q_id", "neg_id", "neg_label", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def _lsh_bucket_terms(planes: int = 8, plane_offset: int = 0) -> str:
     # plane ids are GLOBAL (offset + p) so multi-table oracles draw the
     # same deterministic plane stream as similarity.plane_weight
@@ -7751,6 +7810,7 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # Tier 1 — never driver-sampled (round-7 additions).
     "docs_ccnet_buckets",
+    "docs_hard_negatives",
     "q79_sliding_window",
     "docs_modern_corpus",
     "docs_kmeans_prune",
