@@ -94,6 +94,8 @@ HEADLINE = [
     "docs_source_overlap",
     "q75_recursive_closure",
     "q76_profile_events",
+    "q79_sliding_window",
+    "docs_hard_negatives",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median
