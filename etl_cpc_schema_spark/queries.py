@@ -641,6 +641,44 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q80_bag_set_ops",
+    """
+    WITH a AS (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    ), b AS (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT op, o_orderpriority FROM (
+      SELECT 'intersect' AS op, o_orderpriority
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      UNION ALL
+      SELECT 'except' AS op, o_orderpriority
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    ) t ORDER BY op, o_orderpriority
+    """,
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    """BAG-semantics set operations — INTERSECT ALL (multiplicity
+    min(m_a, m_b)) and EXCEPT ALL (max(0, m_a − m_b)) over the order
+    priority multisets of open vs finished orders.  The planning class
+    q20's distinct EXCEPT doesn't exercise: Spark rewrites the ALL
+    variants into a count-compare aggregate plus ``replicate_rows``
+    Generate (re-expanding each row to its surviving multiplicity),
+    not a semi/anti join.  Multiplicity math is exact-integer, so both
+    engines agree row-for-row.  Scale: one shuffle on the compared
+    columns, counts aggregated map-side; the re-expansion is map-only
+    against the aggregated (distinct-valued) frame."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    both = a.intersectAll(b).select(
+        F.lit("intersect").alias("op"), "o_orderpriority"
+    )
+    only_a = a.exceptAll(b).select(F.lit("except").alias("op"), "o_orderpriority")
+    return both.unionByName(only_a).orderBy("op", "o_orderpriority")
+
+
+@query(
     "q21_running_window",
     """
     SELECT user_id, event_id,
@@ -7812,6 +7850,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_ccnet_buckets",
     "docs_hard_negatives",
     "q79_sliding_window",
+    "q80_bag_set_ops",
     "docs_modern_corpus",
     "docs_kmeans_prune",
     "docs_bloom_contamination",
