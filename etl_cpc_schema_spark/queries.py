@@ -7669,6 +7669,30 @@ def stream_stream_join_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_outer_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           coalesce(c.event_id, -1) AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def stream_outer_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The TENTH streaming class: watermarked LEFT OUTER stream-stream
+    join — null-match rows emit on state EVICTION when the watermark
+    passes a purchase's join window, driven across two micro-batches
+    by a far-future heartbeat sentinel (the production pattern that
+    bounds outer-join latency on quiet streams).  Checked against the
+    batch left interval join; unmatched clicks surface as -1."""
+    from .streaming.ingest import attribution_left_join_stream
+
+    return attribution_left_join_stream(spark, sf)
+
+
+@query(
     "stream_static_join",
     """
     SELECT c.c_mktsegment, count(*) AS n
@@ -7851,6 +7875,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_hard_negatives",
     "q79_sliding_window",
     "q80_bag_set_ops",
+    "stream_outer_join",
     "docs_modern_corpus",
     "docs_kmeans_prune",
     "docs_bloom_contamination",

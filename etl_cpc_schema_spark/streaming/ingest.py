@@ -481,6 +481,93 @@ def attribution_join_stream(
     )
 
 
+def attribution_left_join_stream(
+    spark: SparkSession, events_dir: str, window: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join — the state-EVICTION
+    emission class the inner attribution join doesn't exercise: a
+    purchase with no same-user click in the preceding ``window`` emits
+    its null-match row only when the WATERMARK passes its join window
+    and the engine evicts its state.  Unmatched click_id surfaces as
+    the -1 sentinel (NULL numerics float pandas columns — the repo's
+    standing rule).
+
+    Outer-join mechanics force a multi-batch drive: rows pending at
+    end-of-stream never flush (the watermark only advances on new
+    data), so the source is re-staged as TWO micro-batches — the real
+    events, then one far-future sentinel purchase (user_id −1,
+    filtered from the output) whose only job is to push the watermark
+    past every real row.  That sentinel IS the production shape: a
+    periodic heartbeat event that bounds result latency on quiet
+    streams.  State stays watermark-bounded exactly as in the inner
+    join."""
+    import tempfile
+
+    from ..sources.readers import read_events
+
+    batch = read_events(spark, events_dir)
+    max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    stage = tempfile.mkdtemp(prefix="spark_stream_lj_")
+    batch.repartition(1).write.mode("append").parquet(stage)
+    # one heartbeat per JOIN SIDE: the global watermark is the MIN
+    # across the per-side watermark operators, and each side's
+    # operator sits AFTER its event_type filter — a purchase-only
+    # sentinel leaves the click-side watermark at the last real
+    # click, and purchases inside that final hour never evict
+    # (observed: the stream's last 3 null-matches went missing)
+    far = max_ts + __import__("datetime").timedelta(hours=4)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "purchase", 0.0, None),
+            (-2, far, -1, "click", 0.0, None),
+        ],
+        batch.schema,
+    )
+    sentinel.repartition(1).write.mode("append").parquet(stage)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        "p_user",
+    )
+    out = run_to_memory(joined, "append", "stream_ljoin")
+    shutil.rmtree(stage, ignore_errors=True)
+    return (
+        out.filter(F.col("p_user") >= 0)
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    )
+
+
 def approx_distinct_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Windowed APPROX-DISTINCT through the streaming engine: a
     DataSketches HLL sketch (``hll_sketch_agg`` — the same sketch
