@@ -96,6 +96,10 @@ INSPECT = [
     "q75_recursive_closure",
     "q78_lateral_topk",
     "docs_modern_corpus",
+    "docs_ccnet_buckets",
+    "docs_hard_negatives",
+    "q79_sliding_window",
+    "q80_bag_set_ops",
 ]
 
 CHECKS = {
