@@ -34,6 +34,11 @@ QUERIES = [
     "docs_source_overlap",
     "docs_modern_corpus",
     "docs_ccnet_buckets",
+    # bag-semantics multiplicities, kernel-masked hard negatives, and
+    # overlapping-window replication are all order-sensitive-LOOKING
+    "q80_bag_set_ops",
+    "docs_hard_negatives",
+    "q79_sliding_window",
 ]
 
 _TABLES = (
