@@ -104,6 +104,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_match_col: str | None = None,
+    require_match_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors (cosine) of each query vector.
 
@@ -112,8 +113,10 @@ def cosine_topk_bruteforce(
     ``exclude_match_col`` names an attribute column (present on BOTH
     frames) whose value must DIFFER between query and neighbor — the
     hard-negative-mining contract: "most similar vectors with a
-    different label".  The mask applies inside the kernel, BEFORE the
-    per-batch prune, so excluded rows never displace real candidates.
+    different label".  ``require_match_col`` is the mirror constraint
+    (value must MATCH — positive mining).  Either mask applies inside
+    the kernel, BEFORE the per-batch prune, so filtered rows never
+    displace real candidates.
 
     Physical shape: the query set is the build side (collected +
     broadcast as a numpy matrix); the corpus STREAMS through an
@@ -122,11 +125,17 @@ def cosine_topk_bruteforce(
     ranking.  Quantized-integer math keeps every cosine bit-identical
     to the sequential SQL formulation (see ``_np_quantize``).
     """
+    if exclude_match_col is not None and require_match_col is not None:
+        raise ValueError(
+            "pass exclude_match_col OR require_match_col, not both"
+        )
+    attr_col = exclude_match_col or require_match_col
+    keep_equal = require_match_col is not None
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
     q_attr = None
-    if exclude_match_col is not None:
-        qpdf = queries.select(id_col, exclude_match_col).toPandas()
-        by_id = dict(zip(qpdf[id_col], qpdf[exclude_match_col]))
+    if attr_col is not None:
+        qpdf = queries.select(id_col, attr_col).toPandas()
+        by_id = dict(zip(qpdf[id_col], qpdf[attr_col]))
         q_attr = [by_id[i] for i in q_ids]
     schema = "q_id long, neighbor_id long, cos double"
     scale = float(_SCALE)  # captured by value — keeps the stream side in
@@ -141,11 +150,7 @@ def cosine_topk_bruteforce(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            attr = (
-                pdf[exclude_match_col].to_numpy()
-                if exclude_match_col is not None
-                else None
-            )
+            attr = pdf[attr_col].to_numpy() if attr_col is not None else None
             mat = np.floor(
                 np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
             )
@@ -158,7 +163,9 @@ def cosine_topk_bruteforce(
                 col = cos[:, j]
                 mask = ids != q_ids[j]
                 if attr is not None:
-                    mask &= attr != q_attr[j]
+                    mask &= (
+                        (attr == q_attr[j]) if keep_equal else (attr != q_attr[j])
+                    )
                 cand = np.flatnonzero(mask)
                 if len(cand) > k:
                     # per-batch prune: keep k best (ties resolved later)
@@ -169,9 +176,7 @@ def cosine_topk_bruteforce(
                 out_c.extend(col[cand].tolist())
             yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "cos": out_c})
 
-    in_cols = [id_col, vec_col] + (
-        [exclude_match_col] if exclude_match_col is not None else []
-    )
+    in_cols = [id_col, vec_col] + ([attr_col] if attr_col is not None else [])
     scored = embs.select(*in_cols).mapInPandas(score, schema)
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

@@ -3341,6 +3341,55 @@ def docs_hard_negatives_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TRIPLETS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, label, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq
+  FROM q
+), scored AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         a.label = b.label AS same,
+         CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+  FROM n a JOIN n b ON a.vec_id < 32 AND a.vec_id != b.vec_id
+), best AS (
+  SELECT anchor_id, cand_id, same,
+         row_number() OVER (PARTITION BY anchor_id, same
+                            ORDER BY cos DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT p.anchor_id, p.cand_id AS positive_id, g.cand_id AS negative_id
+FROM (SELECT * FROM best WHERE same AND rn = 1) p
+JOIN (SELECT * FROM best WHERE NOT same AND rn = 1) g USING (anchor_id)
+ORDER BY anchor_id
+"""
+
+
+@query("docs_triplets", _TRIPLETS_ORACLE)
+def docs_triplets_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-triplet assembly for contrastive objectives: for each
+    anchor (vec_id < 32), the nearest SAME-label vector (positive) and
+    the nearest DIFFERENT-label vector (the hard negative) — the
+    (anchor, positive, negative) rows a triplet/InfoNCE loss consumes.
+    Two kernel-masked exact scoring passes
+    (``require_match_col`` / ``exclude_match_col``) joined on the
+    anchor; anchors whose label has no second member drop (no
+    positive exists), identically in both engines.  Scale: two
+    query-bounded Arrow/BLAS passes + one anchor-keyed join of
+    two ≤|queries|-row frames."""
+    embs = _t(spark, sf, "embeddings")
+    anchors = embs.filter(F.col("vec_id") < 32)
+    pos = SIM.cosine_topk_bruteforce(
+        embs, anchors, k=1, require_match_col="label"
+    ).select(F.col("q_id").alias("anchor_id"), F.col("neighbor_id").alias("positive_id"))
+    neg = SIM.cosine_topk_bruteforce(
+        embs, anchors, k=1, exclude_match_col="label"
+    ).select(F.col("q_id").alias("anchor_id"), F.col("neighbor_id").alias("negative_id"))
+    return pos.join(neg, "anchor_id").orderBy("anchor_id")
+
+
 def _lsh_bucket_terms(planes: int = 8, plane_offset: int = 0) -> str:
     # plane ids are GLOBAL (offset + p) so multi-table oracles draw the
     # same deterministic plane stream as similarity.plane_weight
@@ -7873,6 +7922,7 @@ _DRIVER_PRIORITY: list[str] = [
     # Tier 1 — never driver-sampled (round-7 additions).
     "docs_ccnet_buckets",
     "docs_hard_negatives",
+    "docs_triplets",
     "q79_sliding_window",
     "q80_bag_set_ops",
     "stream_outer_join",
