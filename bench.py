@@ -96,6 +96,8 @@ HEADLINE = [
     "q76_profile_events",
     "q79_sliding_window",
     "docs_hard_negatives",
+    # entity resolution: deletion-neighborhood blocked fuzzy join
+    "q81_fuzzy_join",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median

@@ -679,6 +679,42 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q81_fuzzy_join",
+    """
+    SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey <> b.c_custkey
+    WHERE a.c_custkey < 256
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY left_id, right_id
+    """,
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution class — blocked edit-distance (fuzzy) join:
+    customer names within Levenshtein distance 1 of each probe
+    customer (c_custkey < 256).  The oracle states the textbook form —
+    a quadratic theta-join with the distance in the predicate; the
+    Spark side runs operators/linkage.edit_distance_join: explode each
+    name into its |s|+1 single-deletion variants (codegen
+    transform/sequence, no Python), ONE hash equi-join on the variant
+    string, distinct the candidate pairs, then verify levenshtein on
+    candidates only.  Candidate volume is O(n·L) where the oracle's is
+    O(n²) — the plan the plan-guard suite requires (no CartesianProduct
+    / BNLJ) and the shape that survives 100 TB.  Recall is exact for
+    d<=1 (a substitution shares the deletion-at-that-position variant;
+    an insertion makes one string a member of the other's
+    neighborhood), and the verify step restores precision for the
+    shared-variant false positives ("ab"/"ba")."""
+    from .operators import linkage as LK
+
+    cust = _t(spark, sf, "customer")
+    probes = cust.filter(F.col("c_custkey") < 256)
+    return LK.edit_distance_join(
+        probes, cust, "c_custkey", "c_custkey", "c_name"
+    ).orderBy("left_id", "right_id")
+
+
+@query(
     "q21_running_window",
     """
     SELECT user_id, event_id,
@@ -7920,6 +7956,7 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 #: sample cuts off, it drops the queries whose code is oldest-stable.
 _DRIVER_PRIORITY: list[str] = [
     # Tier 1 — never driver-sampled (round-7 additions).
+    "q81_fuzzy_join",
     "docs_ccnet_buckets",
     "docs_hard_negatives",
     "docs_triplets",

@@ -39,6 +39,9 @@ QUERIES = [
     "q80_bag_set_ops",
     "docs_hard_negatives",
     "q79_sliding_window",
+    # variant-blocked candidate generation LOOKS row-order sensitive
+    # (explode + self-join + distinct) but must not be
+    "q81_fuzzy_join",
 ]
 
 _TABLES = (

@@ -100,6 +100,7 @@ INSPECT = [
     "docs_hard_negatives",
     "q79_sliding_window",
     "q80_bag_set_ops",
+    "q81_fuzzy_join",
 ]
 
 CHECKS = {
