@@ -76,6 +76,10 @@ OPERATORS = [
     # the modern-stack end-to-end composite (gates -> bloom decontam
     # -> packing): every stage linear, so the composition must be too
     "docs_modern_corpus",
+    # entity resolution: FULL fuzzy self-join (every row a probe) —
+    # variant-key occupancy over dense id-derived strings is bounded
+    # by alphabet x positions, so candidates are O(n · L), not O(n²)
+    "q81_fuzzy_join_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -203,17 +207,45 @@ def main() -> int:
         m_bits = 1 << max(16, (16 * max(n_sh, 1) - 1).bit_length())
         return DD.bloom_contamination(corpus, bench, n=3, m_bits=m_bits)
 
+    def _fuzzy_join_scaled(spark, sf_dir):
+        # the production shape: EVERY row is a probe (full fuzzy
+        # self-join).  Names are dense id-derived strings, so each
+        # single-deletion variant key is shared by at most
+        # alphabet × positions strings — candidate volume O(n · L)
+        # with no frequency cap needed; an accidental theta-join
+        # would be O(n²) and fail the gate loudly.
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators.linkage import (
+            edit_distance_join,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.format_string("d%07d", F.col("doc_id")).alias("name"),
+        )
+        return edit_distance_join(d, d, "doc_id", "doc_id", "name")
+
     extra = {
         "ann_knn_join_scaled": _knn_scaled,
         "ann_ivfpq_topk_scaled": _ivfpq_scaled,
         "docs_semdedup_scaled": _semdedup_scaled,
         "docs_kmeans_prune_scaled": _kmeans_prune_scaled,
         "docs_bloom_contamination_scaled": _bloom_contamination_scaled,
+        "q81_fuzzy_join_scaled": _fuzzy_join_scaled,
     }
+
+    # subset mode: name substrings on argv run only matching operators
+    # and MERGE into the existing SCALE_BENCH.json (other entries kept
+    # verbatim) — adding one curve must not re-time seventeen others.
+    filters = sys.argv[1:]
+    selected = [
+        n for n in OPERATORS if not filters or any(f in n for f in filters)
+    ]
 
     results: dict[str, dict] = {}
     ok = True
-    for name in OPERATORS:
+    for name in selected:
         fn = Q.SPARK_QUERIES.get(name) or extra[name]
         times: dict[str, float] = {}
         rows: dict[str, int] = {}
@@ -251,14 +283,23 @@ def main() -> int:
         )
     spark.stop()
 
+    path = os.path.join(REPO, "SCALE_BENCH.json")
+    merged = results
+    if filters and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh).get("operators", {})
+        prior.update(results)
+        merged = prior
+        ok = all(v.get("pass") for v in merged.values())
+
     out = {
         "factors": FACTORS,
         "base_rows": {"documents": 5000, "embeddings": 2000},
         "runs_per_point": RUNS,
-        "operators": results,
+        "operators": merged,
         "all_subquadratic": ok,
     }
-    with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as fh:
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps({"all_subquadratic": ok}))
     return 0 if ok else 1
