@@ -98,6 +98,10 @@ HEADLINE = [
     "docs_hard_negatives",
     # entity resolution: deletion-neighborhood blocked fuzzy join
     "q81_fuzzy_join",
+    # graph analytics: degree-oriented compact-forward triangles over
+    # the part co-order graph (~35M wedges at sf0.1 — the board's
+    # heaviest entry, and honestly so)
+    "q82_triangle_counts",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median

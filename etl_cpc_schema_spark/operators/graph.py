@@ -1,0 +1,128 @@
+"""Graph analytics: co-occurrence edges and triangle counting.
+
+Triangle counting is the canonical "join-shaped graph algorithm": the
+naive form joins the edge table with itself twice and counts closures
+— correct, but the wedge (2-path) volume is Σ deg(v)², which a few
+celebrity vertices turn quadratic at 100 TB.
+
+The scale shape here is **degree-oriented compact-forward** (Latapy
+2008; the shape MapReduce/Cyclone-style systems use): orient every
+edge from its lower-(degree, id) endpoint to the higher one, generate
+wedges only at each arc's SOURCE, and close them against the oriented
+arc set.  Every triangle is then found exactly once (at its
+lowest-(degree, id) corner), and the wedge volume drops from
+Σ deg(v)² to Σ outdeg(v)² where outdeg(v) = O(√m) on any graph
+(arboricity bound) — the difference between a star vertex emitting
+deg² wedges and emitting none.
+
+Everything is equi-joins and aggregations on integer keys — no
+Python, no state, three shuffle keys (edge canonicalization, the
+wedge join's source vertex, the closing join's (b, c) pair), each
+AQE-sized.  The closing join is candidate-bounded: wedges, never
+vertex².
+
+`cooccurrence_edges` builds the standard market-basket graph (items
+co-occurring within a group) with the group-size cap as the fan-out
+lever: a group of g items emits C(g, 2) edges, so one degenerate
+basket (a crawler session, a bulk order) is the quadratic hot spot —
+`max_group_size` drops groups past the cap, the same documented
+bounded-recall trade as `max_doc_freq` in the n-gram dedup path.
+
+No analog in the reference (its only graph-shaped work is the parent
+hierarchy walk, reference validator.py:161-174); this opens the graph
+family next to connected components (operators/components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cooccurrence_edges", "triangle_counts"]
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Undirected co-occurrence edges ``(u, v)`` with ``u < v``: one
+    row per distinct item pair appearing together in at least one
+    group.  A group of g distinct items emits C(g, 2) pairs before
+    the cross-group ``distinct``; ``max_group_size`` drops groups
+    larger than the cap (the degenerate-basket lever)."""
+    g = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_group_size is not None:
+        big = (
+            g.groupBy("_g")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_group_size)
+            .select("_g")
+        )
+        g = g.join(big, "_g", "left_anti")
+    a = g.select("_g", F.col("_i").alias("u"))
+    b = g.select("_g", F.col("_i").alias("v"))
+    return (
+        a.join(b, "_g")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected
+    simple graph: ``(node, triangles)``, one row per vertex in at
+    least one triangle.  ``edges`` needs columns ``u``/``v``; rows
+    are canonicalized (self-loops dropped, (u,v)/(v,u) deduped), so
+    any edge list is accepted.
+
+    Each triangle contributes exactly +1 to each of its three
+    corners: it is enumerated once, at its lowest-(degree, id)
+    corner, by the compact-forward orientation (module docstring)."""
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge toward the higher-(degree, id) endpoint,
+    # carrying the target's rank so the wedge join can order its two
+    # far endpoints without re-joining degrees
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
+        F.col("dv").alias("d"), F.col("v").alias("n")
+    )
+    arcs = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # wedges at the source: two arcs out of a, far ends ordered by
+    # (degree, id) to match the closing arc's own orientation
+    e1 = arcs.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    e2 = arcs.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = e1.join(e2, "a").filter(
+        F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+        < F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    )
+    closing = arcs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
+    return (
+        tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )

@@ -715,6 +715,45 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q82_triangle_counts",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) t GROUP BY node ORDER BY node
+    """,
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph-analytics class — per-vertex triangle counts over the
+    part co-order graph (parts appearing in the same order are
+    adjacent; the market-basket graph from
+    operators/graph.cooccurrence_edges).  The oracle states the
+    textbook id-ordered 3-way edge self-join; the Spark side runs
+    operators/graph.triangle_counts — DEGREE-ORIENTED compact-forward
+    enumeration, where wedges are generated only at each arc's
+    lower-(degree, id) endpoint, so wedge volume is Σ outdeg² with
+    outdeg = O(√m) instead of the Σ deg² a celebrity vertex turns
+    quadratic.  Both enumerate every triangle exactly once, so the
+    corner counts agree row-for-row.  All integer equi-joins and
+    aggregations, zero Python, zero CartesianProduct."""
+    from .operators import graph as GR
+
+    li = _t(spark, sf, "lineitem")
+    edges = GR.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return GR.triangle_counts(edges).orderBy("node")
+
+
+@query(
     "q21_running_window",
     """
     SELECT user_id, event_id,
@@ -7957,6 +7996,7 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # Tier 1 — never driver-sampled (round-7 additions).
     "q81_fuzzy_join",
+    "q82_triangle_counts",
     "docs_ccnet_buckets",
     "docs_hard_negatives",
     "docs_triplets",

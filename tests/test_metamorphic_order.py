@@ -42,6 +42,10 @@ QUERIES = [
     # variant-blocked candidate generation LOOKS row-order sensitive
     # (explode + self-join + distinct) but must not be
     "q81_fuzzy_join",
+    # degree-oriented triangle enumeration depends on a (degree, id)
+    # ranking — the orientation must come out identical under any
+    # row order or partitioning
+    "q82_triangle_counts",
 ]
 
 _TABLES = (

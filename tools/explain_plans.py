@@ -101,6 +101,7 @@ INSPECT = [
     "q79_sliding_window",
     "q80_bag_set_ops",
     "q81_fuzzy_join",
+    "q82_triangle_counts",
 ]
 
 CHECKS = {
