@@ -80,6 +80,10 @@ OPERATORS = [
     # variant-key occupancy over dense id-derived strings is bounded
     # by alphabet x positions, so candidates are O(n · L), not O(n²)
     "q81_fuzzy_join_scaled",
+    # graph analytics: triangle counting over a synthetic basket
+    # graph whose group count grows with n (occupancy ~8 held
+    # constant) — degree stays O(1), so wedge volume is O(n · d²)
+    "q82_triangles_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -226,6 +230,39 @@ def main() -> int:
         )
         return edit_distance_join(d, d, "doc_id", "doc_id", "name")
 
+    def _triangles_scaled(spark, sf_dir):
+        # each doc joins 2 hash-assigned baskets; basket count ∝ n
+        # holds expected occupancy ~8 (so per-basket edge fan-out
+        # C(8,2) and vertex degree stay O(1) as the corpus grows) —
+        # the same dilution lever as LSH bands / IVF cells.  Fixed
+        # basket count would grow occupancy linearly and the wedge
+        # join quadratically.
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators.graph import (
+            cooccurrence_edges,
+            triangle_counts,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = d.count()
+        n_groups = max(64, n // 4)
+        members = d.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("doc_id"), F.lit(i)),
+                            F.lit(n_groups),
+                        )
+                        for i in range(2)
+                    ]
+                )
+            ).alias("g"),
+            "doc_id",
+        )
+        return triangle_counts(cooccurrence_edges(members, "g", "doc_id"))
+
     extra = {
         "ann_knn_join_scaled": _knn_scaled,
         "ann_ivfpq_topk_scaled": _ivfpq_scaled,
@@ -233,6 +270,7 @@ def main() -> int:
         "docs_kmeans_prune_scaled": _kmeans_prune_scaled,
         "docs_bloom_contamination_scaled": _bloom_contamination_scaled,
         "q81_fuzzy_join_scaled": _fuzzy_join_scaled,
+        "q82_triangles_scaled": _triangles_scaled,
     }
 
     # subset mode: name substrings on argv run only matching operators
