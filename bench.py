@@ -102,6 +102,8 @@ HEADLINE = [
     # the part co-order graph (~35M wedges at sf0.1 — the board's
     # heaviest entry, and honestly so)
     "q82_triangle_counts",
+    # TextRank: per-doc integer PageRank (3 iterations of join+agg)
+    "text_textrank",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median

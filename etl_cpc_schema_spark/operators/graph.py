@@ -35,10 +35,12 @@ family next to connected components (operators/components.py).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_edges", "triangle_counts"]
+__all__ = ["cooccurrence_edges", "pagerank", "triangle_counts"]
 
 
 def cooccurrence_edges(
@@ -72,6 +74,75 @@ def cooccurrence_edges(
         .select("u", "v")
         .distinct()
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    group_cols: Sequence[str] = (),
+    unit: int = 1_000_000,
+    damping_milli: int = 850,
+) -> DataFrame:
+    """Fixed-iteration damped PageRank over directed edges ``u -> v``
+    (duplicates deduped, self-loops dropped), optionally one
+    independent graph per ``group_cols`` value (e.g. per document for
+    TextRank).  Returns ``(*group_cols, node, rank)`` with ranks in
+    EXACT integer micro-units:
+
+        rank' = unit·(1000−d)//1000 + (d · Σ_{u→v} rank_u // outdeg_u) // 1000
+
+    — every step is integer multiplication and floor division, so two
+    engines computing it independently agree bit-for-bit (the same
+    determinism discipline as the quantized vector math in
+    functions/vectors.py; float PageRank is NOT cross-engine stable).
+    Dangling mass (nodes without out-edges) is dropped, as both
+    engines state it identically.
+
+    Scale shape: per iteration one equi-join of edges with ranks on
+    the source key, one aggregation on the destination key, one
+    node-table left join — all shuffles keyed on (group, node), so a
+    co-partitioned layout (or bucketed edge/node tables) reuses one
+    exchange across all iterations.  ``iterations`` is a fixed small
+    constant: lineage stays shallow, no checkpoint needed (contrast
+    the until-convergence loop in operators/components.py, which
+    checkpoints per round via iterutils)."""
+    gc = list(group_cols)
+    e = (
+        edges.select(*gc, "u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(*gc, F.col("u").alias("node"))
+        .union(e.select(*gc, F.col("v").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(*gc, "u").agg(F.count("*").alias("_od"))
+    base = unit * (1000 - damping_milli) // 1000
+    ranks = nodes.withColumn("rank", F.lit(unit).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(outdeg, [*gc, "u"])
+            .join(
+                ranks.withColumnRenamed("node", "u").withColumnRenamed(
+                    "rank", "_ru"
+                ),
+                [*gc, "u"],
+            )
+            .select(*gc, F.col("v").alias("node"), F.expr("_ru div _od").alias("_sh"))
+            .groupBy(*gc, "node")
+            .agg(F.sum("_sh").alias("_c"))
+        )
+        ranks = nodes.join(contrib, [*gc, "node"], "left").select(
+            *gc,
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_milli} * coalesce(_c, 0L)) div 1000")
+            ).cast("bigint").alias("rank"),
+        )
+    return ranks
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

@@ -4927,6 +4927,93 @@ def text_url_domains_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _textrank_oracle(iters: int = 3) -> str:
+    """Unrolled per-document integer PageRank (same pattern as the
+    unrolled PQ codebook oracle): r0 = 1e6 micro-units, then
+    r' = 150000 + (850 · Σ r_u // outdeg_u) // 1000 per iteration.
+    DuckDB's SUM widens to exact HUGEINT internally; the final CAST
+    emits BIGINT, satisfying the output type gate."""
+    head = f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+pairs AS (
+  SELECT DISTINCT doc_id, t[i+1] AS u, t[i+2] AS v
+  FROM tk, UNNEST(range(greatest(len(t)-1, 0))) AS r(i)
+  WHERE t[i+1] <> t[i+2]
+),
+nodes AS (
+  SELECT doc_id, u AS node FROM pairs UNION SELECT doc_id, v FROM pairs
+),
+od AS (SELECT doc_id, u, count(*) AS od FROM pairs GROUP BY doc_id, u),
+r0 AS (SELECT doc_id, node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+c{k} AS (
+  SELECT p.doc_id, p.v AS node, SUM(r.r // o.od) AS c
+  FROM pairs p
+  JOIN od o ON o.doc_id = p.doc_id AND o.u = p.u
+  JOIN r{k - 1} r ON r.doc_id = p.doc_id AND r.node = p.u
+  GROUP BY p.doc_id, p.v
+),
+r{k} AS (
+  SELECT n.doc_id, n.node, 150000 + (850 * coalesce(c.c, 0)) // 1000 AS r
+  FROM nodes n LEFT JOIN c{k} c ON c.doc_id = n.doc_id AND c.node = n.node
+)""")
+    tail = f"""
+SELECT doc_id, node AS token, CAST(r AS BIGINT) AS score, rn AS kw_rank FROM (
+  SELECT doc_id, node, r,
+         row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, node) AS rn
+  FROM r{iters}
+) t WHERE rn <= 3 ORDER BY doc_id, kw_rank
+"""
+    return head + "".join(steps) + tail
+
+
+@query("text_textrank", _textrank_oracle())
+def text_textrank_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): per-doc
+    top-3 tokens by PageRank over the word-adjacency graph — the
+    graph-based complement to text_keywords' TF-IDF salience.  Runs
+    operators/graph.pagerank grouped by doc_id with EXACT integer
+    micro-unit arithmetic (floor-div shares, milli-damping), so the
+    Spark iteration and the oracle's unrolled CTE chain agree
+    bit-for-bit — float PageRank would not be cross-engine stable.
+    Scale shape: all iteration shuffles key on (doc_id, token);
+    ranks never leave their document, so the work is one corpus-scan
+    plus iterations × (join + agg) at corpus-token volume, and a
+    bucketed layout on doc_id makes the loop exchange-free."""
+    from .operators import graph as GR
+
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS u, t[i+1] AS v))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.u", "p.v")
+    ranks = GR.pagerank(pairs, iterations=3, group_cols=["doc_id"])
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("rank").desc(), F.col("node")
+    )
+    return (
+        ranks.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("node").alias("token"),
+            F.col("rank").alias("score"),
+            F.col("kw_rank").cast("bigint").alias("kw_rank"),
+        )
+        .orderBy("doc_id", "kw_rank")
+    )
+
+
 @query(
     "text_repetition",
     f"""
@@ -7997,6 +8084,7 @@ _DRIVER_PRIORITY: list[str] = [
     # Tier 1 — never driver-sampled (round-7 additions).
     "q81_fuzzy_join",
     "q82_triangle_counts",
+    "text_textrank",
     "docs_ccnet_buckets",
     "docs_hard_negatives",
     "docs_triplets",

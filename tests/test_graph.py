@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from etl_cpc_schema_spark.operators.graph import (
     cooccurrence_edges,
+    pagerank,
     triangle_counts,
 )
 
@@ -97,6 +98,46 @@ def test_cooccurrence_edges_and_cap(spark):
         ).collect()
     }
     assert capped == {(1, 2), (1, 3), (2, 3), (2, 5)}
+
+
+def _ranks(spark, pairs, **kw):
+    out = pagerank(_edges(spark, pairs), **kw)
+    return {r.node: r.rank for r in out.collect()}
+
+
+def test_pagerank_hand_computed_exact_integers(spark):
+    # 1->2, 1->3, 2->1; node 3 dangling.  By hand in micro-units:
+    # iter1 r = (1_000_000, 575_000, 575_000)
+    # iter3 r = (  638_750, 421_468, 421_468)
+    e = [(1, 2), (1, 3), (2, 1)]
+    assert _ranks(spark, e, iterations=1) == {
+        1: 1_000_000, 2: 575_000, 3: 575_000,
+    }
+    assert _ranks(spark, e, iterations=3) == {
+        1: 638_750, 2: 421_468, 3: 421_468,
+    }
+
+
+def test_pagerank_dedup_and_selfloop_ignored(spark):
+    # duplicate edges and a self-loop must not inflate out-degrees
+    e = [(1, 2), (1, 2), (1, 3), (2, 1), (1, 1)]
+    assert _ranks(spark, e, iterations=3) == {
+        1: 638_750, 2: 421_468, 3: 421_468,
+    }
+
+
+def test_pagerank_groups_are_independent(spark):
+    rows = [
+        ("A", 1, 2), ("A", 1, 3), ("A", 2, 1),
+        ("B", 1, 2), ("B", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, u bigint, v bigint")
+    out = pagerank(df, iterations=3, group_cols=["g"]).collect()
+    got = {(r.g, r.node): r.rank for r in out}
+    # group A = the hand-computed graph; group B = a symmetric 2-cycle
+    # (each node keeps the full unit: 150000 + 850*1e6//1000)
+    assert got[("A", 1)] == 638_750 and got[("A", 3)] == 421_468
+    assert got[("B", 1)] == 1_000_000 and got[("B", 2)] == 1_000_000
 
 
 def test_edges_then_triangles_composition(spark):

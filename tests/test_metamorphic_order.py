@@ -46,6 +46,9 @@ QUERIES = [
     # ranking — the orientation must come out identical under any
     # row order or partitioning
     "q82_triangle_counts",
+    # iterative integer propagation: per-doc PageRank must converge
+    # to the same micro-unit values under any partitioning
+    "text_textrank",
 ]
 
 _TABLES = (

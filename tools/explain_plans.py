@@ -102,6 +102,7 @@ INSPECT = [
     "q80_bag_set_ops",
     "q81_fuzzy_join",
     "q82_triangle_counts",
+    "text_textrank",
 ]
 
 CHECKS = {
