@@ -140,6 +140,53 @@ def test_pagerank_groups_are_independent(spark):
     assert got[("B", 1)] == 1_000_000 and got[("B", 2)] == 1_000_000
 
 
+def test_hypothesis_pagerank_matches_reference_model(spark):
+    # the distributed integer recurrence must agree with a
+    # straight-line dict-loop reference on arbitrary small digraphs —
+    # batched into ONE Spark run via the group column (each generated
+    # graph is its own group, and groups are independent by the
+    # grouped-pagerank contract tested above).
+    from hypothesis import given, settings, strategies as st
+
+    node = st.integers(min_value=0, max_value=7)
+    graph = st.lists(st.tuples(node, node), min_size=1, max_size=14)
+
+    def _model(pairs, iters=3, unit=1_000_000, d=850):
+        es = sorted({(u, v) for u, v in pairs if u != v})
+        nodes = sorted({n for e in es for n in e})
+        out: dict[int, int] = {}
+        for u, _ in es:
+            out[u] = out.get(u, 0) + 1
+        r = {n: unit for n in nodes}
+        base = unit * (1000 - d) // 1000
+        for _ in range(iters):
+            c = {n: 0 for n in nodes}
+            for u, v in es:
+                c[v] += r[u] // out[u]
+            r = {n: base + d * c[n] // 1000 for n in nodes}
+        return r
+
+    graphs: list[list[tuple[int, int]]] = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(graph)
+    def _collect(pairs):
+        graphs.append(pairs)
+
+    _collect()
+    rows = [
+        (gi, u, v) for gi, pairs in enumerate(graphs) for u, v in pairs
+    ]
+    df = spark.createDataFrame(rows, "g bigint, u bigint, v bigint")
+    out = pagerank(df, iterations=3, group_cols=["g"]).collect()
+    got: dict[int, dict[int, int]] = {}
+    for r in out:
+        got.setdefault(r.g, {})[r.node] = r.rank
+    for gi, pairs in enumerate(graphs):
+        want = _model(pairs)
+        assert got.get(gi, {}) == want, f"graph {gi}: {pairs}"
+
+
 def test_edges_then_triangles_composition(spark):
     # two baskets sharing two items close a triangle only when some
     # basket holds all three pairwise edges

@@ -102,6 +102,60 @@ def test_max_dist_validated(spark):
         )
 
 
+def test_hypothesis_brute_force_parity_random_strings(spark):
+    # random short strings over a 3-letter-plus-unicode alphabet,
+    # compared against a pure-Python O(n²) Levenshtein reference —
+    # one batched Spark run over many generated corpora (per-example
+    # Spark jobs would be prohibitively slow under hypothesis).
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = "abĉ"
+    word = st.text(alphabet=alphabet, min_size=0, max_size=4)
+
+    def _lev(x: str, y: str) -> int:
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (cx != cy),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    corpora: list[list[str]] = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(word, min_size=2, max_size=8))
+    def _collect(words):
+        corpora.append(words)
+
+    _collect()
+    # ONE Spark run over every corpus: rows get a doubled-character
+    # corpus tag prefix (tag chars never appear in the word alphabet;
+    # producing another tag's two chars needs two edits), so
+    # cross-corpus distances are always >= 2 and within-corpus
+    # distances are unchanged by the shared prefix — corpora cannot
+    # contaminate each other's pairs.
+    assert len(corpora) <= 40
+    rows, want = [], set()
+    for ci, words in enumerate(corpora):
+        tag = chr(48 + ci) * 2
+        ids = [(1000 * ci + j, w) for j, w in enumerate(words)]
+        rows.extend((i, tag + w) for i, w in ids)
+        want |= {
+            (i, j, _lev(a, b))
+            for i, a in ids
+            for j, b in ids
+            if i != j and _lev(a, b) <= 1
+        }
+    assert _pairs(spark, rows, rows) == want
+
+
 def test_deletion_variants_expression(spark):
     row = spark.range(1).select(
         deletion_variants("'aab'").alias("v")
