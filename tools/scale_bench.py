@@ -84,6 +84,10 @@ OPERATORS = [
     # graph whose group count grows with n (occupancy ~8 held
     # constant) — degree stays O(1), so wedge volume is O(n · d²)
     "q82_triangles_scaled",
+    # iterative grouped PageRank: per-doc word graphs are
+    # corpus-size-independent, so 3 iterations of join+agg grow
+    # linearly with the document count (registry parameters)
+    "text_textrank",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
