@@ -99,6 +99,13 @@ def pagerank(
     Dangling mass (nodes without out-edges) is dropped, as both
     engines state it identically.
 
+    Overflow envelope: a destination's contribution sum is bounded by
+    (its in-degree) × unit, and the damping multiply by 1000 × that —
+    with the default unit=1e6 the int64 ceiling is reached only past
+    ~10^10 in-edges on ONE vertex.  For such graphs lower ``unit``
+    (ranks are ratios; precision scales with it) — stated rather than
+    silently wrapped.
+
     Scale shape: per iteration one equi-join of edges with ranks on
     the source key, one aggregation on the destination key, one
     node-table left join — all shuffles keyed on (group, node), so a
