@@ -99,10 +99,13 @@ def pagerank(
     Dangling mass (nodes without out-edges) is dropped, as both
     engines state it identically.
 
-    Overflow envelope: a destination's contribution sum is bounded by
-    (its in-degree) × unit, and the damping multiply by 1000 × that —
-    with the default unit=1e6 the int64 ceiling is reached only past
-    ~10^10 in-edges on ONE vertex.  For such graphs lower ``unit``
+    Overflow envelope: total rank mass is non-increasing (each round
+    emits at most base + d/1000 of the previous mass per node), so
+    any vertex's contribution sum is bounded by the INITIAL total
+    mass, nodes × unit — iteration count and topology (funnels, hubs)
+    cannot push it past that.  The damping multiply needs
+    1000 × nodes × unit < 2^63: with the default unit=1e6 that is
+    ~10^9 vertices per group.  For larger graphs lower ``unit``
     (ranks are ratios; precision scales with it) — stated rather than
     silently wrapped.
 

@@ -78,9 +78,10 @@ def edit_distance_join(
     max_dist: int = 1,
     max_variant_freq: int | None = None,
 ) -> DataFrame:
-    """Fuzzy join: pairs (left_id, right_id, dist) with
-    ``levenshtein(left.text, right.text) <= max_dist``, excluding
-    pairs whose ids are equal (self matches).
+    """Fuzzy join: one row per (left_id, right_id) pair holding texts
+    with ``levenshtein <= max_dist``, excluding pairs whose ids are
+    equal (self matches).  With non-unique ids (several texts per
+    id), ``dist`` is the minimum over the qualifying text pairs.
 
     Only ``max_dist=1`` is supported: the single-deletion neighborhood
     is complete exactly for distance <= 1.  Distance d would need the
@@ -126,8 +127,12 @@ def edit_distance_join(
         .select("left_id", "_lt", "right_id", "_rt")
         .distinct()
     )
+    # one row per id pair even when ids are non-unique (several texts
+    # per id): dist = the closest qualifying text pair.  For unique
+    # ids this grouped min is the identity on the distinct candidates.
     return (
         cand.withColumn("dist", F.levenshtein("_lt", "_rt").cast("bigint"))
         .filter(F.col("dist") <= max_dist)
-        .select("left_id", "right_id", "dist")
+        .groupBy("left_id", "right_id")
+        .agg(F.min("dist").alias("dist"))
     )

@@ -94,6 +94,14 @@ def test_max_variant_freq_drops_crowded_keys_only(spark):
     assert {(50, i, 1) for i in range(10)} <= uncapped
 
 
+def test_non_unique_ids_emit_one_row_with_min_dist(spark):
+    # an id carrying several texts must not produce contradictory
+    # duplicate (left_id, right_id) rows — dist is the closest pair
+    left = [(7, "karen"), (7, "caren")]
+    right = [(9, "karen")]
+    assert _pairs(spark, left, right) == {(7, 9, 0)}
+
+
 def test_max_dist_validated(spark):
     with pytest.raises(ValueError, match="max_dist=1"):
         edit_distance_join(

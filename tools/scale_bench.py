@@ -95,6 +95,18 @@ QUAD_FRACTION = 0.3  # gate: ratio must stay under 30% of quadratic
 
 
 def main() -> int:
+    # validate subset filters BEFORE any Spark/data work: a typo must
+    # fail loudly, not silently rewrite SCALE_BENCH.json from prior
+    # entries with exit 0
+    filters = sys.argv[1:]
+    selected = [
+        n for n in OPERATORS if not filters or any(f in n for f in filters)
+    ]
+    if not selected:
+        raise SystemExit(
+            f"no operator matches filters {filters!r}; known: {OPERATORS}"
+        )
+
     data_root = os.path.join(REPO, "scale_data")
     if not os.path.isdir(os.path.join(data_root, "x100")):
         from gen_scale_corpus import generate
@@ -277,14 +289,9 @@ def main() -> int:
         "q82_triangles_scaled": _triangles_scaled,
     }
 
-    # subset mode: name substrings on argv run only matching operators
-    # and MERGE into the existing SCALE_BENCH.json (other entries kept
-    # verbatim) — adding one curve must not re-time seventeen others.
-    filters = sys.argv[1:]
-    selected = [
-        n for n in OPERATORS if not filters or any(f in n for f in filters)
-    ]
-
+    # subset mode (filters validated at the top of main): matching
+    # operators re-run and MERGE into the existing SCALE_BENCH.json —
+    # adding one curve must not re-time the other nineteen.
     results: dict[str, dict] = {}
     ok = True
     for name in selected:
@@ -330,6 +337,9 @@ def main() -> int:
     if filters and os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh).get("operators", {})
+        # drop entries for operators no longer on the curve — a stale
+        # renamed/removed row must not keep voting in the gate
+        prior = {k: v for k, v in prior.items() if k in OPERATORS}
         prior.update(results)
         merged = prior
         ok = all(v.get("pass") for v in merged.values())
