@@ -104,6 +104,8 @@ HEADLINE = [
     "q82_triangle_counts",
     # TextRank: per-doc integer PageRank (3 iterations of join+agg)
     "text_textrank",
+    # community detection: 2 synchronous LPA rounds, aggregate argmax
+    "q83_label_propagation",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median

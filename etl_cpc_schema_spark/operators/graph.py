@@ -40,7 +40,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_edges", "pagerank", "triangle_counts"]
+__all__ = [
+    "cooccurrence_edges",
+    "label_propagation",
+    "pagerank",
+    "triangle_counts",
+]
 
 
 def cooccurrence_edges(
@@ -153,6 +158,58 @@ def pagerank(
             ).cast("bigint").alias("rank"),
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame, *, iterations: int = 2
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected simple graph (``u``/``v`` edge columns; reversed
+    duplicates and self-loops canonicalized away): every node starts
+    as its own label (= its id), then each round simultaneously
+    adopts the MODE of its neighbors' labels, ties broken toward the
+    SMALLEST label — the deterministic variant of Raghavan et al.
+    2007 (the classic randomized LPA is not reproducible across
+    engines or even across runs; fixed synchronous rounds with a
+    total tie order are).  Returns ``(node, community)``.
+
+    Fixed ``iterations`` rather than until-convergence: synchronous
+    LPA can 2-cycle on bipartite structures, so a convergence loop
+    may never exit — a bounded round count is the honest contract,
+    and two engines running the same rounds agree exactly.
+
+    Scale shape per round: one arcs⋈labels equi-join on the source,
+    one (node, label) count aggregation, then the argmax as a second
+    AGGREGATE — ``max(struct(cnt, -label))`` — not a ranking window,
+    so a celebrity vertex costs a bounded two-phase hash aggregate
+    (partials per task) instead of a single-task sort over its
+    neighbor list.  All shuffles key on the node id."""
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    arcs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = arcs.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("community", F.col("node"))
+    for _ in range(iterations):
+        counts = (
+            arcs.join(
+                labels.withColumnRenamed("node", "u"), "u"
+            )
+            .groupBy(F.col("v").alias("node"), "community")
+            .agg(F.count("*").alias("_cnt"))
+        )
+        labels = counts.groupBy("node").agg(
+            (
+                -F.max(
+                    F.struct(F.col("_cnt"), (-F.col("community")).alias("_n"))
+                )["_n"]
+            ).alias("community")
+        )
+    return labels
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

@@ -754,6 +754,60 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q83_label_propagation",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), arcs AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS community FROM arcs
+    ), c1 AS (
+      SELECT a.v AS node, l.community, count(*) AS cnt
+      FROM arcs a JOIN l0 l ON l.node = a.u
+      GROUP BY a.v, l.community
+    ), l1 AS (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, community) AS rn
+        FROM c1) t WHERE rn = 1
+    ), c2 AS (
+      SELECT a.v AS node, l.community, count(*) AS cnt
+      FROM arcs a JOIN l1 l ON l.node = a.u
+      GROUP BY a.v, l.community
+    ), l2 AS (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, community) AS rn
+        FROM c2) t WHERE rn = 1
+    )
+    SELECT node, community FROM l2 ORDER BY node
+    """,
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection — deterministic synchronous label
+    propagation (Raghavan et al. 2007, derandomized: mode of
+    neighbor labels, ties to the smallest label, two fixed rounds)
+    over the part co-order graph.  Distinct from dedup_components
+    (connectivity: where any path exists) — LPA finds DENSITY
+    communities inside a connected blob, which is what corpus
+    curation wants from a co-occurrence graph.  The Spark argmax is
+    an AGGREGATE (``max(struct(cnt, -label))``), not a ranking
+    window, so a celebrity vertex costs a spillable two-phase hash
+    aggregate rather than a single-task sort; the oracle states the
+    same choice as the textbook row_number form."""
+    from .operators import graph as GR
+
+    li = _t(spark, sf, "lineitem")
+    edges = GR.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return GR.label_propagation(edges, iterations=2).orderBy("node")
+
+
+@query(
     "q21_running_window",
     """
     SELECT user_id, event_id,
@@ -8085,6 +8139,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q81_fuzzy_join",
     "q82_triangle_counts",
     "text_textrank",
+    "q83_label_propagation",
     "docs_ccnet_buckets",
     "docs_hard_negatives",
     "docs_triplets",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from etl_cpc_schema_spark.operators.graph import (
     cooccurrence_edges,
+    label_propagation,
     pagerank,
     triangle_counts,
 )
@@ -138,6 +139,82 @@ def test_pagerank_groups_are_independent(spark):
     # (each node keeps the full unit: 150000 + 850*1e6//1000)
     assert got[("A", 1)] == 638_750 and got[("A", 3)] == 421_468
     assert got[("B", 1)] == 1_000_000 and got[("B", 2)] == 1_000_000
+
+
+def _lpa_model(pairs, iterations=2):
+    es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs: dict[int, list[int]] = {}
+    for u, v in es:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    lab = {n: n for n in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt: dict[int, int] = {}
+            for m in ns:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(
+                cnt, key=lambda c: (-cnt[c], c)
+            )
+        lab = new
+    return lab
+
+
+def _lpa(spark, pairs, **kw):
+    out = label_propagation(_edges(spark, pairs), **kw)
+    return {r.node: r.community for r in out.collect()}
+
+
+def test_lpa_two_cliques_with_bridge_hand_traced(spark):
+    e = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+    assert _lpa(spark, e, iterations=2) == want
+    assert want == _lpa_model(e, 2)
+
+
+def test_lpa_bipartite_two_cycle_is_the_documented_behavior(spark):
+    # a single edge oscillates under synchronous updates: labels swap
+    # each round — pinned so the fixed-round contract stays honest
+    assert _lpa(spark, [(1, 2)], iterations=1) == {1: 2, 2: 1}
+    assert _lpa(spark, [(1, 2)], iterations=2) == {1: 1, 2: 2}
+
+
+def test_lpa_canonicalization(spark):
+    messy = [(2, 1), (1, 2), (3, 1), (1, 1)]
+    assert _lpa(spark, messy, iterations=1) == _lpa_model(
+        [(1, 2), (1, 3)], 1
+    )
+
+
+def test_hypothesis_lpa_matches_reference_model(spark):
+    # random graphs batched into ONE Spark run via disjoint id ranges
+    # (labels are node ids, so disconnected subgraphs cannot interact)
+    from hypothesis import given, settings, strategies as st
+
+    node = st.integers(min_value=0, max_value=7)
+    graph = st.lists(st.tuples(node, node), min_size=1, max_size=14)
+    graphs: list[list[tuple[int, int]]] = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(graph)
+    def _collect(pairs):
+        graphs.append(pairs)
+
+    _collect()
+    rows = [
+        (1000 * gi + u, 1000 * gi + v)
+        for gi, pairs in enumerate(graphs)
+        for u, v in pairs
+    ]
+    got = _lpa(spark, rows, iterations=2)
+    for gi, pairs in enumerate(graphs):
+        want = {
+            1000 * gi + n: 1000 * gi + c
+            for n, c in _lpa_model(pairs, 2).items()
+        }
+        sub = {n: c for n, c in got.items() if n // 1000 == gi}
+        assert sub == want, f"graph {gi}: {pairs}"
 
 
 def test_hypothesis_pagerank_matches_reference_model(spark):

@@ -49,6 +49,9 @@ QUERIES = [
     # iterative integer propagation: per-doc PageRank must converge
     # to the same micro-unit values under any partitioning
     "text_textrank",
+    # synchronous LPA rounds + aggregate argmax tie-breaks must be
+    # identical under any row order or partitioning
+    "q83_label_propagation",
 ]
 
 _TABLES = (

@@ -103,6 +103,7 @@ INSPECT = [
     "q81_fuzzy_join",
     "q82_triangle_counts",
     "text_textrank",
+    "q83_label_propagation",
 ]
 
 CHECKS = {
