@@ -88,6 +88,10 @@ OPERATORS = [
     # corpus-size-independent, so 3 iterations of join+agg grow
     # linearly with the document count (registry parameters)
     "text_textrank",
+    # mode-propagation: 2 LPA rounds over the same constant-occupancy
+    # basket graph as the triangle curve — per-round cost is one join
+    # + two aggregates at edge volume, O(n) with bounded degree
+    "q83_lpa_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -279,6 +283,37 @@ def main() -> int:
         )
         return triangle_counts(cooccurrence_edges(members, "g", "doc_id"))
 
+    def _lpa_scaled(spark, sf_dir):
+        # same hash-assigned basket graph as _triangles_scaled
+        # (basket count ∝ n, occupancy ~8 → degree O(1)); two
+        # synchronous LPA rounds are join+agg passes at edge volume
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators.graph import (
+            cooccurrence_edges,
+            label_propagation,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = d.count()
+        n_groups = max(64, n // 4)
+        members = d.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("doc_id"), F.lit(i)),
+                            F.lit(n_groups),
+                        )
+                        for i in range(2)
+                    ]
+                )
+            ).alias("g"),
+            "doc_id",
+        )
+        edges = cooccurrence_edges(members, "g", "doc_id")
+        return label_propagation(edges, iterations=2)
+
     extra = {
         "ann_knn_join_scaled": _knn_scaled,
         "ann_ivfpq_topk_scaled": _ivfpq_scaled,
@@ -287,6 +322,7 @@ def main() -> int:
         "docs_bloom_contamination_scaled": _bloom_contamination_scaled,
         "q81_fuzzy_join_scaled": _fuzzy_join_scaled,
         "q82_triangles_scaled": _triangles_scaled,
+        "q83_lpa_scaled": _lpa_scaled,
     }
 
     # subset mode (filters validated at the top of main): matching
