@@ -194,7 +194,18 @@ def label_propagation(
     arcs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nodes = arcs.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("community", F.col("node"))
-    for _ in range(iterations):
+    for rnd in range(iterations):
+        if rnd == 0:
+            # round 1 collapses algebraically: labels are still node
+            # ids and arcs are distinct, so every neighbor label has
+            # count exactly 1 — the mode-with-min-tie-break IS the
+            # minimum neighbor id.  One aggregate, no join (the
+            # generic round below would join against an identity
+            # frame just to rediscover this).
+            labels = arcs.groupBy(F.col("v").alias("node")).agg(
+                F.min("u").alias("community")
+            )
+            continue
         counts = (
             arcs.join(
                 labels.withColumnRenamed("node", "u"), "u"
