@@ -53,12 +53,20 @@ def _np_quantize(mat):
 MAX_BUILD_ROWS = 2_000_000
 
 
-def _collect_matrix(embs: DataFrame, id_col: str, vec_col: str):
+def _collect_matrix(
+    embs: DataFrame, id_col: str, vec_col: str, attr_col: str | None = None
+):
     """Build-side collect of a dimension-sized embedding set (the
     broadcast build of a nested-loop similarity join — same role as a
     broadcast hash join's build side; never call on the streaming
     fact side).  Fails loudly past MAX_BUILD_ROWS rather than silently
-    OOMing the driver at scale."""
+    OOMing the driver at scale.
+
+    With ``attr_col`` the attribute column rides along in the SAME
+    driver job (one plan execution, not two) and the return is a
+    3-tuple ``(ids, mat, attrs)``; duplicate ids raise, because a
+    per-id attribute lookup is ambiguous under duplicates.
+    """
     import numpy as np
 
     n = embs.count()
@@ -68,13 +76,22 @@ def _collect_matrix(embs: DataFrame, id_col: str, vec_col: str):
             "use hyperplane_lsh_buckets / lsh_topk to bucket the corpus "
             "instead of brute-force broadcasting it"
         )
-    pdf = embs.select(id_col, vec_col).toPandas()
+    cols = [id_col, vec_col] + ([attr_col] if attr_col is not None else [])
+    pdf = embs.select(*cols).toPandas()
     ids = pdf[id_col].to_numpy()
+    if attr_col is not None and len(ids) != len(set(ids.tolist())):
+        raise ValueError(
+            f"duplicate {id_col!r} values on the query side make the "
+            f"per-id {attr_col!r} lookup ambiguous"
+        )
     if len(ids) == 0:
         # empty build side: let callers branch on len(ids) instead of
         # paying a separate isEmpty() job (which re-runs the plan)
-        return ids, np.empty((0, 0), dtype=np.int64)
+        mat = np.empty((0, 0), dtype=np.int64)
+        return (ids, mat, []) if attr_col is not None else (ids, mat)
     mat = _np_quantize(np.vstack(pdf[vec_col].to_numpy()))
+    if attr_col is not None:
+        return ids, mat, pdf[attr_col].tolist()
     return ids, mat
 
 
@@ -131,12 +148,22 @@ def cosine_topk_bruteforce(
         )
     attr_col = exclude_match_col or require_match_col
     keep_equal = require_match_col is not None
-    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
-    q_attr = None
     if attr_col is not None:
-        qpdf = queries.select(id_col, attr_col).toPandas()
-        by_id = dict(zip(qpdf[id_col], qpdf[attr_col]))
-        q_attr = [by_id[i] for i in q_ids]
+        # one driver job for ids + vectors + attribute (the second
+        # toPandas here used to re-run the whole query-side plan)
+        q_ids, q_mat, q_attr = _collect_matrix(
+            queries, id_col, vec_col, attr_col=attr_col
+        )
+    else:
+        q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+        q_attr = None
+    spark = embs.sparkSession
+    if len(q_ids) == 0:
+        # mirror pq_topk: no queries → empty result, never a 0x0 matmul
+        # failing executor-side with a shape error
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int"
+        )
     schema = "q_id long, neighbor_id long, cos double"
     scale = float(_SCALE)  # captured by value — keeps the stream side in
     # sync with the build side's _np_quantize if VE.SCALE ever changes
@@ -1289,10 +1316,10 @@ def pq_encode(
 def ivfpq_topk(
     embs: DataFrame,
     k: int,
-    n_centroids: int = 32,
+    n_centroids: int | None = None,
     nprobe: int = 8,
-    m_subspaces: int = 16,
-    ksub: int = 16,
+    m_subspaces: int | None = None,
+    ksub: int | None = None,
     shortlist: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1318,10 +1345,21 @@ def ivfpq_topk(
     bounded by the query-set contract like every probe side here) and
     carries no base-relation lineage, so it broadcasts as a literal
     local relation.  Exact rerank joins are candidate-sized.
+
+    With ``index_path`` the geometry comes ENTIRELY from the loaded
+    index: ``ivf_lloyd_iters``/``pq_lloyd_iters`` are ignored (no
+    training happens), and ``n_centroids``/``m_subspaces``/``ksub``
+    are VALIDATED against the loaded shapes — a caller passing a
+    geometry the index wasn't trained with gets a loud ValueError
+    instead of silently probing someone else's layout.  Leave them
+    ``None`` (the default) to accept whatever the index holds.
     """
     import numpy as np
 
     if index_path is None:
+        n_centroids = 32 if n_centroids is None else n_centroids
+        m_subspaces = 16 if m_subspaces is None else m_subspaces
+        ksub = 16 if ksub is None else ksub
         ranked = iter_checkpoint(
             ivf_assign(
                 embs,
@@ -1346,6 +1384,18 @@ def ivfpq_topk(
         # against the loaded centroids (strictly less work than the
         # in-session path, identical results — test-pinned)
         cells, Civf, C = load_ivfpq_index(embs.sparkSession, index_path)
+        for name, passed, loaded in (
+            ("n_centroids", n_centroids, len(cells)),
+            ("m_subspaces", m_subspaces, C.shape[0]),
+            ("ksub", ksub, C.shape[1]),
+        ):
+            if passed is not None and passed != loaded:
+                raise ValueError(
+                    f"ivfpq_topk: {name}={passed} does not match the "
+                    f"index at {index_path!r} (trained with {loaded}); "
+                    "geometry comes from the loaded index — pass None "
+                    "or the matching value"
+                )
         index = embs.sparkSession.read.parquet(f"{index_path}/codes.parquet")
         pr_src = embs if query_pred is None else embs.filter(query_pred)
         ranked = _ivf_rank_cells(pr_src, cells, Civf, nprobe, id_col, vec_col)

@@ -8001,9 +8001,12 @@ def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 )
 def stream_approx_distinct_q(spark: SparkSession, sf: str) -> DataFrame:
     """The EIGHTH streaming class: a mergeable sketch inside streaming
-    state — per-hour distinct users estimated by an HLL++ sketch
-    (``approx_count_distinct``, rsd 2%) in the windowed streaming
-    aggregation, then checked against the batch exact count with the
+    state — per-hour distinct users estimated by a DataSketches HLL
+    sketch (``hll_sketch_agg``/``hll_sketch_estimate`` — deliberately
+    NOT ``approx_count_distinct``'s HLL++, which biases a few % low at
+    small cardinalities; see ``approx_distinct_stream``) in the
+    windowed streaming aggregation, then checked against the batch
+    exact count with the
     tolerance-flag oracle pattern (``approx_hll_mergeable``'s bar:
     the oracle asserts the flag, the flag asserts the estimate sits
     within 5× rsd of exact).  Why it matters at scale: exact

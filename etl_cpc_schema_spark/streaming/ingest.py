@@ -20,6 +20,7 @@ and :func:`run_to_memory` sink driver.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -523,7 +524,19 @@ def attribution_left_join_stream(
         ],
         batch.schema,
     )
+    pre = {f for f in os.listdir(stage) if f.endswith(".parquet")}
     sentinel.repartition(1).write.mode("append").parquet(stage)
+    # FileStreamSource orders same-batch files by modification time; if
+    # both writes land in the same mtime tick the sentinel can process
+    # FIRST, advancing the watermark before any real row arrives and
+    # dropping every real purchase as late.  Force the ordering: stamp
+    # the sentinel files strictly later than every real-events file.
+    latest = max(
+        os.path.getmtime(os.path.join(stage, f)) for f in pre
+    )
+    for f in os.listdir(stage):
+        if f.endswith(".parquet") and f not in pre:
+            os.utime(os.path.join(stage, f), (latest + 2.0, latest + 2.0))
 
     stream = (
         spark.readStream.schema(batch.schema)
