@@ -275,17 +275,23 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q10(spark: SparkSession, sf: str) -> DataFrame:
-    """A6 + §2.6 — top-N with deterministic ranking (reference main.py:93-100)."""
+    """A6 + §2.6 — top-N with deterministic ranking (reference main.py:93-100).
+
+    TakeOrdered shape (VERDICT r7): orderBy+limit selects the 10
+    survivors as a TakeOrderedAndProject (per-partition top-10, tiny
+    driver merge — never a global sort), and only those 10 rows pass
+    through the ranking window.  The previous rank-all-then-filter
+    form produced the same plan ONLY via the rank-filter pushdown
+    optimizer rule; this form states the intent directly."""
     counts = (
         _t(spark, sf, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.count("*").alias("n_orders"))
     )
+    top = counts.orderBy(F.col("n_orders").desc(), F.col("custkey")).limit(10)
     w = Window.orderBy(F.col("n_orders").desc(), F.col("custkey"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 10)
-        .orderBy("rn")
+    return top.withColumn("rn", F.row_number().over(w).cast("bigint")).orderBy(
+        "rn"
     )
 
 
