@@ -297,12 +297,26 @@ def minhash_lsh_pairs(
             "a document-independent constant and bucket the whole corpus "
             "together"
         )
+    sh = shingles if shingles is not None else shingle_table(docs, id_col, text_col, n)
+    banded = minhash_band_keys(sh, num_hashes, bands)
+    return _bucket_pairs(banded, "bk").distinct()
+
+
+def minhash_band_keys(
+    sh: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, bk) band keys of a shingle table — the SHARED signature
+    expression of the in-session pair generator
+    (:func:`minhash_lsh_pairs`) and the persisted index
+    (:func:`save_dedup_index`), so an index probe collides exactly the
+    pairs the one-shot path would.  One agg shuffle on doc_id; the
+    ``num_hashes`` affine minhashes evaluate in whole-stage codegen."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got {num_hashes=}, {bands=})"
+        )
     rows_per_band = num_hashes // bands
     params = H.minhash_affine_params(num_hashes)
-    # `shingles` lets a caller that ALSO needs the shingle table (the
-    # verify stage) share one materialized copy instead of running the
-    # shingle expression chain twice over the corpus
-    sh = shingles if shingles is not None else shingle_table(docs, id_col, text_col, n)
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s")
     ).select(
@@ -324,10 +338,7 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
-    )
-    return _bucket_pairs(banded, "bk").distinct()
+    return sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("bk"))
 
 
 def lsh_verified_jaccard_pairs(
@@ -373,6 +384,159 @@ def lsh_verified_jaccard_pairs(
             F.count("*").alias("shared"),
             F.max("n1").alias("n1"),
             F.max("n2").alias("n2"),
+        )
+    )
+
+
+def save_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus-side dedup index as parquet — the
+    sign-once-probe-daily artifact :func:`incremental_dedup_indexed`
+    reads so an ingest run never re-signs the standing corpus (the
+    promise docs_incremental_dedup's docstring makes; the ANN family's
+    ``save_ivfpq_index`` pattern applied to MinHash).  Four tables
+    under ``path``:
+
+    * ``meta.parquet`` — (n, num_hashes, bands): the signature
+      geometry; probes MUST band with the same family or collisions
+      are meaningless, so the probe side reads its parameters from
+      here rather than trusting the caller.
+    * ``fingerprints.parquet`` — distinct normalized text fingerprints
+      (the exact-dup layer).
+    * ``bands.parquet`` — (doc_id, bk) MinHash band keys
+      (:func:`minhash_band_keys` — the same expressions the one-shot
+      path evaluates, so index probes collide bit-identical pairs).
+    * ``shingles.parquet`` — (doc_id, n_sh, s) exploded 64-bit shingle
+      hashes for exact-Jaccard verification of crossing candidates.
+
+    Scale shape: every table is written distributed; ``shingles`` is
+    the big one (one row per doc×shingle — linear in corpus token
+    count, heavily RLE-compressed) and is only ever JOINED on
+    (doc_id, s), never collected.  Incremental upserts append new
+    docs' rows to bands/shingles/fingerprints with the SAME meta.
+    All signature work runs in ONE pass over the corpus (the shingle
+    table is lazily checkpointed and feeds all three tables).
+    """
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+    ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+    corpus.select(
+        TX.fingerprint(F.col(text_col)).alias("fp")
+    ).distinct().write.mode("overwrite").parquet(f"{path}/fingerprints.parquet")
+    sh = iter_checkpoint(shingle_table(corpus, id_col, text_col, n), eager=False)
+    minhash_band_keys(sh, num_hashes, bands).write.mode("overwrite").parquet(
+        f"{path}/bands.parquet"
+    )
+    sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
+    ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/shingles.parquet")
+
+
+def load_dedup_index(spark, path: str) -> dict:
+    """Lazy handles on a persisted dedup index (:func:`save_dedup_index`):
+    ``{'n', 'num_hashes', 'bands': int, 'fingerprints', 'band_keys',
+    'shingles': DataFrame}``.  Only ``meta`` is collected (one row);
+    the three data tables stay distributed parquet scans."""
+    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
+    return {
+        "n": meta["n"],
+        "num_hashes": meta["num_hashes"],
+        "bands": meta["bands"],
+        "fingerprints": spark.read.parquet(f"{path}/fingerprints.parquet"),
+        "band_keys": spark.read.parquet(f"{path}/bands.parquet"),
+        "shingles": spark.read.parquet(f"{path}/shingles.parquet"),
+    }
+
+
+def incremental_dedup_indexed(
+    arrivals: DataFrame,
+    index: dict,
+    num: int = 4,
+    den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an arrival batch against a LOADED corpus index — the
+    daily-ingest hot path: the corpus is never re-tokenized, re-hashed,
+    or re-signed; probe volume is arrivals × bands × bucket occupancy,
+    independent of corpus size beyond the (pre-built) index scans.
+
+    Returns (doc_id, exact_dup, n_near, keep) per arrival doc —
+    bit-identical to running the one-shot crossing-pairs formulation
+    over corpus ∪ arrivals (test-pinned roundtrip), because the probe
+    side evaluates the SAME fingerprint / shingle-hash / band-key
+    expressions the index was built with (:func:`minhash_band_keys`),
+    and a crossing pair collides on a band key in one formulation iff
+    it does in the other.
+
+    Scale shape: exact layer is one equi-join against the fingerprint
+    table; candidate generation is one equi-join of arrival band keys
+    against the band index; verification joins are candidate-sized.
+    Arrival-vs-arrival duplicates are out of scope by contract (run
+    ``docs_dedup_clustered`` on the batch alone).
+    """
+    fp = TX.fingerprint(F.col(text_col))
+    arr_fp = arrivals.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+    hits = index["fingerprints"].withColumn("hit", F.lit(True))
+
+    sh = iter_checkpoint(
+        shingle_table(arrivals, id_col, text_col, index["n"]), eager=False
+    )
+    arr_bands = minhash_band_keys(sh, index["num_hashes"], index["bands"])
+    candidates = (
+        arr_bands.select(F.col("doc_id").alias("a_id"), "bk")
+        .join(
+            index["band_keys"].select(F.col("doc_id").alias("c_id"), "bk"),
+            "bk",
+        )
+        .select("a_id", "c_id")
+        .distinct()
+    )
+    arr_ex = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
+    ).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("n_sh").alias("n_a"),
+        F.xxhash64("sh_str").alias("s"),
+    )
+    cor_ex = index["shingles"].select(
+        F.col("doc_id").alias("c_id"), F.col("n_sh").alias("n_c"), "s"
+    )
+    near = (
+        candidates.join(arr_ex, "a_id")
+        .join(cor_ex, ["c_id", "s"])  # shared shingles, candidates only
+        .groupBy("a_id", "c_id")
+        .agg(
+            F.count("*").alias("shared"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_c").alias("n_c"),
+        )
+        .filter(
+            jaccard_at_least(F.col("shared"), F.col("n_a"), F.col("n_c"), num, den)
+        )
+        .groupBy(F.col("a_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_near"))
+    )
+    exact = F.coalesce(F.col("hit"), F.lit(False))
+    n_near = F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint")
+    return (
+        arr_fp.join(hits, "fp", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            exact.alias("exact_dup"),
+            n_near.alias("n_near"),
+            (~exact & (n_near == 0)).alias("keep"),
         )
     )
 

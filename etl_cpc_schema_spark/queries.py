@@ -2916,57 +2916,36 @@ ORDER BY doc_id
 
 @query("docs_incremental_dedup", _incremental_dedup_oracle())
 def docs_incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Incremental-ingestion dedup — the shape a production corpus
-    actually runs daily: dedup a NEW arrival batch (doc_id % 5 == 0
-    stands in for today's partition) against the EXISTING corpus,
-    without re-deduping the corpus against itself.  Exact layer:
-    arrival fingerprints semi-checked against the corpus fingerprint
-    index.  Near layer: LSH-verified Jaccard >= 0.8 pairs filtered to
-    CROSSING pairs only (one side arrival, one side corpus) — at scale
-    the corpus side's band index is precomputed and the probe volume
-    is arrivals x bands x occupancy, independent of corpus².
-    Arrival-vs-arrival (intra-batch) duplicates are deliberately out
-    of scope here — that is ``docs_dedup_clustered`` run on the batch
-    alone."""
+    """Incremental-ingestion dedup THROUGH the persisted corpus index —
+    the shape a production corpus actually runs daily: dedup a NEW
+    arrival batch (doc_id % 5 == 0 stands in for today's partition)
+    against the EXISTING corpus without re-signing the corpus.  The
+    standing corpus is signed ONCE into a parquet index
+    (operators/dedup.py::save_dedup_index — fingerprint set, MinHash
+    band keys, shingle hashes), and the arrival batch probes the
+    LOADED index (incremental_dedup_indexed): exact layer is one
+    equi-join against the fingerprint table, near layer is arrival
+    band keys joined to the band index (probe volume = arrivals ×
+    bands × occupancy, independent of corpus²) with exact Jaccard ≥
+    0.8 verification on crossing candidates only.  This query runs
+    save→load→probe end-to-end so the driver exercises the whole
+    artifact lifecycle; a real pipeline amortizes the save across
+    every ingest until the corpus changes.  Results are bit-identical
+    to the one-shot crossing-pairs formulation (roundtrip test-pinned
+    in tests/test_dedup_similarity.py).  Arrival-vs-arrival
+    (intra-batch) duplicates are deliberately out of scope here — that
+    is ``docs_dedup_clustered`` run on the batch alone."""
+    import tempfile
+
     d = _t(spark, sf, "documents")
-    fp = TX.fingerprint(F.col("text"))
-    arrivals = d.filter(F.col("doc_id") % 5 == 0).select(
-        "doc_id", fp.alias("fp")
-    )
-    corpus_fp = (
-        d.filter(F.col("doc_id") % 5 != 0)
-        .select(fp.alias("fp"))
-        .distinct()
-        .withColumn("hit", F.lit(True))
-    )
-    pairs = DD.lsh_verified_jaccard_pairs(d, n=3).filter(
-        DD.jaccard_at_least(F.col("shared"), F.col("n1"), F.col("n2"), num=4, den=5)
-    )
-    crossing = pairs.filter(
-        (F.col("d1") % 5 == 0) != (F.col("d2") % 5 == 0)
-    )
-    near = (
-        crossing.select(
-            F.when(F.col("d1") % 5 == 0, F.col("d1"))
-            .otherwise(F.col("d2"))
-            .alias("doc_id")
-        )
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_near"))
-    )
-    exact = F.coalesce(F.col("hit"), F.lit(False))
-    n_near = F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint")
-    return (
-        arrivals.join(corpus_fp, "fp", "left")
-        .join(near, "doc_id", "left")
-        .select(
-            "doc_id",
-            exact.alias("exact_dup"),
-            n_near.alias("n_near"),
-            (~exact & (n_near == 0)).alias("keep"),
-        )
-        .orderBy("doc_id")
-    )
+    arrivals = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    path = tempfile.mkdtemp(prefix="spark_dedup_index_")
+    DD.save_dedup_index(corpus, path, n=3)
+    index = DD.load_dedup_index(spark, path)
+    return DD.incremental_dedup_indexed(
+        arrivals, index, num=4, den=5
+    ).orderBy("doc_id")
 
 
 @query("dedup_lsh_jaccard", _lsh_jaccard_oracle())

@@ -854,3 +854,81 @@ def test_bloom_bitmap_persistence_roundtrip(spark, tmp_path):
     path = str(tmp_path / "bloom")
     DD.save_bloom_bitmap(spark, words, path)
     assert DD.load_bloom_bitmap(spark, path) == words
+
+
+def test_dedup_index_roundtrip_bit_equality(spark, tmp_path):
+    """save_dedup_index -> incremental_dedup_indexed must reproduce the
+    one-shot crossing-pairs formulation BIT-FOR-BIT: same exact-dup
+    hits, same per-arrival near counts, same keep verdicts — because
+    the probe evaluates the same fingerprint / shingle-hash / band-key
+    expressions the index was built with."""
+    import random
+
+    random.seed(11)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        words = [vocab[random.randrange(len(vocab))] for _ in range(20)]
+        rows.append((i, " ".join(words)))
+    # plant: arrival 0 is an exact dup of corpus 1; arrival 5 is a near
+    # dup of corpus 6 (one token differs) — doc_id % 5 == 0 = arrivals
+    rows[0] = (0, rows[1][1])
+    near = rows[6][1].split()
+    near[-1] = "changed"
+    rows[5] = (5, " ".join(near))
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arrivals = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+
+    # one-shot formulation (the pre-index shape of docs_incremental_dedup)
+    fp = __import__(
+        "etl_cpc_schema_spark.functions.text", fromlist=["fingerprint"]
+    ).fingerprint(F.col("text"))
+    arr_fp = arrivals.select("doc_id", fp.alias("fp"))
+    corpus_fp = (
+        corpus.select(fp.alias("fp")).distinct().withColumn("hit", F.lit(True))
+    )
+    pairs = DD.lsh_verified_jaccard_pairs(d, n=3).filter(
+        DD.jaccard_at_least(F.col("shared"), F.col("n1"), F.col("n2"), num=4, den=5)
+    )
+    crossing = pairs.filter((F.col("d1") % 5 == 0) != (F.col("d2") % 5 == 0))
+    near_ct = (
+        crossing.select(
+            F.when(F.col("d1") % 5 == 0, F.col("d1"))
+            .otherwise(F.col("d2"))
+            .alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    exact = F.coalesce(F.col("hit"), F.lit(False))
+    n_near = F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint")
+    oneshot = {
+        (r["doc_id"], r["exact_dup"], r["n_near"], r["keep"])
+        for r in arr_fp.join(corpus_fp, "fp", "left")
+        .join(near_ct, "doc_id", "left")
+        .select(
+            "doc_id",
+            exact.alias("exact_dup"),
+            n_near.alias("n_near"),
+            (~exact & (n_near == 0)).alias("keep"),
+        )
+        .collect()
+    }
+
+    path = str(tmp_path / "dedup_index")
+    DD.save_dedup_index(corpus, path, n=3)
+    index = DD.load_dedup_index(spark, path)
+    indexed = {
+        (r["doc_id"], r["exact_dup"], r["n_near"], r["keep"])
+        for r in DD.incremental_dedup_indexed(arrivals, index).collect()
+    }
+    assert indexed == oneshot
+    # planted facts actually detected through the index
+    by_id = {t[0]: t for t in indexed}
+    assert by_id[0][1] is True and by_id[0][3] is False   # exact dup
+    assert by_id[5][2] >= 1 and by_id[5][3] is False      # near dup
+    assert any(t[3] for t in indexed)                     # some keepers
+
+    # geometry comes from meta.parquet, not the caller
+    assert (index["n"], index["num_hashes"], index["bands"]) == (3, 16, 4)
