@@ -856,17 +856,44 @@ def simhash_near_pairs(
             "near-pairs would be silently missed — lower band_bits"
         )
     t = simhash_table(docs, bits, id_col, text_col)
+    return banded_hamming_pairs(t, "simhash", bits, max_hamming, band_bits)
+
+
+def banded_hamming_pairs(
+    fingerprints: DataFrame,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 2,
+    band_bits: int = 4,
+) -> DataFrame:
+    """(d1, d2, hamming) pairs within ``max_hamming`` of each other,
+    from any (doc_id, <hash_col>) fingerprint table — the banded
+    machinery shared by text SimHash (:func:`simhash_near_pairs`) and
+    multimodal perceptual hashes (operators.multimodal.dhash_table).
+    Lossless by pigeonhole: with ``bits/band_bits`` bands >
+    ``max_hamming``, any qualifying pair agrees exactly on at least
+    one band.  Shuffle self-join per band (never ``_bucket_pairs`` —
+    see :func:`simhash_near_pairs` for why low-cardinality band keys
+    must not be bucket-collected); the fingerprint pipeline computes
+    once via the checkpoint."""
+    if bits % band_bits != 0:
+        raise ValueError(f"band_bits must divide bits: {bits} % {band_bits}")
+    if bits // band_bits <= max_hamming:
+        raise ValueError(
+            f"bands ({bits // band_bits}) must exceed max_hamming "
+            f"({max_hamming}) — lower band_bits"
+        )
     bands = bits // band_bits
-    banded = t.select(
+    banded = fingerprints.select(
         "doc_id",
-        "simhash",
+        F.col(hash_col).alias("fph"),
         F.explode(
             F.array(
                 *[
                     F.concat_ws(
                         ":",
                         F.lit(str(i)),
-                        (F.shiftright(F.col("simhash"), i * band_bits) % (2**band_bits)),
+                        (F.shiftright(F.col(hash_col), i * band_bits) % (2**band_bits)),
                     )
                     for i in range(bands)
                 ]
@@ -884,9 +911,9 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.fph").bitwiseXOR(F.col("b.fph"))).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -187,6 +187,96 @@ def resize_images(
     return with_payload.select(id_col, "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+#: perceptual-hash geometry: 16-bit fingerprints banded 4×4 for the
+#: Hamming candidate join (same family as the text SimHash path, so
+#: dedup.banded_hamming_pairs serves both modalities unchanged).
+PHASH_BITS = 16
+_PHASH_CHUNK = 16
+
+
+def dhash_table(
+    with_payload: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, phash) — perceptual fingerprints of binary payloads,
+    the multimodal twin of ``dedup.simhash_table``: near-duplicate
+    media = small Hamming distance, found by
+    ``dedup.banded_hamming_pairs`` exactly as for text.
+
+    Real-when-possible: a payload Pillow can decode gets a true dHash
+    (grayscale-resample to a 5×4 grid; bit = left pixel brighter than
+    its right neighbor — the classic difference hash, robust to
+    re-encode/resize).  Anything else — Pillow absent, or the payload
+    is not a decodable image (the sandbox's utf-8 stand-ins never
+    are) — takes the deterministic fallback: a 16-bit SimHash vote
+    over the decoded text's positional 16-char chunks, seeded 'ph'
+    with the package's portable md5 hash, so the correctness oracle
+    reproduces it exactly in SQL (the ``multimodal_meta`` pattern).
+
+    Map-only Arrow pass, no shuffle; at 100 TB the fingerprint table
+    is 16 bytes/row and the banded join is the only shuffle in the
+    dedup composition.
+    """
+
+    # self-contained closure: stdlib-only imports inside (Spark pickles
+    # module functions by reference; executors don't share driver
+    # sys.path — see extract_meta)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import io as _io
+
+        import pandas as _pd
+
+        try:  # worker-side optional dependency — decide once per task
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+
+        def real_dhash(buf: bytes):
+            if _Image is None:
+                return None
+            try:
+                with _Image.open(_io.BytesIO(buf)) as img:
+                    g = img.convert("L").resize((5, 4))
+                    px = list(g.getdata())  # row-major 5×4
+            except Exception:
+                return None
+            bits = 0
+            k = 0
+            for r in range(4):
+                for c in range(4):
+                    if px[r * 5 + c] > px[r * 5 + c + 1]:
+                        bits |= 1 << k
+                    k += 1
+            return bits
+
+        def fallback_phash(buf: bytes) -> int:
+            s = buf.decode("utf-8", errors="replace")
+            votes = [0] * 16
+            for j in range(0, len(s), 16):
+                chunk = s[j : j + 16]
+                h = int(
+                    _hashlib.md5(("ph:" + chunk).encode("utf-8")).hexdigest()[
+                        :15
+                    ],
+                    16,
+                )
+                for b in range(16):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            return sum(1 << b for b in range(16) if votes[b] > 0)
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                buf = bytes(payload)
+                h = real_dhash(buf)
+                out.append(fallback_phash(buf) if h is None else h)
+            yield _pd.DataFrame({"doc_id": pdf[id_col].values, "phash": out})
+
+    return with_payload.select(id_col, "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
 def sample_frames(
     with_payload: DataFrame,
     every_n_bytes: int = 64,

@@ -7834,6 +7834,79 @@ def multimodal_frames_q(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def _multimodal_dedup_oracle() -> str:
+    ph = portable_hash64_sql("c", "ph")
+    bit_terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(cs,
+              c -> CASE WHEN ({ph} >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN {2 ** b} ELSE 0 END)"""
+        for b in range(16)
+    )
+    return f"""
+WITH ch AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(text) / 16.0) AS BIGINT)),
+                        i -> substr(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS cs
+  FROM documents
+), p AS (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS phash FROM ch
+), pr AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM p a JOIN p b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2
+), n AS (
+  SELECT doc_id, count(*) AS n_near FROM (
+    SELECT d1 AS doc_id FROM pr UNION ALL SELECT d2 AS doc_id FROM pr
+  ) GROUP BY 1
+)
+SELECT p.doc_id, p.phash, CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near
+FROM p LEFT JOIN n USING (doc_id) ORDER BY doc_id
+"""
+
+
+@query("multimodal_dedup", _multimodal_dedup_oracle())
+def multimodal_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal NEAR-DUP — the missing third leg of the multimodal
+    family (VERDICT r7 #3): perceptual fingerprints over binary
+    payloads (operators/multimodal.py::dhash_table — real Pillow dHash
+    when a payload decodes, deterministic 16-chunk SimHash fallback the
+    oracle reproduces from the payload text), then banded-Hamming
+    candidate pairs through the SAME machinery as text SimHash
+    (operators/dedup.py::banded_hamming_pairs, 4×4-bit bands, lossless
+    for Hamming ≤ 2 by pigeonhole).  Returns every doc's fingerprint
+    plus how many near-duplicate payloads it has.
+
+    Scale shape: fingerprinting is a map-only Arrow pass (16 bytes of
+    fingerprint per row); the only shuffles are the band-key self-join
+    (equi-join, bounded occupancy per 'band:value' key) and the count
+    agg.  The oracle's all-pairs O(n²) join is exactly what this plan
+    avoids."""
+    d = _t(spark, sf, "documents")
+    from .operators.iterutils import iter_checkpoint
+
+    ph = iter_checkpoint(
+        MM.dhash_table(MM.attach_fake_payload(d)), eager=False
+    )
+    pairs = DD.banded_hamming_pairs(
+        ph, "phash", MM.PHASH_BITS, max_hamming=2, band_bits=4
+    )
+    near = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("d2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        ph.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "phash",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint").alias("n_near"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "stream_user_counts_stateful",
     """

@@ -932,3 +932,59 @@ def test_dedup_index_roundtrip_bit_equality(spark, tmp_path):
 
     # geometry comes from meta.parquet, not the caller
     assert (index["n"], index["num_hashes"], index["bands"]) == (3, 16, 4)
+
+
+def test_multimodal_dhash_finds_planted_near_dups(spark):
+    """Perceptual-hash dedup detects planted payload duplicates: an
+    exact copy collides at Hamming 0, a one-chunk edit stays within
+    the Hamming budget (one changed 16-char chunk flips few votes),
+    and an unrelated payload pairs with neither."""
+    from etl_cpc_schema_spark.operators.multimodal import (
+        PHASH_BITS,
+        attach_fake_payload,
+        dhash_table,
+    )
+
+    # 20 identical 16-char chunks: every bit's vote margin is +-20, so
+    # replacing ONE chunk (vote shift <= 2) provably flips zero bits --
+    # the deterministic analogue of "same image, one block re-encoded"
+    base = "abcdefghijklmnop" * 20
+    near = base[:-16] + "qrstuvwxyz012345"  # last chunk replaced
+    other = "totally unrelated payload content with different bytes 123"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id bigint, text string",
+    )
+    ph = dhash_table(attach_fake_payload(docs))
+    by_id = {r["doc_id"]: r["phash"] for r in ph.collect()}
+    assert by_id[1] == by_id[2]  # exact payload dup -> identical phash
+    assert 0 <= bin(by_id[1] ^ by_id[3]).count("1") <= 2
+
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in DD.banded_hamming_pairs(
+            ph, "phash", PHASH_BITS, max_hamming=2, band_bits=4
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+    # fallback phash is the documented md5-vote formula (oracle twin)
+    import hashlib
+    import math
+
+    def ref_phash(s: str) -> int:
+        votes = [0] * 16
+        for j in range(math.ceil(len(s) / 16)):
+            h = int(
+                hashlib.md5(
+                    ("ph:" + s[j * 16 : j * 16 + 16]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for b in range(16):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(16) if votes[b] > 0)
+
+    assert by_id[4] == ref_phash(other)
