@@ -6279,6 +6279,114 @@ def docs_dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _corpus_drift_oracle() -> str:
+    h = portable_hash64_sql("tok", "dsir")
+    return f"""
+    WITH tk AS (
+      SELECT source, doc_id % 2 = 0 AS in_a, unnest({_TOKS_SQL}) AS tok
+      FROM documents
+    ), bt AS (
+      SELECT source, in_a, {h} % {_DSIR_B} AS b FROM tk
+    ), hist AS (
+      SELECT source, b,
+             sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS c_a,
+             sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS c_b
+      FROM bt GROUP BY source, b
+    ), tot AS (
+      SELECT source, sum(c_a) AS t_a, sum(c_b) AS t_b FROM hist GROUP BY source
+    ), pq AS (
+      SELECT hist.source, c_a, c_b,
+             (c_a + 1) / CAST(t_a + {_DSIR_B} AS DOUBLE) AS p,
+             (c_b + 1) / CAST(t_b + {_DSIR_B} AS DOUBLE) AS q
+      FROM hist JOIN tot USING (source)
+    ), mm AS (
+      SELECT source, c_a, c_b, p, q, (p + q) / 2.0 AS m FROM pq
+    )
+    SELECT source,
+           CAST(sum(c_a) AS BIGINT) AS n_tok_a,
+           CAST(sum(c_b) AS BIGINT) AS n_tok_b,
+           CAST(sum(CAST(round((0.5 * (p * ln(p / m) + q * ln(q / m)))
+                               * 1000000000.0) AS BIGINT)) AS BIGINT) AS js_e9
+    FROM mm GROUP BY source ORDER BY source
+    """
+
+
+@query("docs_corpus_drift", _corpus_drift_oracle())
+def docs_corpus_drift_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus drift monitoring between ingest snapshots (VERDICT r7
+    #7): per-source Jensen-Shannon divergence between the hashed-
+    unigram distributions of two corpus snapshots (doc_id parity
+    stands in for yesterday's vs today's partition), over the FIXED
+    ``_DSIR_B``=1024-bucket feature space the DSIR machinery already
+    uses — the standing signal a pipeline alerts on when a feed's
+    content shifts between ingests.
+
+    Determinism (the ``docs_dsir_weights`` posture): both snapshot
+    histograms come from ONE conditional aggregation; per-bucket JS
+    contributions — ``0.5·(p·ln(p/m) + q·ln(q/m))`` with +1-smoothed
+    p, q over observed buckets and m = (p+q)/2 — are e9-quantized to
+    integers with the identical IEEE op order in both engines, so the
+    per-source sum is exact integer arithmetic (per-bucket JS terms
+    are provably ≥ 0 by the log-sum inequality, so there is no
+    negative-rounding edge).
+
+    Scale shape: one tokenize map pass, then every aggregation is on
+    the bounded (source × 1024) domain — map-side partials collapse
+    the token explosion; the totals join is sources-sized.  Nothing
+    is proportional to corpus size after the first shuffle."""
+    from .functions.hashing import portable_hash64
+
+    d = _t(spark, sf, "documents")
+    bt = d.select(
+        "source",
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "source",
+        "in_a",
+        (portable_hash64(F.col("tok"), "dsir") % _DSIR_B).alias("b"),
+    )
+    hist = bt.groupBy("source", "b").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("c_b"),
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    pq = hist.join(tot, "source").select(
+        "source",
+        "c_a",
+        "c_b",
+        ((F.col("c_a") + 1) / (F.col("t_a") + F.lit(_DSIR_B)).cast("double")).alias("p"),
+        ((F.col("c_b") + 1) / (F.col("t_b") + F.lit(_DSIR_B)).cast("double")).alias("q"),
+    )
+    mm = pq.withColumn("m", (F.col("p") + F.col("q")) / F.lit(2.0))
+    term = (
+        F.round(
+            (
+                F.lit(0.5)
+                * (
+                    F.col("p") * F.log(F.col("p") / F.col("m"))
+                    + F.col("q") * F.log(F.col("q") / F.col("m"))
+                )
+            )
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("te9")
+    )
+    return (
+        mm.select("source", "c_a", "c_b", term)
+        .groupBy("source")
+        .agg(
+            F.sum("c_a").cast("bigint").alias("n_tok_a"),
+            F.sum("c_b").cast("bigint").alias("n_tok_b"),
+            F.sum("te9").cast("bigint").alias("js_e9"),
+        )
+        .orderBy("source")
+    )
+
+
 def _keywords_oracle(topk: int = 3) -> str:
     return f"""
     WITH tk AS (
