@@ -106,6 +106,11 @@ HEADLINE = [
     "text_textrank",
     # community detection: 2 synchronous LPA rounds, aggregate argmax
     "q83_label_propagation",
+    # round-8 additions: perceptual-hash multimodal near-dup (map-only
+    # fingerprints + banded-Hamming self-join) and the per-source
+    # snapshot-drift JS divergence (bounded source×1024 aggregations)
+    "multimodal_dedup",
+    "docs_corpus_drift",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median
@@ -115,6 +120,17 @@ HEADLINE = [
 #: round-over-round comparisons stop needing the host-noise caveat.
 #: Per-query spread (max-min across runs) is recorded alongside.
 RUNS_PER_QUERY = 3
+
+#: adaptive stabilization (VERDICT r7 #4): when the 3-run spread
+#: exceeds this fraction of the median, the query gets EXTRA_RUNS more
+#: runs and the median is taken over all of them — a median that moves
+#: ±35% round-over-round (the r7 graph entries: q82 9.07±3.15 s)
+#: eventually reads as a fake regression, and two more samples shrink
+#: the median's noise band far more cheaply than raising every query's
+#: run count.  Which queries re-ran (and their final spread) is
+#: recorded in BENCH_DETAIL.json.
+SPREAD_BUDGET = 0.30
+EXTRA_RUNS = 2
 
 
 def _median(xs: list[float]) -> float:
@@ -133,6 +149,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     for name in HEADLINE:
         fn = Q.SPARK_QUERIES[name]
         runs: list[float] = []
@@ -141,8 +158,15 @@ def main() -> None:
             rows = fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
             assert rows is not None
+        if max(runs) - min(runs) > SPREAD_BUDGET * _median(runs):
+            for _ in range(EXTRA_RUNS):
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+                assert rows is not None
         timings[name] = round(_median(runs), 4)
         spread[name] = round(max(runs) - min(runs), 4)
+        n_runs[name] = len(runs)
 
     # tolerate dirs not named .../sfN.NN — never lose the timings to a
     # ValueError after the whole benchmark already ran
@@ -159,6 +183,11 @@ def main() -> None:
     detail = {
         "spread": spread,
         "runs_per_query": RUNS_PER_QUERY,
+        "adaptive": {
+            "spread_budget": SPREAD_BUDGET,
+            "extra_runs": EXTRA_RUNS,
+            "runs": {k: v for k, v in n_runs.items() if v > RUNS_PER_QUERY},
+        },
         "aggregation": "median",
         "sf_dir": sf_dir,
     }
