@@ -8296,74 +8296,19 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
 #: driver samples a subset of the registry per round; this list points
-#: the sample at the current evidence gap (VERDICT r6 "Next round" #2):
-#: round-7 additions first, then the 9 queries MODIFIED in round 6
-#: after their last driver sample, then the ANN operators whose shared
-#: kernels changed this round (lsh_topk multi-table dedup, IVF/PQ
-#: seeding), then the 45-query block whose latest driver evidence is
-#: round 4.  The stable window/misc tail (q37-q49) sits last — if the
-#: sample cuts off, it drops the queries whose code is oldest-stable.
+#: the sample at the current evidence gap (VERDICT r7 "Next round" #1:
+#: a third of the board's driver ledger was three rounds old).  Tier 1
+#: is the complete 29-query block whose latest driver evidence is
+#: round 4 (q10 first — its plan changed to TakeOrdered this round);
+#: tier 2 is the round-8 additions and the query rewired through the
+#: persisted dedup index; tier 3 is the r5-stale block, the queries
+#: whose SHARED KERNELS changed this round first (minhash_band_keys /
+#: banded_hamming_pairs refactors).  With a 50-row sample, all of
+#: tier 1+2 and the first ~18 tier-3 names get round-8 rows; the
+#: tier-3 tail (all r5-green and swept locally) leads the r9 rotation.
 _DRIVER_PRIORITY: list[str] = [
-    # Tier 1 — never driver-sampled (round-7 additions).
-    "q81_fuzzy_join",
-    "q82_triangle_counts",
-    "text_textrank",
-    "q83_label_propagation",
-    "docs_ccnet_buckets",
-    "docs_hard_negatives",
-    "docs_triplets",
-    "q79_sliding_window",
-    "q80_bag_set_ops",
-    "stream_outer_join",
-    "docs_modern_corpus",
-    "docs_kmeans_prune",
-    "docs_bloom_contamination",
-    "docs_source_overlap",
-    "stream_bloom_gate",
-    "q75_recursive_closure",
-    "q76_profile_events",
-    "q77_integrity_checks",
-    "q78_lateral_topk",
-    "docs_semdedup",
-    "q73_supplier_part_counts",
-    "q74_dominant_suppliers",
-    "docs_quality_logreg",
-    "approx_heavy_hitters",
-    "stream_approx_distinct",
-    # Tier 2 — modified in round 6/7 AFTER their last driver sample
-    # (VERDICT r6), plus the ANN queries whose shared kernels changed
-    # in round 7 (lsh_topk multi-table probe dedup, IVF/PQ seeding).
-    "q17_pricing_summary",
-    "q62_nation_trade_volume",
-    "q65_custdist",
-    "ann_ivf_topk",
-    "docs_dup_spans",
-    "docs_scrub_dup_spans",
-    "stream_sessionize",
-    "text_bm25_topk",
-    "text_winnowing",
-    "ann_lsh_topk_probed",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # Tier 3 — the r4-stale block (latest driver evidence three rounds
-    # old), riskiest shapes first: stateful streams, composites,
-    # sketches, CDC, then windows/planner shapes.  The trivial
-    # scan/agg queries (q07-q13 etc.) sit past the 50-row sample
-    # cut-off this round and lead the r8 rotation.
-    "stream_hourly_counts",
-    "stream_stream_join",
-    "docs_corpus_build",
-    "approx_hll_mergeable",
-    "approx_quantiles_bounded",
-    "docs_cdc_chunk",
-    "docs_cdc_dedup",
-    "text_rare_tokens",
-    "q21_running_window",
-    "q22_sessionize",
-    "q23_asof_join",
-    "q44_asof_forward",
-    "q45_salted_join",
-    "q46_nullsafe_join",
+    # Tier 1 — the r4-stale block, complete (VERDICT r7 #1).
+    "q10_topn_rank",
     "q29_interval_join",
     "q30_skewed_agg",
     "q32_quantiles",
@@ -8385,14 +8330,59 @@ _DRIVER_PRIORITY: list[str] = [
     "q26_distinct_exact",
     "q41_string_funcs",
     "q42_datetime_funcs",
-    "q43_variant_extract",
+    "q46_nullsafe_join",
     "q07_distinct_sort",
     "q08_max_per_group",
     "q09_group_count",
-    "q10_topn_rank",
     "q11_conditional_status",
     "q12_parent_lookup",
     "q13_normalize_split",
+    # Tier 2 — round-8 additions (never sampled) and the query
+    # rewired through the persisted dedup index this round.
+    "multimodal_dedup",
+    "docs_corpus_drift",
+    "docs_incremental_dedup",
+    # Tier 3 — the r5-stale block; names whose shared kernels changed
+    # in round 8 first (minhash_band_keys extraction feeds the LSH
+    # family; banded_hamming_pairs extraction feeds the simhash pair
+    # path), then the rest.  Names past the 50-row cutoff lead r9.
+    "dedup_minhash_lsh",
+    "dedup_lsh_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "docs_dedup_clustered",
+    "docs_leakage_safe_split",
+    "dedup_embedding_cosine",
+    "ann_knn_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "docs_winnow_pairs",
+    "docs_global_shuffle",
+    "docs_domain_mix",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "text_keywords",
+    "text_lm_perplexity",
+    "approx_distinct_users",
+    "q27_json_extract",
+    "q31_ancestor_paths",
+    "q34_udaf_geomean",
+    "q35_full_outer",
+    "q36_intersect",
+    "q43_variant_extract",
+    "q50_map_type",
+    "q51_regex_rewrite",
+    "q52_union_by_name",
+    "q53_try_cast",
+    "q54_exists_subquery",
+    "q55_funnel",
+    "q56_cohort_retention",
+    "q57_scd2_merge",
+    "q60_expectations",
+    "q61_returned_items",
+    "q64_large_volume",
+    "q03_project_cast_lit",
 ]
 
 
