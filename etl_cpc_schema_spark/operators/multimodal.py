@@ -197,7 +197,7 @@ _PHASH_CHUNK = 16
 
 
 def dhash_table(
-    with_payload: DataFrame, id_col: str = "doc_id"
+    with_payload: DataFrame, id_col: str = "doc_id", bits: int = PHASH_BITS
 ) -> DataFrame:
     """(doc_id, phash) — perceptual fingerprints of binary payloads,
     the multimodal twin of ``dedup.simhash_table``: near-duplicate
@@ -205,19 +205,29 @@ def dhash_table(
     ``dedup.banded_hamming_pairs`` exactly as for text.
 
     Real-when-possible: a payload Pillow can decode gets a true dHash
-    (grayscale-resample to a 5×4 grid; bit = left pixel brighter than
-    its right neighbor — the classic difference hash, robust to
-    re-encode/resize).  Anything else — Pillow absent, or the payload
-    is not a decodable image (the sandbox's utf-8 stand-ins never
-    are) — takes the deterministic fallback: a 16-bit SimHash vote
-    over the decoded text's positional 16-char chunks, seeded 'ph'
-    with the package's portable md5 hash, so the correctness oracle
-    reproduces it exactly in SQL (the ``multimodal_meta`` pattern).
+    (grayscale-resample to a (bits/4+1)×4 grid; bit = left pixel
+    brighter than its right neighbor — the classic difference hash,
+    robust to re-encode/resize).  Anything else — Pillow absent, or
+    the payload is not a decodable image (the sandbox's utf-8
+    stand-ins never are) — takes the deterministic fallback: a
+    ``bits``-wide SimHash vote over the decoded text's positional
+    16-char chunks, seeded 'ph' with the package's portable md5 hash,
+    so the correctness oracle reproduces it exactly in SQL (the
+    ``multimodal_meta`` pattern).
+
+    ``bits`` (multiple of 4, ≤ 60 — the md5[:15] hash width) is the
+    SCALE LEVER: band-key cardinality for the downstream Hamming join
+    is ``bands × 2^(bits/bands)``, so a growing corpus widens the
+    fingerprint to hold band-bucket occupancy constant — exactly the
+    LSH planes / IVF cells dilution pattern; the registry query pins
+    the 16-bit geometry its oracle reproduces.
 
     Map-only Arrow pass, no shuffle; at 100 TB the fingerprint table
     is 16 bytes/row and the banded join is the only shuffle in the
     dedup composition.
     """
+    if bits % 4 != 0 or not 4 <= bits <= 60:
+        raise ValueError(f"bits must be a multiple of 4 in [4, 60]: {bits}")
 
     # self-contained closure: stdlib-only imports inside (Spark pickles
     # module functions by reference; executors don't share driver
@@ -233,27 +243,30 @@ def dhash_table(
         except ImportError:
             _Image = None
 
+        n_bits = bits  # closure capture of the fingerprint width
+        cols = n_bits // 4
+
         def real_dhash(buf: bytes):
             if _Image is None:
                 return None
             try:
                 with _Image.open(_io.BytesIO(buf)) as img:
-                    g = img.convert("L").resize((5, 4))
-                    px = list(g.getdata())  # row-major 5×4
+                    g = img.convert("L").resize((cols + 1, 4))
+                    px = list(g.getdata())  # row-major (cols+1)×4
             except Exception:
                 return None
-            bits = 0
+            out = 0
             k = 0
             for r in range(4):
-                for c in range(4):
-                    if px[r * 5 + c] > px[r * 5 + c + 1]:
-                        bits |= 1 << k
+                for c in range(cols):
+                    if px[r * (cols + 1) + c] > px[r * (cols + 1) + c + 1]:
+                        out |= 1 << k
                     k += 1
-            return bits
+            return out
 
         def fallback_phash(buf: bytes) -> int:
             s = buf.decode("utf-8", errors="replace")
-            votes = [0] * 16
+            votes = [0] * n_bits
             for j in range(0, len(s), 16):
                 chunk = s[j : j + 16]
                 h = int(
@@ -262,9 +275,9 @@ def dhash_table(
                     ],
                     16,
                 )
-                for b in range(16):
+                for b in range(n_bits):
                     votes[b] += 1 if (h >> b) & 1 else -1
-            return sum(1 << b for b in range(16) if votes[b] > 0)
+            return sum(1 << b for b in range(n_bits) if votes[b] > 0)
 
         for pdf in batches:
             out = []

@@ -104,6 +104,9 @@ INSPECT = [
     "q82_triangle_counts",
     "text_textrank",
     "q83_label_propagation",
+    "multimodal_dedup",
+    "docs_corpus_drift",
+    "docs_incremental_dedup",
 ]
 
 CHECKS = {

@@ -92,6 +92,16 @@ OPERATORS = [
     # basket graph as the triangle curve — per-round cost is one join
     # + two aggregates at edge volume, O(n) with bounded degree
     "q83_lpa_scaled",
+    # round-8: perceptual-hash multimodal dedup with the fingerprint
+    # WIDTH as the occupancy lever (band-key cardinality 4·2^(bits/4)
+    # grows with the corpus so band buckets stay ~constant; the
+    # registry's fixed 16-bit geometry would be quadratic at scale
+    # exactly like text simhash banding, which is why the registry
+    # query is not on the curve unscaled)
+    "multimodal_dedup_scaled",
+    # round-8: per-source snapshot drift — one tokenize map pass,
+    # then all aggregation on the bounded source×1024 domain
+    "docs_corpus_drift",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -314,7 +324,35 @@ def main() -> int:
         edges = cooccurrence_edges(members, "g", "doc_id")
         return label_propagation(edges, iterations=2)
 
+    def _multimodal_dedup_scaled(spark, sf_dir):
+        # fingerprint width ∝ log2(n): band-key cardinality 4·2^(b/4)
+        # grows with the corpus so band-bucket occupancy (the
+        # quadratic fan-in of the Hamming self-join) holds ~16 —
+        # the dilution lever the dhash_table docstring prescribes.
+        import math
+
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators.dedup import (
+            banded_hamming_pairs,
+        )
+        from etl_cpc_schema_spark.operators.multimodal import (
+            attach_fake_payload,
+            dhash_table,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = d.count()
+        band_bits = min(15, max(4, math.ceil(math.log2(max(n, 64) / 16))))
+        bits = 4 * band_bits
+        ph = dhash_table(attach_fake_payload(d), bits=bits)
+        pairs = banded_hamming_pairs(
+            ph, "phash", bits, max_hamming=2, band_bits=band_bits
+        )
+        return pairs.groupBy("d1").agg(F.count("*").alias("n_near"))
+
     extra = {
+        "multimodal_dedup_scaled": _multimodal_dedup_scaled,
         "ann_knn_join_scaled": _knn_scaled,
         "ann_ivfpq_topk_scaled": _ivfpq_scaled,
         "docs_semdedup_scaled": _semdedup_scaled,
