@@ -4391,6 +4391,53 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_indexed", _ivfpq_topk_oracle())
+def ann_ivfpq_indexed_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The PERSISTED-INDEX probe path of IVFADC, driver-visible (the
+    round-8 symmetric of docs_incremental_dedup's index rewiring):
+    save_ivfpq_index writes the trained centroids / PQ codebook /
+    codes as parquet, then ivfpq_topk(index_path=...) probes the
+    LOADED index — no training, and only the query subset is ranked
+    against the loaded centroids.  Results are bit-identical to the
+    in-session train-and-probe (tests/test_dedup_similarity.py pins
+    the roundtrip), so the ORACLE IS LITERALLY ann_ivfpq_topk's: same
+    geometry, same unrolled SQL, same answer.  This query runs
+    save→load→probe end-to-end so the driver exercises the artifact
+    lifecycle; a serving pipeline amortizes the save across every
+    query batch until the corpus drifts."""
+    import tempfile
+
+    from .operators.similarity import ivfpq_topk, save_ivfpq_index
+
+    embs = _t(spark, sf, "embeddings")
+    path = tempfile.mkdtemp(prefix="spark_ivfpq_index_")
+    save_ivfpq_index(
+        embs,
+        path,
+        n_centroids=ANN_IVFPQ_CENTROIDS,
+        m_subspaces=ANN_IVFPQ_M,
+        ksub=ANN_IVFPQ_KSUB,
+        ivf_lloyd_iters=ANN_IVFPQ_IVF_LLOYD,
+        pq_lloyd_iters=ANN_IVFPQ_PQ_LLOYD,
+    )
+    return (
+        ivfpq_topk(
+            embs,
+            k=ANN_IVFPQ_K,
+            nprobe=ANN_IVFPQ_NPROBE,
+            shortlist=ANN_IVFPQ_SHORTLIST,
+            query_pred=F.col("vec_id") < ANN_IVFPQ_QMAX,
+            index_path=path,
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extensions
 # ---------------------------------------------------------------------------
@@ -8342,6 +8389,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_dedup",
     "docs_corpus_drift",
     "docs_incremental_dedup",
+    "ann_ivfpq_indexed",
     # Tier 3 — the r5-stale block; names whose shared kernels changed
     # in round 8 first (minhash_band_keys extraction feeds the LSH
     # family; banded_hamming_pairs extraction feeds the simhash pair
