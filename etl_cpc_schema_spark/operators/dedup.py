@@ -442,6 +442,49 @@ def save_dedup_index(
     ).parquet(f"{path}/shingles.parquet")
 
 
+def append_to_dedup_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Upsert an accepted arrival batch into a persisted dedup index —
+    the second half of the daily-ingest lifecycle: after
+    :func:`incremental_dedup_indexed` decides which arrivals to keep,
+    the keepers are signed ONCE and appended, so tomorrow's batch
+    probes today's corpus without any re-signing.  Geometry comes from
+    the index's own ``meta.parquet`` (never from the caller — mixed
+    band families in one index would silently miss collisions).
+
+    Appends are parquet ``mode("append")`` on all three data tables —
+    new files only, no rewrite of existing data, safe on object
+    storage.  The fingerprint table tolerates duplicate VALUES (the
+    probe distincts it), so no dedup-merge pass is needed at append
+    time; the caller's contract is that ``new_docs`` carries doc ids
+    NOT already in the index (the natural upsert semantics — an id
+    appended twice would double its shingle rows and inflate that
+    doc's shared counts).
+
+    Test-pinned equivalence: append(corpus_b) onto index(corpus_a) ==
+    save(corpus_a ∪ corpus_b), probe-for-probe.
+    """
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
+    n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
+    new_docs.select(
+        TX.fingerprint(F.col(text_col)).alias("fp")
+    ).distinct().write.mode("append").parquet(f"{path}/fingerprints.parquet")
+    sh = iter_checkpoint(shingle_table(new_docs, id_col, text_col, n), eager=False)
+    minhash_band_keys(sh, num_hashes, bands).write.mode("append").parquet(
+        f"{path}/bands.parquet"
+    )
+    sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
+    ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s")).write.mode(
+        "append"
+    ).parquet(f"{path}/shingles.parquet")
+
+
 def load_dedup_index(spark, path: str) -> dict:
     """Lazy handles on a persisted dedup index (:func:`save_dedup_index`):
     ``{'n', 'num_hashes', 'bands': int, 'fingerprints', 'band_keys',
@@ -487,7 +530,10 @@ def incremental_dedup_indexed(
     """
     fp = TX.fingerprint(F.col(text_col))
     arr_fp = arrivals.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
-    hits = index["fingerprints"].withColumn("hit", F.lit(True))
+    # distinct: appended batches (append_to_dedup_index) may re-add a
+    # fingerprint that already exists — a duplicate row on the build
+    # side of this left join would duplicate the arrival row
+    hits = index["fingerprints"].distinct().withColumn("hit", F.lit(True))
 
     sh = iter_checkpoint(
         shingle_table(arrivals, id_col, text_col, index["n"]), eager=False

@@ -988,3 +988,69 @@ def test_multimodal_dhash_finds_planted_near_dups(spark):
         return sum(1 << b for b in range(16) if votes[b] > 0)
 
     assert by_id[4] == ref_phash(other)
+
+
+def test_dedup_index_append_equals_rebuild(spark, tmp_path):
+    """append_to_dedup_index(corpus_b) onto index(corpus_a) must be
+    probe-for-probe identical to save_dedup_index(corpus_a UNION
+    corpus_b) — the daily-upsert lifecycle never diverges from a
+    from-scratch rebuild."""
+    import random
+
+    random.seed(13)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(vocab[random.randrange(len(vocab))] for _ in range(18)))
+        for i in range(45)
+    ]
+    # arrivals = doc_id % 5 == 0; corpus splits into an initial half
+    # and an appended half
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arrivals = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    corpus_a = corpus.filter(F.col("doc_id") < 22)
+    corpus_b = corpus.filter(F.col("doc_id") >= 22)
+
+    p_full = str(tmp_path / "idx_full")
+    DD.save_dedup_index(corpus, p_full, n=3)
+    p_inc = str(tmp_path / "idx_inc")
+    DD.save_dedup_index(corpus_a, p_inc, n=3)
+    DD.append_to_dedup_index(corpus_b, p_inc)
+
+    def probe(path):
+        idx = DD.load_dedup_index(spark, path)
+        return {
+            (r["doc_id"], r["exact_dup"], r["n_near"], r["keep"])
+            for r in DD.incremental_dedup_indexed(arrivals, idx).collect()
+        }
+
+    assert probe(p_inc) == probe(p_full)
+
+
+def test_dedup_index_and_phash_edge_cases(spark, tmp_path):
+    """Empty arrivals probe cleanly; empty/whitespace payloads get a
+    zero perceptual hash; dhash_table rejects invalid widths."""
+    from etl_cpc_schema_spark.operators.multimodal import (
+        attach_fake_payload,
+        dhash_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "idx")
+    DD.save_dedup_index(corpus, path, n=3)
+    idx = DD.load_dedup_index(spark, path)
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert DD.incremental_dedup_indexed(empty, idx).count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id bigint, text string"
+    )
+    ph = {r["doc_id"]: r["phash"] for r in
+          dhash_table(attach_fake_payload(docs)).collect()}
+    assert ph[1] == 0  # zero chunks -> all votes 0 -> hash 0
+    assert ph[2] >= 0  # whitespace chunk hashes deterministically
+
+    with pytest.raises(ValueError, match="multiple of 4"):
+        dhash_table(attach_fake_payload(docs), bits=18)
