@@ -8042,8 +8042,15 @@ def multimodal_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     ph = iter_checkpoint(
         MM.dhash_table(MM.attach_fake_payload(d)), eager=False
     )
-    pairs = DD.banded_hamming_pairs(
-        ph, "phash", MM.PHASH_BITS, max_hamming=2, band_bits=4
+    # checkpoint: the d1/d2 union below consumes `pairs` twice — the
+    # PLANS.md audit showed the banded self-join executing once per
+    # union branch; materializing the (candidate-sized) pair set runs
+    # it once
+    pairs = iter_checkpoint(
+        DD.banded_hamming_pairs(
+            ph, "phash", MM.PHASH_BITS, max_hamming=2, band_bits=4
+        ),
+        eager=False,
     )
     near = (
         pairs.select(F.col("d1").alias("doc_id"))
