@@ -52,6 +52,13 @@ QUERIES = [
     # synchronous LPA rounds + aggregate argmax tie-breaks must be
     # identical under any row order or partitioning
     "q83_label_propagation",
+    # round-8: SimHash-style vote fingerprints + banded self-join
+    # (order-sensitive-LOOKING: votes fold over chunk rows), the
+    # per-bucket quantized JS sums, and the persisted-index probe
+    # whose save/load roundtrip must not depend on write order
+    "multimodal_dedup",
+    "docs_corpus_drift",
+    "docs_incremental_dedup",
 ]
 
 _TABLES = (
