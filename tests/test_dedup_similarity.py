@@ -1054,3 +1054,54 @@ def test_dedup_index_and_phash_edge_cases(spark, tmp_path):
 
     with pytest.raises(ValueError, match="multiple of 4"):
         dhash_table(attach_fake_payload(docs), bits=18)
+
+
+def test_hypothesis_phash_parity_random_unicode(spark):
+    """dhash_table's fallback must equal the pure-Python md5-vote
+    reference for arbitrary unicode text — the chunking is by
+    CHARACTER on the decoded payload, so multi-byte codepoints must
+    not shift chunk boundaries (the SQL oracle also chunks by char).
+    One batched Spark run over every generated doc."""
+    import hashlib
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from etl_cpc_schema_spark.operators.multimodal import (
+        attach_fake_payload,
+        dhash_table,
+    )
+
+    texts: list[str] = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(min_size=0, max_size=70))
+    def _collect(s):
+        texts.append(s)
+
+    _collect()
+    texts.extend(["", " " * 16, "é" * 17, "𝄞abc" * 5])  # forced edges
+
+    def ref_phash(s: str, bits: int) -> int:
+        votes = [0] * bits
+        for j in range(math.ceil(len(s) / 16)):
+            h = int(
+                hashlib.md5(
+                    ("ph:" + s[j * 16 : j * 16 + 16]).encode("utf-8")
+                ).hexdigest()[:15],
+                16,
+            )
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(bits) if votes[b] > 0)
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    for bits in (16, 60):
+        got = {
+            r["doc_id"]: r["phash"]
+            for r in dhash_table(attach_fake_payload(docs), bits=bits).collect()
+        }
+        for i, s in enumerate(texts):
+            assert got[i] == ref_phash(s, bits), (bits, repr(s))
