@@ -7989,7 +7989,10 @@ def multimodal_frames_q(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
-def _multimodal_dedup_oracle() -> str:
+def _phash_cte() -> str:
+    """Shared WITH-prefix ending in ``p`` = the (doc_id, phash)
+    perceptual-fingerprint table; the multimodal dedup oracles compose
+    final SELECTs on top of it (the winnowing shared-CTE pattern)."""
     ph = portable_hash64_sql("c", "ph")
     bit_terms = " + ".join(
         f"""(CASE WHEN list_sum(list_transform(cs,
@@ -7997,15 +8000,19 @@ def _multimodal_dedup_oracle() -> str:
              THEN {2 ** b} ELSE 0 END)"""
         for b in range(16)
     )
-    return f"""
-WITH ch AS (
+    return f"""ch AS (
   SELECT doc_id,
          list_transform(range(CAST(ceil(len(text) / 16.0) AS BIGINT)),
                         i -> substr(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS cs
   FROM documents
 ), p AS (
   SELECT doc_id, CAST({bit_terms} AS BIGINT) AS phash FROM ch
-), pr AS (
+)"""
+
+
+def _multimodal_dedup_oracle() -> str:
+    return f"""
+WITH {_phash_cte()}, pr AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2
   FROM p a JOIN p b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.phash, b.phash)) <= 2
@@ -8064,6 +8071,72 @@ def multimodal_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "phash",
             F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint").alias("n_near"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _multimodal_clustered_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_phash_cte()}, pr AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM p a JOIN p b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pr
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pr
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT p.doc_id,
+       CAST(coalesce(comp.component, p.doc_id) AS BIGINT) AS cluster,
+       (comp.node IS NULL OR comp.component = p.doc_id) AS keep
+FROM p LEFT JOIN comp ON p.doc_id = comp.node
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_dedup_clustered", _multimodal_clustered_oracle())
+def multimodal_dedup_clustered_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The multimodal cluster-dedup materialization, bringing the
+    modality to parity with text (``docs_dedup_clustered``):
+    perceptual-hash near-dup pairs → connected components → every
+    payload labeled with its cluster representative and a keep flag
+    (cluster = lowest doc id reachable through Hamming-≤2 edges;
+    transitive, so a chain of re-encodes collapses to one keeper even
+    when its endpoints differ by more than the pairwise budget).
+
+    Scale shape: the pair join is the audited banded-Hamming plan;
+    components is the checkpointed O(log n)-round hash-min loop shared
+    with text dedup; the final labeling is one left join.  Oracle:
+    recursive-CTE closure over the all-pairs Hamming graph."""
+    from .operators.components import connected_components
+    from .operators.iterutils import iter_checkpoint
+
+    d = _t(spark, sf, "documents")
+    ph = iter_checkpoint(
+        MM.dhash_table(MM.attach_fake_payload(d)), eager=False
+    )
+    pairs = DD.banded_hamming_pairs(
+        ph, "phash", MM.PHASH_BITS, max_hamming=2, band_bits=4
+    ).select("d1", "d2")
+    comp = connected_components(pairs)
+    return (
+        ph.join(comp, ph.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("cluster"),
+            (F.col("node").isNull() | (F.col("component") == F.col("doc_id"))).alias(
+                "keep"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -8397,6 +8470,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_corpus_drift",
     "docs_incremental_dedup",
     "ann_ivfpq_indexed",
+    "multimodal_dedup_clustered",
     # Tier 3 — the r5-stale block; names whose shared kernels changed
     # in round 8 first (minhash_band_keys extraction feeds the LSH
     # family; banded_hamming_pairs extraction feeds the simhash pair
