@@ -290,13 +290,8 @@ def minhash_lsh_pairs(
     shuffles are one agg on doc_id and the band-key self-join whose
     keys are already well-distributed hashes.
     """
-    if bands < 1 or num_hashes % bands != 0:
-        raise ValueError(
-            f"bands must divide num_hashes (got num_hashes={num_hashes}, "
-            f"bands={bands}); bands > num_hashes would make every band key "
-            "a document-independent constant and bucket the whole corpus "
-            "together"
-        )
+    # bands/num_hashes validation lives in minhash_band_keys — the
+    # shared entry point both this wrapper and the index builder use
     sh = shingles if shingles is not None else shingle_table(docs, id_col, text_col, n)
     banded = minhash_band_keys(sh, num_hashes, bands)
     return _bucket_pairs(banded, "bk").distinct()
@@ -313,7 +308,10 @@ def minhash_band_keys(
     ``num_hashes`` affine minhashes evaluate in whole-stage codegen."""
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
-            f"bands must divide num_hashes (got {num_hashes=}, {bands=})"
+            f"bands must divide num_hashes (got {num_hashes=}, {bands=}); "
+            "bands > num_hashes would make every band key a "
+            "document-independent constant and bucket the whole corpus "
+            "together"
         )
     rows_per_band = num_hashes // bands
     params = H.minhash_affine_params(num_hashes)

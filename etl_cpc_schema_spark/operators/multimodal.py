@@ -193,11 +193,17 @@ PHASH_SCHEMA = "doc_id bigint, phash bigint"
 #: Hamming candidate join (same family as the text SimHash path, so
 #: dedup.banded_hamming_pairs serves both modalities unchanged).
 PHASH_BITS = 16
-_PHASH_CHUNK = 16
+#: fallback chunking granularity (chars of decoded payload per vote);
+#: wired through the kernel AND the SQL oracle builder — change it in
+#: one place or nowhere
+PHASH_CHUNK = 16
 
 
 def dhash_table(
-    with_payload: DataFrame, id_col: str = "doc_id", bits: int = PHASH_BITS
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = PHASH_BITS,
+    use_decoder: bool = True,
 ) -> DataFrame:
     """(doc_id, phash) — perceptual fingerprints of binary payloads,
     the multimodal twin of ``dedup.simhash_table``: near-duplicate
@@ -215,6 +221,15 @@ def dhash_table(
     so the correctness oracle reproduces it exactly in SQL (the
     ``multimodal_meta`` pattern).
 
+    ``use_decoder=False`` skips the Pillow attempt entirely and
+    fingerprints every payload with the deterministic fallback — the
+    DECLARED queries pass this so their SQL oracles hold in ANY
+    environment: with a decoder active, a text payload that happens to
+    carry an image magic (Pillow's PPM/PBM plugin accepts plain text
+    starting 'P1'..'P3') would get a true dHash the oracle cannot
+    reproduce, and one diverging fingerprint corrupts near-pair counts
+    for OTHER docs too.  Real pipelines keep the default.
+
     ``bits`` (multiple of 4, ≤ 60 — the md5[:15] hash width) is the
     SCALE LEVER: band-key cardinality for the downstream Hamming join
     is ``bands × 2^(bits/bands)``, so a growing corpus widens the
@@ -228,6 +243,7 @@ def dhash_table(
     """
     if bits % 4 != 0 or not 4 <= bits <= 60:
         raise ValueError(f"bits must be a multiple of 4 in [4, 60]: {bits}")
+    chunk = PHASH_CHUNK
 
     # self-contained closure: stdlib-only imports inside (Spark pickles
     # module functions by reference; executors don't share driver
@@ -238,13 +254,17 @@ def dhash_table(
 
         import pandas as _pd
 
-        try:  # worker-side optional dependency — decide once per task
-            from PIL import Image as _Image
-        except ImportError:
+        if use_decoder:
+            try:  # worker-side optional dependency — decide once per task
+                from PIL import Image as _Image
+            except ImportError:
+                _Image = None
+        else:
             _Image = None
 
         n_bits = bits  # closure capture of the fingerprint width
         cols = n_bits // 4
+        chunk_sz = chunk
 
         def real_dhash(buf: bytes):
             if _Image is None:
@@ -267,10 +287,10 @@ def dhash_table(
         def fallback_phash(buf: bytes) -> int:
             s = buf.decode("utf-8", errors="replace")
             votes = [0] * n_bits
-            for j in range(0, len(s), 16):
-                chunk = s[j : j + 16]
+            for j in range(0, len(s), chunk_sz):
+                piece = s[j : j + chunk_sz]
                 h = int(
-                    _hashlib.md5(("ph:" + chunk).encode("utf-8")).hexdigest()[
+                    _hashlib.md5(("ph:" + piece).encode("utf-8")).hexdigest()[
                         :15
                     ],
                     16,

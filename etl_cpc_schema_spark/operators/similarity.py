@@ -64,8 +64,11 @@ def _collect_matrix(
 
     With ``attr_col`` the attribute column rides along in the SAME
     driver job (one plan execution, not two) and the return is a
-    3-tuple ``(ids, mat, attrs)``; duplicate ids raise, because a
-    per-id attribute lookup is ambiguous under duplicates.
+    3-tuple ``(ids, mat, attrs)``; attrs are PER ROW (duplicate ids
+    each keep their own row, as before the attr rider existed), and
+    only ids carrying CONFLICTING attribute values raise — that lookup
+    is genuinely ambiguous, while same-id-same-attr duplicates (a
+    query set assembled by overlapping unions) stay valid input.
     """
     import numpy as np
 
@@ -79,11 +82,16 @@ def _collect_matrix(
     cols = [id_col, vec_col] + ([attr_col] if attr_col is not None else [])
     pdf = embs.select(*cols).toPandas()
     ids = pdf[id_col].to_numpy()
-    if attr_col is not None and len(ids) != len(set(ids.tolist())):
-        raise ValueError(
-            f"duplicate {id_col!r} values on the query side make the "
-            f"per-id {attr_col!r} lookup ambiguous"
-        )
+    if attr_col is not None:
+        seen: dict = {}
+        for i, a in zip(ids.tolist(), pdf[attr_col].tolist()):
+            if i in seen and seen[i] != a:
+                raise ValueError(
+                    f"query id {i!r} carries conflicting {attr_col!r} "
+                    f"values ({seen[i]!r} vs {a!r}); the per-id lookup "
+                    "is ambiguous"
+                )
+            seen[i] = a
     if len(ids) == 0:
         # empty build side: let callers branch on len(ids) instead of
         # paying a separate isEmpty() job (which re-runs the plan)

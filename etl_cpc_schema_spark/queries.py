@@ -2935,12 +2935,18 @@ def docs_incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     in tests/test_dedup_similarity.py).  Arrival-vs-arrival
     (intra-batch) duplicates are deliberately out of scope here — that
     is ``docs_dedup_clustered`` run on the batch alone."""
+    import atexit
+    import shutil
     import tempfile
 
     d = _t(spark, sf, "documents")
     arrivals = d.filter(F.col("doc_id") % 5 == 0)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     path = tempfile.mkdtemp(prefix="spark_dedup_index_")
+    # the returned frame reads the index LAZILY, so the dir can't be
+    # removed here; registering the cleanup keeps repeated invocations
+    # (bench medians, sweeps) from accumulating index copies in /tmp
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     DD.save_dedup_index(corpus, path, n=3)
     index = DD.load_dedup_index(spark, path)
     return DD.incremental_dedup_indexed(
@@ -4405,12 +4411,16 @@ def ann_ivfpq_indexed_q(spark: SparkSession, sf: str) -> DataFrame:
     save→load→probe end-to-end so the driver exercises the artifact
     lifecycle; a serving pipeline amortizes the save across every
     query batch until the corpus drifts."""
+    import atexit
+    import shutil
     import tempfile
 
     from .operators.similarity import ivfpq_topk, save_ivfpq_index
 
     embs = _t(spark, sf, "embeddings")
     path = tempfile.mkdtemp(prefix="spark_ivfpq_index_")
+    # lazy index reads forbid removal here — clean at process exit
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     save_ivfpq_index(
         embs,
         path,
@@ -8000,10 +8010,11 @@ def _phash_cte() -> str:
              THEN {2 ** b} ELSE 0 END)"""
         for b in range(16)
     )
+    c = MM.PHASH_CHUNK
     return f"""ch AS (
   SELECT doc_id,
-         list_transform(range(CAST(ceil(len(text) / 16.0) AS BIGINT)),
-                        i -> substr(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS cs
+         list_transform(range(CAST(ceil(len(text) / {c}.0) AS BIGINT)),
+                        i -> substr(text, CAST(i * {c} + 1 AS BIGINT), {c})) AS cs
   FROM documents
 ), p AS (
   SELECT doc_id, CAST({bit_terms} AS BIGINT) AS phash FROM ch
@@ -8046,8 +8057,14 @@ def multimodal_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     from .operators.iterutils import iter_checkpoint
 
+    # use_decoder=False: the oracle models the md5-vote fallback, and
+    # a decoder-equipped worker could true-dHash a text payload that
+    # happens to carry a PPM/PBM magic ('P1'..'P3'), silently
+    # diverging — the declared query forces the oracle-reproducible
+    # path in every environment (operators keep real-when-possible)
     ph = iter_checkpoint(
-        MM.dhash_table(MM.attach_fake_payload(d)), eager=False
+        MM.dhash_table(MM.attach_fake_payload(d), use_decoder=False),
+        eager=False,
     )
     # checkpoint: the d1/d2 union below consumes `pairs` twice — the
     # PLANS.md audit showed the banded self-join executing once per
@@ -8121,7 +8138,8 @@ def multimodal_dedup_clustered_q(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     ph = iter_checkpoint(
-        MM.dhash_table(MM.attach_fake_payload(d)), eager=False
+        MM.dhash_table(MM.attach_fake_payload(d), use_decoder=False),
+        eager=False,
     )
     pairs = DD.banded_hamming_pairs(
         ph, "phash", MM.PHASH_BITS, max_hamming=2, band_bits=4
