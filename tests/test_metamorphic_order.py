@@ -57,6 +57,7 @@ QUERIES = [
     # per-bucket quantized JS sums, and the persisted-index probe
     # whose save/load roundtrip must not depend on write order
     "multimodal_dedup",
+    "multimodal_dedup_clustered",
     "docs_corpus_drift",
     "docs_incremental_dedup",
 ]
