@@ -105,8 +105,10 @@ INSPECT = [
     "text_textrank",
     "q83_label_propagation",
     "multimodal_dedup",
+    "multimodal_dedup_clustered",
     "docs_corpus_drift",
     "docs_incremental_dedup",
+    "ann_ivfpq_indexed",
 ]
 
 CHECKS = {
