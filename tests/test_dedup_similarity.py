@@ -1105,3 +1105,30 @@ def test_hypothesis_phash_parity_random_unicode(spark):
         }
         for i, s in enumerate(texts):
             assert got[i] == ref_phash(s, bits), (bits, repr(s))
+
+
+def test_ivfpq_index_geometry_mismatch_raises(spark, tmp_path):
+    """ivfpq_topk(index_path=...) must reject a caller-passed geometry
+    that differs from the loaded index's trained shapes instead of
+    silently probing someone else's layout; None (the default) accepts
+    whatever the index holds."""
+    import random
+
+    random.seed(3)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(60)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "idx")
+    SIM.save_ivfpq_index(embs, path, n_centroids=4, m_subspaces=2, ksub=4)
+    ok = SIM.ivfpq_topk(
+        embs, k=2, nprobe=2, shortlist=8,
+        query_pred=F.col("vec_id") < 5, index_path=path,
+    )
+    assert ok.count() > 0
+    with pytest.raises(ValueError, match="n_centroids=8 does not match"):
+        SIM.ivfpq_topk(
+            embs, k=2, n_centroids=8, nprobe=2, shortlist=8,
+            query_pred=F.col("vec_id") < 5, index_path=path,
+        )
