@@ -1363,23 +1363,36 @@ def ivfpq_topk(
     ``None`` (the default) to accept whatever the index holds.
     """
     import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
 
     if index_path is None:
         n_centroids = 32 if n_centroids is None else n_centroids
         m_subspaces = 16 if m_subspaces is None else m_subspaces
         ksub = 16 if ksub is None else ksub
+        # IVF centroid training and PQ codebook training are
+        # INDEPENDENT corpus passes (each is a Lloyd chain of
+        # blocking dimension-sized collects) — submit them from two
+        # threads so their Spark jobs overlap.  On local[32] this
+        # hides the smaller chain entirely; on a real cluster
+        # concurrent independent jobs keep executors busy instead of
+        # serializing control-plane latency.  Results are the same
+        # arrays the sequential calls produced — determinism is
+        # per-chain, not cross-chain.
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fut_ivf = ex.submit(
+                ivf_train, embs, n_centroids, id_col, vec_col,
+                ivf_lloyd_iters,
+            )
+            fut_pq = ex.submit(
+                pq_train, embs, m_subspaces, ksub, id_col, vec_col,
+                pq_lloyd_iters,
+            )
+            cells_t, Civf_t = fut_ivf.result()
+            C = fut_pq.result()
         ranked = iter_checkpoint(
-            ivf_assign(
-                embs,
-                n_centroids,
-                id_col,
-                vec_col,
-                rank_limit=nprobe,
-                lloyd_iters=ivf_lloyd_iters,
-            ),
+            _ivf_rank_cells(embs, cells_t, Civf_t, nprobe, id_col, vec_col),
             eager=False,
         )
-        C = pq_train(embs, m_subspaces, ksub, id_col, vec_col, pq_lloyd_iters)
         codes = pq_encode(embs, C, id_col, vec_col)
         index = (
             ranked.filter(F.col("cell_rank") == 1)
