@@ -8441,77 +8441,19 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
 #: driver samples a subset of the registry per round; this list points
-#: the sample at the current evidence gap (VERDICT r7 "Next round" #1:
-#: a third of the board's driver ledger was three rounds old).  Tier 1
-#: is the complete 29-query block whose latest driver evidence is
-#: round 4 (q10 first — its plan changed to TakeOrdered this round);
-#: tier 2 is the round-8 additions and the query rewired through the
-#: persisted dedup index; tier 3 is the r5-stale block, the queries
-#: whose SHARED KERNELS changed this round first (minhash_band_keys /
-#: banded_hamming_pairs refactors).  With a 50-row sample, all of
-#: tier 1+2 and the first ~18 tier-3 names get round-8 rows; the
-#: tier-3 tail (all r5-green and swept locally) leads the r9 rotation.
+#: the sample at the current evidence gap (VERDICT r8 "Next round" #1:
+#: after round 8 no query's driver evidence is older than r5, and the
+#: r5 block is exactly 21 names).  Tier 1 is that complete r5-stale
+#: block — with a 50-row sample it fits with ~29 slots to spare.
+#: Tier 2 is the round-9 additions (never driver-sampled).  Tier 3 is
+#: the 47-name r6 block; the names whose shared kernels changed in
+#: round 9 lead it (similarity.py's ivfpq training overlap feeds the
+#: ANN family; streaming/ingest.py's sentinel rework feeds stream_*;
+#: multimodal.py gains the video near-dup kernels), then the rest.
+#: Names past the 50-row cutoff lead the r10 rotation.
 _DRIVER_PRIORITY: list[str] = [
-    # Tier 1 — the r4-stale block, complete (VERDICT r7 #1).
-    "q10_topn_rank",
-    "q29_interval_join",
-    "q30_skewed_agg",
-    "q32_quantiles",
-    "q33_grouped_topk",
-    "q37_range_window",
-    "q38_window_misc",
-    "q39_grouping_sets",
-    "q40_stats_agg",
-    "q47_udtf_enumerate",
-    "q48_resample_gapfill",
-    "q49_snapshot_diff",
-    "q24_pivot_counts",
-    "q25_cube",
-    "q28_unpivot",
-    "q15_tumbling_window",
-    "q16_dedup_last_wins",
-    "q19_rollup",
-    "q20_set_ops",
-    "q26_distinct_exact",
-    "q41_string_funcs",
-    "q42_datetime_funcs",
-    "q46_nullsafe_join",
-    "q07_distinct_sort",
-    "q08_max_per_group",
-    "q09_group_count",
-    "q11_conditional_status",
-    "q12_parent_lookup",
-    "q13_normalize_split",
-    # Tier 2 — round-8 additions (never sampled) and the query
-    # rewired through the persisted dedup index this round.
-    "multimodal_dedup",
-    "docs_corpus_drift",
-    "docs_incremental_dedup",
-    "ann_ivfpq_indexed",
-    "multimodal_dedup_clustered",
-    # Tier 3 — the r5-stale block; names whose shared kernels changed
-    # in round 8 first (minhash_band_keys extraction feeds the LSH
-    # family; banded_hamming_pairs extraction feeds the simhash pair
-    # path), then the rest.  Names past the 50-row cutoff lead r9.
-    "dedup_minhash_lsh",
-    "dedup_lsh_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "docs_dedup_clustered",
-    "docs_leakage_safe_split",
-    "dedup_embedding_cosine",
-    "ann_knn_join",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "docs_winnow_pairs",
-    "docs_global_shuffle",
-    "docs_domain_mix",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "text_keywords",
-    "text_lm_perplexity",
-    "approx_distinct_users",
+    # Tier 1 — the r5-stale block, complete (VERDICT r8 #1).
+    "q03_project_cast_lit",
     "q27_json_extract",
     "q31_ancestor_paths",
     "q34_udaf_geomean",
@@ -8529,7 +8471,59 @@ _DRIVER_PRIORITY: list[str] = [
     "q60_expectations",
     "q61_returned_items",
     "q64_large_volume",
-    "q03_project_cast_lit",
+    "approx_distinct_users",
+    "text_keywords",
+    "text_lm_perplexity",
+    # Tier 2 — round-9 additions (names appended here as each lands;
+    # the registry test rejects dead entries).
+    # Tier 3 — the r6-stale block; touched-kernel families first.
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "dedup_embedding_lsh",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_resize",
+    "stream_dedup_counts",
+    "stream_static_join",
+    "stream_user_counts_stateful",
+    "stream_windowed_topk",
+    "docs_chunk",
+    "docs_contamination",
+    "docs_dsir_weights",
+    "docs_pack_sequences",
+    "docs_pipeline",
+    "docs_stratified_sample",
+    "docs_temperature_sample",
+    "docs_train_split",
+    "q01_regex_parse",
+    "q02_filter_predicates",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_left_join_default",
+    "q14_pipeline_composite",
+    "q18_join_agg",
+    "q58_shipping_priority",
+    "q59_local_supplier_volume",
+    "q63_promo_share",
+    "q66_avg_quantity_outliers",
+    "q67_waiting_suppliers",
+    "q68_sales_opportunity",
+    "q69_top_supplier",
+    "q70_nation_value_share",
+    "q71_disjunctive_revenue",
+    "q72_market_share",
+    "text_fingerprint",
+    "text_gopher_filters",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality_filter",
+    "text_repetition",
+    "text_rolling_hash",
+    "text_stats",
+    "text_token_bpe",
+    "text_token_freq",
+    "text_url_domains",
 ]
 
 
