@@ -1561,6 +1561,62 @@ def save_ivfpq_index(
     ).write.mode("overwrite").parquet(f"{path}/codebook.parquet")
 
 
+def append_to_ivfpq_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Upsert a vector batch into a persisted IVFADC index — the
+    lifecycle completion the dedup index got first
+    (:func:`~etl_cpc_schema_spark.operators.dedup.append_to_dedup_index`):
+    new vectors are assigned to IVF cells and PQ-encoded under the
+    FROZEN loaded centroids/codebook (no retraining — the geometry an
+    index was trained with is immutable for its lifetime), and only
+    ``codes.parquet`` grows.  Appends are parquet ``mode("append")``
+    — new files only, no rewrite, safe on object storage; at 100 TB
+    the appended batch is one Arrow/BLAS map pass over the NEW
+    vectors only, with the two control-plane matrices read once.
+
+    Contract mirrors the dedup index: geometry comes from the index
+    itself (never the caller); a batch whose vector dimensionality
+    does not match the trained centroids is rejected LOUDLY before
+    any write; the caller guarantees ``new_vecs`` carries ids NOT
+    already in the index (re-appending an id would duplicate its
+    codes row and surface the same neighbor twice).  An empty batch
+    is a no-op.
+
+    Test-pinned equivalence: append(batch_b) onto index(corpus_a) ==
+    encoding corpus_a ∪ batch_b under index(corpus_a)'s geometry,
+    probe-for-probe (tests/test_dedup_similarity.py).  Retrain (a
+    fresh :func:`save_ivfpq_index`) when the corpus distribution
+    drifts — the standard ANN maintenance cadence.
+    """
+    spark = new_vecs.sparkSession
+    cells, Civf, Cpq = load_ivfpq_index(spark, path)
+    dims = Civf.shape[1]
+    first = new_vecs.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return  # empty batch — nothing to encode, nothing to write
+    if first["d"] != dims:
+        raise ValueError(
+            f"append_to_ivfpq_index: batch vectors have {first['d']} "
+            f"dims but the index at {path!r} was trained on {dims} — "
+            "geometry is frozen at save time; re-save to change it"
+        )
+    assigned = (
+        _ivf_rank_cells(new_vecs, cells, Civf, 1, id_col, vec_col)
+        .filter(F.col("cell_rank") == 1)
+        .select(F.col("vid").alias("n_id"), "cell")
+    )
+    codes = pq_encode(new_vecs, Cpq, id_col, vec_col).withColumnRenamed(
+        "vid", "n_id"
+    )
+    assigned.join(codes, "n_id").write.mode("append").parquet(
+        f"{path}/codes.parquet"
+    )
+
+
 def load_ivfpq_index(spark, path: str):
     """(cells, Civf, Cpq) — the control-plane matrices of a persisted
     index (:func:`save_ivfpq_index`); the codes table stays distributed

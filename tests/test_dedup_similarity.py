@@ -1132,3 +1132,89 @@ def test_ivfpq_index_geometry_mismatch_raises(spark, tmp_path):
             embs, k=2, n_centroids=8, nprobe=2, shortlist=8,
             query_pred=F.col("vec_id") < 5, index_path=path,
         )
+
+
+def test_ivfpq_index_append_equals_frozen_rebuild(spark, tmp_path):
+    """append_to_ivfpq_index(batch_b) onto index(corpus_a) must be
+    probe-for-probe identical to encoding corpus_a UNION batch_b under
+    index(corpus_a)'s FROZEN geometry (the dedup-index append contract
+    applied to IVFADC — no retraining on append), and the codes table
+    must cover exactly the union's ids."""
+    import random
+
+    random.seed(11)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(16)])
+        for i in range(120)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    corpus_a = embs.filter(F.col("vec_id") < 70)
+    batch_b = embs.filter(F.col("vec_id") >= 70)
+
+    p_inc = str(tmp_path / "idx_inc")
+    SIM.save_ivfpq_index(
+        embs=corpus_a, path=p_inc, n_centroids=8, m_subspaces=4, ksub=8,
+        ivf_lloyd_iters=1, pq_lloyd_iters=1,
+    )
+    SIM.append_to_ivfpq_index(batch_b, p_inc)
+
+    # reference: same geometry, union encoded in one shot
+    cells, Civf, Cpq = SIM.load_ivfpq_index(spark, p_inc)
+    p_ref = str(tmp_path / "idx_ref")
+    spark.read.parquet(f"{p_inc}/centroids.parquet").write.parquet(
+        f"{p_ref}/centroids.parquet"
+    )
+    spark.read.parquet(f"{p_inc}/codebook.parquet").write.parquet(
+        f"{p_ref}/codebook.parquet"
+    )
+    assigned = (
+        SIM._ivf_rank_cells(embs, cells, Civf, 1, "vec_id", "embedding")
+        .filter(F.col("cell_rank") == 1)
+        .select(F.col("vid").alias("n_id"), "cell")
+    )
+    codes = SIM.pq_encode(embs, Cpq, "vec_id", "embedding").withColumnRenamed(
+        "vid", "n_id"
+    )
+    assigned.join(codes, "n_id").write.parquet(f"{p_ref}/codes.parquet")
+
+    def probe(path):
+        return {
+            (r["q_id"], r["neighbor_id"], r["rank"])
+            for r in SIM.ivfpq_topk(
+                embs, k=3, nprobe=4, shortlist=16,
+                query_pred=F.col("vec_id") < 20, index_path=path,
+            ).collect()
+        }
+
+    assert probe(p_inc) == probe(p_ref) and len(probe(p_inc)) > 0
+    got_ids = {
+        r["n_id"]
+        for r in spark.read.parquet(f"{p_inc}/codes.parquet").collect()
+    }
+    assert got_ids == set(range(120))
+
+
+def test_ivfpq_index_append_guards(spark, tmp_path):
+    """Empty batches are a no-op; a batch whose dims differ from the
+    trained centroids is rejected loudly BEFORE any write."""
+    import random
+
+    random.seed(12)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(40)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "idx")
+    SIM.save_ivfpq_index(embs, path, n_centroids=4, m_subspaces=2, ksub=4)
+    before = spark.read.parquet(f"{path}/codes.parquet").count()
+
+    SIM.append_to_ivfpq_index(embs.filter(F.col("vec_id") < 0), path)
+    assert spark.read.parquet(f"{path}/codes.parquet").count() == before
+
+    bad = spark.createDataFrame(
+        [(1000, [1.0, 2.0, 3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="4 dims but the index"):
+        SIM.append_to_ivfpq_index(bad, path)
+    assert spark.read.parquet(f"{path}/codes.parquet").count() == before
