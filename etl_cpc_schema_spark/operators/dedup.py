@@ -483,6 +483,70 @@ def append_to_dedup_index(
     ).parquet(f"{path}/shingles.parquet")
 
 
+def compact_dedup_index(
+    spark, path: str, target_files: int = 1
+) -> dict[str, int]:
+    """Maintenance job for the append-only dedup index: rewrite the
+    three data tables under the SAME ``meta.parquet`` with bounded
+    file counts — after N daily appends each table holds O(N) small
+    parquet files and every probe pays N file opens; compaction folds
+    them back to ``target_files``.  The fingerprint table is also
+    ``distinct``-ed (appends may re-add a fingerprint VALUE that
+    already exists; the probe distincts it anyway, so this only
+    shrinks bytes, never changes answers).  Band keys and shingles
+    are rewritten verbatim — the append contract (new doc ids only)
+    means they carry no duplicate rows to collapse.
+
+    Crash-safety is the stage-then-swap shape
+    (:func:`~etl_cpc_schema_spark.streaming.ingest.compact_topk_stage`'s
+    write-new-before-delete-old, applied per table): rows are
+    materialized via an eager ``localCheckpoint`` BEFORE any file is
+    touched (severing lineage from the files about to be deleted),
+    the compacted copy is written to ``<table>.parquet.compacting``,
+    and only then is the live directory deleted and the staging dir
+    renamed over it.  The one non-atomic window (between delete and
+    rename) is self-repairing: on entry, a missing live dir with a
+    completed staging dir is renamed into place, so re-running
+    ``compact_dedup_index`` after ANY crash converges; a stale
+    staging dir from an earlier crash is discarded.  Rename is
+    atomic on HDFS and local file:// (on S3 it is a copy — use the
+    same committer caveats as any rename-based job).  Returns
+    ``{table: row_count}``.
+
+    Probe-for-probe equality before/after compaction is test-pinned
+    (tests/test_dedup_similarity.py).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    counts: dict[str, int] = {}
+    for table, dedupe in (
+        ("fingerprints", True),
+        ("bands", False),
+        ("shingles", False),
+    ):
+        main = f"{path}/{table}.parquet"
+        stage = f"{main}.compacting"
+        fs = HPath(main).getFileSystem(conf)
+        # recovery: a previous run crashed between delete and rename —
+        # the staging dir is complete by construction, promote it
+        if not fs.exists(HPath(main)) and fs.exists(HPath(stage)):
+            fs.rename(HPath(stage), HPath(main))
+        # a staging dir alongside a live dir is a pre-delete crash
+        # leftover — the live dir is authoritative, discard the stage
+        if fs.exists(HPath(stage)):
+            fs.delete(HPath(stage), True)
+        df = spark.read.parquet(main)
+        if dedupe:
+            df = df.distinct()
+        df = df.localCheckpoint(eager=True)
+        counts[table] = df.count()
+        df.coalesce(target_files).write.parquet(stage)
+        fs.delete(HPath(main), True)
+        fs.rename(HPath(stage), HPath(main))
+    return counts
+
+
 def load_dedup_index(spark, path: str) -> dict:
     """Lazy handles on a persisted dedup index (:func:`save_dedup_index`):
     ``{'n', 'num_hashes', 'bands': int, 'fingerprints', 'band_keys',

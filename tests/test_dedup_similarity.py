@@ -1218,3 +1218,60 @@ def test_ivfpq_index_append_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="4 dims but the index"):
         SIM.append_to_ivfpq_index(bad, path)
     assert spark.read.parquet(f"{path}/codes.parquet").count() == before
+
+
+def test_dedup_index_compaction_preserves_probes(spark, tmp_path):
+    """compact_dedup_index must leave probe results bit-identical
+    while reducing each data table's parquet file count to the
+    target after a run of appends, and a crash between delete and
+    rename must be self-repairing on the next run."""
+    import os
+    import random
+    import shutil
+
+    random.seed(17)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(vocab[random.randrange(len(vocab))] for _ in range(18)))
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arrivals = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+
+    path = str(tmp_path / "idx")
+    DD.save_dedup_index(corpus.filter(F.col("doc_id") < 20), path, n=3)
+    for lo, hi in ((20, 35), (35, 50), (50, 60)):
+        DD.append_to_dedup_index(
+            corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            path,
+        )
+
+    def probe():
+        idx = DD.load_dedup_index(spark, path)
+        return {
+            (r["doc_id"], r["exact_dup"], r["n_near"], r["keep"])
+            for r in DD.incremental_dedup_indexed(arrivals, idx).collect()
+        }
+
+    def nfiles(table):
+        dd = os.path.join(path, f"{table}.parquet")
+        return sum(1 for f in os.listdir(dd) if f.endswith(".parquet"))
+
+    before = probe()
+    files_before = {t: nfiles(t) for t in ("fingerprints", "bands", "shingles")}
+    assert all(n >= 4 for n in files_before.values()), files_before
+
+    counts = DD.compact_dedup_index(spark, path)
+    assert probe() == before and len(before) > 0
+    for t in ("fingerprints", "bands", "shingles"):
+        assert nfiles(t) == 1, (t, nfiles(t))
+    assert counts["bands"] > 0 and counts["shingles"] > 0
+
+    # simulate the delete→rename crash window: live dir gone, a
+    # completed staging dir present — the next compact promotes it
+    live = os.path.join(path, "bands.parquet")
+    shutil.move(live, live + ".compacting")
+    DD.compact_dedup_index(spark, path)
+    assert probe() == before
+    assert nfiles("bands") == 1
