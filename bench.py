@@ -121,22 +121,35 @@ HEADLINE = [
 #: Per-query spread (max-min across runs) is recorded alongside.
 RUNS_PER_QUERY = 3
 
-#: adaptive stabilization (VERDICT r7 #4): when the 3-run spread
-#: exceeds this fraction of the median, the query gets EXTRA_RUNS more
-#: runs and the median is taken over all of them — a median that moves
-#: ±35% round-over-round (the r7 graph entries: q82 9.07±3.15 s)
-#: eventually reads as a fake regression, and two more samples shrink
-#: the median's noise band far more cheaply than raising every query's
-#: run count.  Which queries re-ran (and their final spread) is
-#: recorded in BENCH_DETAIL.json.
+#: adaptive stabilization (VERDICT r7 #4, escalation to convergence
+#: VERDICT r8 #4): when the 3-run spread exceeds this fraction of the
+#: median, the query gets 2 more runs; if the MIDDLE-3 spread of those
+#: 5 still exceeds the budget, 2 more (middle-3-of-7) — a median that
+#: moves ±35% round-over-round (the r7 graph entries: q82 9.07±3.15 s)
+#: eventually reads as a fake regression, and extra samples shrink the
+#: median's noise band far more cheaply than raising every query's run
+#: count.  Entries still over budget after 7 runs get an explicit
+#: per-entry waiver in BENCH_DETAIL.json rather than a silent pass.
 SPREAD_BUDGET = 0.30
 EXTRA_RUNS = 2
+MAX_RUNS = 7
 
 
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     mid = len(s) // 2
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def _mid3(xs: list[float]) -> list[float]:
+    """The middle 3 of the sorted runs — the steal-robust window the
+    reported median and stability signal both read, so the estimator
+    is identical whether or not extra runs fired (round-8 ADVICE:
+    median-of-3 vs median-of-5 with warmer tails were not strictly
+    comparable round-over-round)."""
+    s = sorted(xs)
+    lo = max(0, (len(s) - 3) // 2)
+    return s[lo : lo + 3]
 
 
 def main() -> None:
@@ -151,28 +164,42 @@ def main() -> None:
     spread: dict[str, float] = {}
     mid3_spread: dict[str, float] = {}
     n_runs: dict[str, int] = {}
+    waivers: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.SPARK_QUERIES[name]
         runs: list[float] = []
-        for _ in range(RUNS_PER_QUERY):
+
+        def one_run() -> None:
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
             assert rows is not None
-        if max(runs) - min(runs) > SPREAD_BUDGET * _median(runs):
+
+        for _ in range(RUNS_PER_QUERY):
+            one_run()
+        # escalate to convergence: 3 -> 5 on raw spread, 5 -> 7 on
+        # middle-3 spread; the estimator is ALWAYS the middle-3
+        # median, so escalation changes precision, not the estimator
+        while len(runs) < MAX_RUNS:
+            window = runs if len(runs) == RUNS_PER_QUERY else _mid3(runs)
+            if max(window) - min(window) <= SPREAD_BUDGET * _median(window):
+                break
             for _ in range(EXTRA_RUNS):
-                t0 = time.perf_counter()
-                rows = fn(spark, sf_dir).collect()
-                runs.append(time.perf_counter() - t0)
-                assert rows is not None
-        timings[name] = round(_median(runs), 4)
+                one_run()
+        mid = _mid3(runs)
+        timings[name] = round(_median(mid), 4)
         spread[name] = round(max(runs) - min(runs), 4)
         # max-min grows with run count by construction and one steal
         # spike dominates it; the middle-3 range is the steal-robust
         # stability signal round-over-round comparisons should read
-        mid = sorted(runs)[max(0, (len(runs) - 3) // 2) :][:3]
         mid3_spread[name] = round(max(mid) - min(mid), 4)
         n_runs[name] = len(runs)
+        if max(mid) - min(mid) > SPREAD_BUDGET * _median(mid):
+            # still over budget at MAX_RUNS — record the waiver
+            # explicitly instead of letting the entry pass silently
+            waivers[name] = round(
+                (max(mid) - min(mid)) / _median(mid), 3
+            )
 
     # tolerate dirs not named .../sfN.NN — never lose the timings to a
     # ValueError after the whole benchmark already ran
@@ -193,9 +220,11 @@ def main() -> None:
         "adaptive": {
             "spread_budget": SPREAD_BUDGET,
             "extra_runs": EXTRA_RUNS,
+            "max_runs": MAX_RUNS,
             "runs": {k: v for k, v in n_runs.items() if v > RUNS_PER_QUERY},
         },
-        "aggregation": "median",
+        "spread_waivers": waivers,
+        "aggregation": "median_of_middle3",
         "sf_dir": sf_dir,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
