@@ -334,3 +334,83 @@ def test_topk_stage_compaction(spark, tmp_path):
 
     # compaction is idempotent / re-runnable
     assert compact_topk_stage(spark, stage) == 3
+
+
+def test_incremental_dedup_stream_cross_batch_dup_caught(spark, tmp_path):
+    """The semantic the stream adds over the one-shot probe: a batch-2
+    arrival duplicating a KEPT batch-1 arrival is caught, because the
+    batch-1 keepers were appended to the index before batch 2 probed.
+    Planted fixture: doc 15 (batch 2: 15 % 10 == 5) is an exact copy
+    of doc 10 (batch 1: kept, unique vs the corpus)."""
+    from etl_cpc_schema_spark.streaming.ingest import incremental_dedup_stream
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "one two three four five six seven eight nine ten",
+        3: "red orange yellow green blue indigo violet cyan magenta white",
+        4: "north south east west up down left right front back",
+        10: "keeper unique tokens nobody else shares anywhere at all ever",
+        15: "keeper unique tokens nobody else shares anywhere at all ever",
+    }
+    d = spark.createDataFrame(
+        sorted(texts.items()), "doc_id bigint, text string"
+    )
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    out = incremental_dedup_stream(spark, str(tmp_path))
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["n_near"], r["keep"])
+        for r in out.collect()
+    }
+    assert set(got) == {10, 15}
+    assert got[10] == (False, 0, True)  # batch 1: unique, kept
+    # batch 2: exact duplicate of the APPENDED batch-1 keeper
+    assert got[15][0] is True and got[15][2] is False
+
+
+def test_incremental_dedup_sink_redelivery_noop(spark, tmp_path):
+    """The _applied marker makes a redelivered batch a no-op: neither
+    the batch output directory nor the index files change when the
+    sink sees the same (batch, id) again — the foreachBatch
+    at-least-once contract resolved to exactly-once, same posture as
+    the topk upsert log."""
+    import random
+
+    from etl_cpc_schema_spark.operators import dedup as DD
+    from etl_cpc_schema_spark.streaming.ingest import _incremental_dedup_sink
+
+    random.seed(23)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(vocab[random.randrange(len(vocab))] for _ in range(15)))
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    DD.save_dedup_index(d.filter(F.col("doc_id") % 5 != 0), idx, n=3)
+
+    sink = _incremental_dedup_sink(idx, out)
+    b1 = d.filter(F.col("doc_id") % 10 == 0)
+    sink(b1, 0)
+
+    def index_files():
+        return {
+            (t, f)
+            for t in ("fingerprints", "bands", "shingles")
+            for f in os.listdir(os.path.join(idx, f"{t}.parquet"))
+            if f.endswith(".parquet")
+        }
+
+    def out_rows():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(os.path.join(out, "batch_id=0")).collect(),
+            )
+        )
+
+    files1, rows1 = index_files(), out_rows()
+    sink(b1, 0)  # redelivery — must be a complete no-op
+    assert index_files() == files1
+    assert out_rows() == rows1 and len(rows1) > 0
