@@ -1275,3 +1275,28 @@ def test_dedup_index_compaction_preserves_probes(spark, tmp_path):
     DD.compact_dedup_index(spark, path)
     assert probe() == before
     assert nfiles("bands") == 1
+
+
+def test_video_dedup_planted_copies(spark, tmp_path):
+    """multimodal_video_dedup pins: an exact re-post shares ALL
+    sampled frames (Jaccard 1); a video sharing only its first frame
+    out of 4 falls under the 1/2 Jaccard gate and is filtered; the
+    unrelated video pairs with nothing."""
+    from etl_cpc_schema_spark.queries import multimodal_video_dedup_q
+
+    blk = lambda ch: (ch * 64)[:64]
+    full = blk("a") + blk("b") + blk("c") + blk("d")          # 4 frames
+    one_shared = blk("a") + blk("x") + blk("y") + blk("z")    # 1 of 4 shared
+    rows = [
+        (1, full),
+        (2, full),               # exact copy of 1
+        (3, one_shared),         # below the Jaccard gate vs 1/2
+        (4, blk("q") + blk("r") + blk("s") + blk("t")),  # unrelated
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["d1"], r["d2"]): (r["shared"], r["n1"], r["n2"])
+        for r in multimodal_video_dedup_q(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): (4, 4, 4)}
