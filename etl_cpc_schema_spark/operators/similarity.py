@@ -83,9 +83,17 @@ def _collect_matrix(
     pdf = embs.select(*cols).toPandas()
     ids = pdf[id_col].to_numpy()
     if attr_col is not None:
+        import pandas as pd
+
         seen: dict = {}
         for i, a in zip(ids.tolist(), pdf[attr_col].tolist()):
-            if i in seen and seen[i] != a:
+            # two missing attrs are EQUAL, not conflicting: pandas
+            # floats a nullable numeric column, and NaN != NaN made
+            # duplicate ids with both attrs null raise a spurious
+            # conflict (round-8 ADVICE)
+            if i in seen and seen[i] != a and not (
+                pd.isna(seen[i]) and pd.isna(a)
+            ):
                 raise ValueError(
                     f"query id {i!r} carries conflicting {attr_col!r} "
                     f"values ({seen[i]!r} vs {a!r}); the per-id lookup "

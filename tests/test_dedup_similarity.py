@@ -1300,3 +1300,25 @@ def test_video_dedup_planted_copies(spark, tmp_path):
         for r in multimodal_video_dedup_q(spark, str(tmp_path)).collect()
     }
     assert got == {(1, 2): (4, 4, 4)}
+
+
+def test_collect_matrix_null_attrs_not_conflicting(spark):
+    """Duplicate query ids whose attr values are BOTH null must not
+    raise: pandas floats a nullable numeric column, and NaN != NaN
+    made two missing attrs read as a conflict (round-8 ADVICE).  A
+    real conflict (null vs value) still raises."""
+    dup_null = spark.createDataFrame(
+        [(1, [1.0, 2.0], None), (1, [1.0, 2.0], None)],
+        "vec_id bigint, embedding array<float>, grp bigint",
+    )
+    ids, mat, attrs = SIM._collect_matrix(
+        dup_null, "vec_id", "embedding", attr_col="grp"
+    )
+    assert len(ids) == 2
+
+    conflict = spark.createDataFrame(
+        [(1, [1.0, 2.0], None), (1, [1.0, 2.0], 7)],
+        "vec_id bigint, embedding array<float>, grp bigint",
+    )
+    with pytest.raises(ValueError, match="conflicting"):
+        SIM._collect_matrix(conflict, "vec_id", "embedding", attr_col="grp")
