@@ -516,35 +516,18 @@ def compact_dedup_index(
     Probe-for-probe equality before/after compaction is test-pinned
     (tests/test_dedup_similarity.py).
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    counts: dict[str, int] = {}
-    for table, dedupe in (
-        ("fingerprints", True),
-        ("bands", False),
-        ("shingles", False),
-    ):
-        main = f"{path}/{table}.parquet"
-        stage = f"{main}.compacting"
-        fs = HPath(main).getFileSystem(conf)
-        # recovery: a previous run crashed between delete and rename —
-        # the staging dir is complete by construction, promote it
-        if not fs.exists(HPath(main)) and fs.exists(HPath(stage)):
-            fs.rename(HPath(stage), HPath(main))
-        # a staging dir alongside a live dir is a pre-delete crash
-        # leftover — the live dir is authoritative, discard the stage
-        if fs.exists(HPath(stage)):
-            fs.delete(HPath(stage), True)
-        df = spark.read.parquet(main)
-        if dedupe:
-            df = df.distinct()
-        df = df.localCheckpoint(eager=True)
-        counts[table] = df.count()
-        df.coalesce(target_files).write.parquet(stage)
-        fs.delete(HPath(main), True)
-        fs.rename(HPath(stage), HPath(main))
-    return counts
+    from ..sources.readers import compact_parquet_inplace
+
+    return {
+        table: compact_parquet_inplace(
+            spark, f"{path}/{table}.parquet", dedupe, target_files
+        )
+        for table, dedupe in (
+            ("fingerprints", True),
+            ("bands", False),
+            ("shingles", False),
+        )
+    }
 
 
 def load_dedup_index(spark, path: str) -> dict:

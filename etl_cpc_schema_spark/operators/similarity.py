@@ -1625,6 +1625,27 @@ def append_to_ivfpq_index(
     )
 
 
+def compact_ivfpq_index(spark, path: str, target_files: int = 1) -> int:
+    """Maintenance job for the append-only IVFADC index — the
+    symmetric of :func:`~etl_cpc_schema_spark.operators.dedup.compact_dedup_index`:
+    every :func:`append_to_ivfpq_index` adds parquet files to
+    ``codes.parquet``, and after N daily batches each probe pays N
+    file opens; compaction folds the codes table back to
+    ``target_files`` with the shared stage-then-swap kernel
+    (sources.readers.compact_parquet_inplace — eager checkpoint
+    before any delete, self-repairing delete→rename window).  The
+    control-plane tables (centroids, codebook) are single-file by
+    construction and untouched.  Rows are rewritten verbatim (the
+    append contract is new-ids-only, so there are no duplicates to
+    collapse); probe-for-probe equality is test-pinned.  Returns the
+    codes row count."""
+    from ..sources.readers import compact_parquet_inplace
+
+    return compact_parquet_inplace(
+        spark, f"{path}/codes.parquet", False, target_files
+    )
+
+
 def load_ivfpq_index(spark, path: str):
     """(cells, Civf, Cpq) — the control-plane matrices of a persisted
     index (:func:`save_ivfpq_index`); the codes table stays distributed

@@ -300,6 +300,51 @@ def compact_parquet(
     return sum(1 for p in pathlib.Path(dest).glob("*.parquet"))
 
 
+def compact_parquet_inplace(
+    spark: SparkSession,
+    main: str,
+    dedupe: bool = False,
+    target_files: int = 1,
+) -> int:
+    """In-place small-files compaction of ONE parquet table dir with
+    the stage-then-swap crash posture (the per-table kernel of the
+    persisted-index compactions): materialize the rows via an eager
+    ``localCheckpoint`` BEFORE touching any file (severing lineage
+    from the files about to be deleted), write the folded copy to
+    ``<main>.compacting``, delete the live dir, rename the staging
+    dir over it.  The delete→rename window is self-repairing: on
+    entry a missing live dir with a completed staging dir is promoted,
+    and a stale staging dir alongside a live one is discarded, so
+    re-running after ANY crash converges.  Rename is atomic on HDFS
+    and local file:// (an S3 rename is a copy — same caveat as any
+    rename-committer job).  ``dedupe`` additionally ``distinct``s the
+    rows (for value-set tables whose appends may repeat values).
+    Returns the row count.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    stage = f"{main}.compacting"
+    fs = HPath(main).getFileSystem(conf)
+    # recovery: a previous run crashed between delete and rename —
+    # the staging dir is complete by construction, promote it
+    if not fs.exists(HPath(main)) and fs.exists(HPath(stage)):
+        fs.rename(HPath(stage), HPath(main))
+    # a staging dir alongside a live dir is a pre-delete crash
+    # leftover — the live dir is authoritative, discard the stage
+    if fs.exists(HPath(stage)):
+        fs.delete(HPath(stage), True)
+    df = spark.read.parquet(main)
+    if dedupe:
+        df = df.distinct()
+    df = df.localCheckpoint(eager=True)
+    n = df.count()
+    df.coalesce(target_files).write.parquet(stage)
+    fs.delete(HPath(main), True)
+    fs.rename(HPath(stage), HPath(main))
+    return n
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

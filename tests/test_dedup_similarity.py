@@ -1322,3 +1322,48 @@ def test_collect_matrix_null_attrs_not_conflicting(spark):
     )
     with pytest.raises(ValueError, match="conflicting"):
         SIM._collect_matrix(conflict, "vec_id", "embedding", attr_col="grp")
+
+
+def test_ivfpq_index_compaction_preserves_probes(spark, tmp_path):
+    """compact_ivfpq_index folds the appended codes table to one file
+    with probe results bit-identical — the append-only ANN index gets
+    the same maintenance lifecycle as the dedup index."""
+    import os
+    import random
+
+    random.seed(19)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(16)])
+        for i in range(150)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "idx")
+    SIM.save_ivfpq_index(
+        embs.filter(F.col("vec_id") < 60), path,
+        n_centroids=8, m_subspaces=4, ksub=8,
+    )
+    for lo, hi in ((60, 100), (100, 130), (130, 150)):
+        SIM.append_to_ivfpq_index(
+            embs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            path,
+        )
+
+    def probe():
+        return {
+            (r["q_id"], r["neighbor_id"], r["rank"])
+            for r in SIM.ivfpq_topk(
+                embs, k=3, nprobe=4, shortlist=16,
+                query_pred=F.col("vec_id") < 20, index_path=path,
+            ).collect()
+        }
+
+    def nfiles():
+        dd = os.path.join(path, "codes.parquet")
+        return sum(1 for f in os.listdir(dd) if f.endswith(".parquet"))
+
+    before = probe()
+    assert nfiles() >= 4
+    n = SIM.compact_ivfpq_index(spark, path)
+    assert n == 150
+    assert nfiles() == 1
+    assert probe() == before and len(before) > 0
