@@ -102,6 +102,15 @@ OPERATORS = [
     # round-8: per-source snapshot drift — one tokenize map pass,
     # then all aggregation on the bounded source×1024 domain
     "docs_corpus_drift",
+    # round-9: video-level near-dup with the frame-hash WIDTH as the
+    # occupancy lever (hash space 2^bits grows with the 4n frame
+    # count so equi-join buckets hold ~16 — the registry's fixed
+    # 16-bit geometry would be quadratic at scale exactly like the
+    # image path), and the IVFADC index lifecycle end-to-end
+    # (save-on-half → frozen-geometry append → probe) with the same
+    # n_centroids ∝ n occupancy schedule as ann_ivfpq_topk_scaled
+    "multimodal_video_dedup_scaled",
+    "ann_ivfpq_appended_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -351,7 +360,94 @@ def main() -> int:
         )
         return pairs.groupBy("d1").agg(F.count("*").alias("n_near"))
 
+    def _video_dedup_scaled(spark, sf_dir):
+        # frame-hash width ∝ log2(frames): the equi-join's bucket
+        # occupancy (4n frame hashes over 2^bits buckets) holds ~16,
+        # so pair volume stays O(n) — the dhash_table dilution lever
+        # applied to the video composition.
+        import math
+
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators.dedup import jaccard_at_least
+        from etl_cpc_schema_spark.operators.multimodal import (
+            attach_fake_payload,
+            dhash_table,
+            sample_frames,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = d.count()
+        bits = min(60, max(8, 4 * math.ceil(math.log2(max(4 * n, 64) / 16) / 4)))
+        frames = sample_frames(
+            attach_fake_payload(d), every_n_bytes=64, max_frames=4
+        )
+        sets = dhash_table(
+            frames.select("doc_id", F.col("frame_payload").alias("payload")),
+            bits=bits,
+            use_decoder=False,
+        ).distinct()
+        sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a, b = sets.alias("a"), sets.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.phash") == F.col("b.phash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count("*").alias("shared"))
+        )
+        return (
+            pairs.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+            .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+            .filter(jaccard_at_least(F.col("shared"), F.col("n1"), F.col("n2"), 1, 2))
+        )
+
+    def _ivfpq_appended_scaled(spark, sf_dir):
+        # the full index lifecycle at scale: train+save on the first
+        # half (n_centroids ∝ n holds cell occupancy ~64), encode the
+        # second half under the FROZEN geometry (one Arrow/BLAS pass
+        # over the new vectors only), probe the combined index.
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            ivfpq_topk,
+            save_ivfpq_index,
+        )
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = embs.count()
+        split = n // 2
+        path = tempfile.mkdtemp(prefix="spark_scale_ivfpq_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        save_ivfpq_index(
+            embs.filter(F.col("vec_id") < split),
+            path,
+            n_centroids=max(32, n // 64),
+            m_subspaces=16,
+            ksub=16,
+            ivf_lloyd_iters=1,
+            pq_lloyd_iters=1,
+        )
+        append_to_ivfpq_index(embs.filter(F.col("vec_id") >= split), path)
+        return ivfpq_topk(
+            embs,
+            k=3,
+            nprobe=10,
+            shortlist=48,
+            query_pred=F.col("vec_id") < 64,
+            index_path=path,
+        )
+
     extra = {
+        "multimodal_video_dedup_scaled": _video_dedup_scaled,
+        "ann_ivfpq_appended_scaled": _ivfpq_appended_scaled,
         "multimodal_dedup_scaled": _multimodal_dedup_scaled,
         "ann_knn_join_scaled": _knn_scaled,
         "ann_ivfpq_topk_scaled": _ivfpq_scaled,
