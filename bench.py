@@ -111,6 +111,15 @@ HEADLINE = [
     # snapshot-drift JS divergence (bounded source×1024 aggregations)
     "multimodal_dedup",
     "docs_corpus_drift",
+    # round-9 additions: the IVFADC index lifecycle (first run builds
+    # the process-cached index, later runs measure the probe — the
+    # serving-day shape), the streaming incremental dedup (per-batch
+    # index probe + keeper append; includes its per-run index save by
+    # design — no caching, the stream owns its index), and the video
+    # frame-hash near-dup composition
+    "ann_ivfpq_appended",
+    "stream_incremental_dedup",
+    "multimodal_video_dedup",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median
