@@ -386,6 +386,56 @@ def lsh_verified_jaccard_pairs(
     )
 
 
+def _write_index_tables(
+    docs: DataFrame,
+    path: str,
+    mode: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Write the three dedup-index data tables for a doc set — the
+    shared kernel of :func:`save_dedup_index` (overwrite) and
+    :func:`append_to_dedup_index` (append).
+
+    The fingerprint job is INDEPENDENT of the shingle pipeline (bands
+    and shingles share one lazily-checkpointed shingle table;
+    fingerprints never touch it), so it is submitted from a second
+    thread and its Spark job overlaps the signing chain — the same
+    overlap ivfpq_topk applies to its two training chains.  On
+    local[32] this hides the fingerprint pass entirely; on a cluster
+    concurrent independent jobs keep executors busy instead of
+    serializing.  The two threads write DIFFERENT table directories,
+    so there is no write-path overlap to race on."""
+
+    def _fingerprints() -> None:
+        docs.select(
+            TX.fingerprint(F.col(text_col)).alias("fp")
+        ).distinct().write.mode(mode).parquet(f"{path}/fingerprints.parquet")
+
+    def _signatures() -> None:
+        sh = iter_checkpoint(
+            shingle_table(docs, id_col, text_col, n), eager=False
+        )
+        minhash_band_keys(sh, num_hashes, bands).write.mode(mode).parquet(
+            f"{path}/bands.parquet"
+        )
+        sh.select(
+            "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
+        ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s")).write.mode(
+            mode
+        ).parquet(f"{path}/shingles.parquet")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut = ex.submit(_fingerprints)
+        _signatures()
+        fut.result()
+
+
 def save_dedup_index(
     corpus: DataFrame,
     path: str,
@@ -426,18 +476,8 @@ def save_dedup_index(
     spark.createDataFrame(
         [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
     ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
-    corpus.select(
-        TX.fingerprint(F.col(text_col)).alias("fp")
-    ).distinct().write.mode("overwrite").parquet(f"{path}/fingerprints.parquet")
-    sh = iter_checkpoint(shingle_table(corpus, id_col, text_col, n), eager=False)
-    minhash_band_keys(sh, num_hashes, bands).write.mode("overwrite").parquet(
-        f"{path}/bands.parquet"
-    )
-    sh.select(
-        "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
-    ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/shingles.parquet")
+    _write_index_tables(corpus, path, "overwrite", n, num_hashes, bands,
+                        id_col, text_col)
 
 
 def append_to_dedup_index(
@@ -469,18 +509,8 @@ def append_to_dedup_index(
     spark = new_docs.sparkSession
     meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
     n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
-    new_docs.select(
-        TX.fingerprint(F.col(text_col)).alias("fp")
-    ).distinct().write.mode("append").parquet(f"{path}/fingerprints.parquet")
-    sh = iter_checkpoint(shingle_table(new_docs, id_col, text_col, n), eager=False)
-    minhash_band_keys(sh, num_hashes, bands).write.mode("append").parquet(
-        f"{path}/bands.parquet"
-    )
-    sh.select(
-        "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
-    ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s")).write.mode(
-        "append"
-    ).parquet(f"{path}/shingles.parquet")
+    _write_index_tables(new_docs, path, "append", n, num_hashes, bands,
+                        id_col, text_col)
 
 
 def compact_dedup_index(
