@@ -1367,3 +1367,95 @@ def test_ivfpq_index_compaction_preserves_probes(spark, tmp_path):
     assert n == 150
     assert nfiles() == 1
     assert probe() == before and len(before) > 0
+
+
+def test_dedup_index_full_lifecycle_append_compact_append(spark, tmp_path):
+    """The complete maintenance cycle in one pin: save -> append ->
+    COMPACT -> append again -> probe must equal the never-compacted
+    twin — compaction must not break appendability, and post-compact
+    appends must keep colliding bit-identically."""
+    import random
+
+    random.seed(29)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(vocab[random.randrange(len(vocab))] for _ in range(18)))
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arrivals = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    c1 = corpus.filter(F.col("doc_id") < 20)
+    c2 = corpus.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+    c3 = corpus.filter(F.col("doc_id") >= 40)
+
+    p_a = str(tmp_path / "cycled")
+    DD.save_dedup_index(c1, p_a, n=3)
+    DD.append_to_dedup_index(c2, p_a)
+    DD.compact_dedup_index(spark, p_a)
+    DD.append_to_dedup_index(c3, p_a)
+
+    p_b = str(tmp_path / "plain")
+    DD.save_dedup_index(corpus, p_b, n=3)
+
+    def probe(path):
+        idx = DD.load_dedup_index(spark, path)
+        return {
+            tuple(r)
+            for r in DD.incremental_dedup_indexed(arrivals, idx).collect()
+        }
+
+    assert probe(p_a) == probe(p_b) and len(probe(p_a)) > 0
+
+
+def test_ivfpq_index_append_after_compaction(spark, tmp_path):
+    """Compacting the codes table must not break later appends: probe
+    results after save -> append -> compact -> append equal the
+    frozen-geometry one-shot encode of the full corpus."""
+    import random
+
+    random.seed(31)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(16)])
+        for i in range(150)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "idx")
+    SIM.save_ivfpq_index(
+        embs.filter(F.col("vec_id") < 60), path,
+        n_centroids=8, m_subspaces=4, ksub=8,
+    )
+    SIM.append_to_ivfpq_index(
+        embs.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 100)), path
+    )
+    SIM.compact_ivfpq_index(spark, path)
+    SIM.append_to_ivfpq_index(embs.filter(F.col("vec_id") >= 100), path)
+
+    cells, Civf, Cpq = SIM.load_ivfpq_index(spark, path)
+    p_ref = str(tmp_path / "ref")
+    spark.read.parquet(f"{path}/centroids.parquet").write.parquet(
+        f"{p_ref}/centroids.parquet"
+    )
+    spark.read.parquet(f"{path}/codebook.parquet").write.parquet(
+        f"{p_ref}/codebook.parquet"
+    )
+    assigned = (
+        SIM._ivf_rank_cells(embs, cells, Civf, 1, "vec_id", "embedding")
+        .filter(F.col("cell_rank") == 1)
+        .select(F.col("vid").alias("n_id"), "cell")
+    )
+    codes = SIM.pq_encode(embs, Cpq, "vec_id", "embedding").withColumnRenamed(
+        "vid", "n_id"
+    )
+    assigned.join(codes, "n_id").write.parquet(f"{p_ref}/codes.parquet")
+
+    def probe(p):
+        return {
+            tuple(r)
+            for r in SIM.ivfpq_topk(
+                embs, k=3, nprobe=4, shortlist=16,
+                query_pred=F.col("vec_id") < 20, index_path=p,
+            ).collect()
+        }
+
+    assert probe(path) == probe(p_ref) and len(probe(path)) > 0
