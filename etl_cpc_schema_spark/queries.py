@@ -8689,16 +8689,25 @@ def multimodal_video_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     deployment swaps sample_frames' byte slicing for decoded
     keyframes and keeps every downstream stage unchanged.
     """
+    from .operators.iterutils import iter_checkpoint
+
     d = _t(spark, sf, "documents")
     frames = MM.sample_frames(
         MM.attach_fake_payload(d),
         every_n_bytes=_VIDEO_FRAME_BYTES,
         max_frames=_VIDEO_MAX_FRAMES,
     )
-    sets = MM.dhash_table(
-        frames.select("doc_id", F.col("frame_payload").alias("payload")),
-        use_decoder=False,
-    ).distinct()
+    # the hash-set table feeds FOUR plan references (both self-join
+    # sides, both size lookups) — checkpoint it lazily so the scan +
+    # two Arrow passes + distinct run ONCE, not four times (the
+    # .explain audit caught the 4× recompute)
+    sets = iter_checkpoint(
+        MM.dhash_table(
+            frames.select("doc_id", F.col("frame_payload").alias("payload")),
+            use_decoder=False,
+        ).distinct(),
+        eager=False,
+    )
     sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sets.alias("a"), sets.alias("b")
     pairs = (

@@ -109,6 +109,11 @@ INSPECT = [
     "docs_corpus_drift",
     "docs_incremental_dedup",
     "ann_ivfpq_indexed",
+    # round 9: the appended-index probe and the video frame-hash
+    # composition (stream_incremental_dedup is excluded — its plan is
+    # per-micro-batch inside foreachBatch, not a single DataFrame)
+    "ann_ivfpq_appended",
+    "multimodal_video_dedup",
 ]
 
 CHECKS = {

@@ -370,6 +370,7 @@ def main() -> int:
         from pyspark.sql import functions as F
 
         from etl_cpc_schema_spark.operators.dedup import jaccard_at_least
+        from etl_cpc_schema_spark.operators.iterutils import iter_checkpoint
         from etl_cpc_schema_spark.operators.multimodal import (
             attach_fake_payload,
             dhash_table,
@@ -382,11 +383,18 @@ def main() -> int:
         frames = sample_frames(
             attach_fake_payload(d), every_n_bytes=64, max_frames=4
         )
-        sets = dhash_table(
-            frames.select("doc_id", F.col("frame_payload").alias("payload")),
-            bits=bits,
-            use_decoder=False,
-        ).distinct()
+        # one materialization for the four plan references (registry
+        # query comment: the .explain audit caught a 4x recompute)
+        sets = iter_checkpoint(
+            dhash_table(
+                frames.select(
+                    "doc_id", F.col("frame_payload").alias("payload")
+                ),
+                bits=bits,
+                use_decoder=False,
+            ).distinct(),
+            eager=False,
+        )
         sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
         a, b = sets.alias("a"), sets.alias("b")
         pairs = (
