@@ -3308,7 +3308,16 @@ def docs_modern_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
         .drop("__gkeep"),
         eager=False,
     )
-    contam_ids = DD.bloom_contamination(gated, bench, n=3).select("doc_id")
+    # contam_ids is contaminated-doc-sized (tiny) but its subtree
+    # holds BOTH shingle Arrow passes; pack_sequences references
+    # `clean` several times (two-phase cumulative-sum bin
+    # assignment), which re-expanded the whole decontamination per
+    # reference — checkpoint the id set so the anti-join re-runs,
+    # the probe does not
+    contam_ids = iter_checkpoint(
+        DD.bloom_contamination(gated, bench, n=3).select("doc_id"),
+        eager=False,
+    )
     clean = gated.join(contam_ids, "doc_id", "left_anti")
     from .operators.packing import pack_sequences
 
