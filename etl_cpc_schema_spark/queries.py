@@ -3193,10 +3193,18 @@ def docs_corpus_build_q(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", "n_tokens")
     )
+    from .operators.iterutils import iter_checkpoint
+
     comp = connected_components(
         DD.minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4)
     )
-    sc = surv.join(comp, surv.doc_id == comp.node, "left")
+    # sc feeds the canon aggregation AND the surviving-member filter;
+    # without a checkpoint the fingerprint window + components join
+    # re-ran per consumer (.explain audit).  Narrow columns (no
+    # text), so the materialization is cheap at any scale.
+    sc = iter_checkpoint(
+        surv.join(comp, surv.doc_id == comp.node, "left"), eager=False
+    )
     canon = (
         sc.filter(F.col("component").isNotNull())
         .groupBy("component")
