@@ -233,12 +233,22 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Each triangle contributes exactly +1 to each of its three
     corners: it is enumerated once, at its lowest-(degree, id)
     corner, by the compact-forward orientation (module docstring)."""
-    e = (
+    from .iterutils import iter_checkpoint
+
+    # e is referenced three times (both degree legs + the ranking
+    # join) and arcs three more (both wedge legs + the closing arc);
+    # without checkpoints every reference re-expanded the whole
+    # upstream edge derivation — for the co-order graph that is the
+    # C(g,2) basket self-join, re-run up to nine times (the .explain
+    # audit showed 30 parquet scans).  Both tables are 2-3 longs per
+    # row; materializing them once is cheap at any scale.
+    e = iter_checkpoint(
         edges.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -255,10 +265,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     fwd = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
         F.col("dv").alias("d"), F.col("v").alias("n")
     )
-    arcs = ranked.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    arcs = iter_checkpoint(
+        ranked.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        ),
+        eager=False,
     )
     # wedges at the source: two arcs out of a, far ends ordered by
     # (degree, id) to match the closing arc's own orientation
