@@ -1205,6 +1205,7 @@ def _exact_rerank(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    neighbor_z: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-cosine rescore of a (q_id, neighbor_id) candidate table,
     top-k per query — the shared second stage of every
@@ -1212,14 +1213,21 @@ def _exact_rerank(
     Candidate-sized joins against the quantized corpus; zero-norm
     sides are excluded on BOTH engines (a NULL cosine would depend on
     engine null-ordering defaults); ties break on neighbor id,
-    matching the rer CTE of the SQL oracles."""
+    matching the rer CTE of the SQL oracles.
+
+    ``neighbor_z`` supplies a PRE-QUANTIZED (vid, qv, nsq) table for
+    the neighbor side — persisted-index probes pass the index's own
+    vectors table, because when the query frame is a separate batch
+    (the streaming serve path) the neighbors do not exist in it.
+    Quantization is deterministic, so an index-vectors neighbor side
+    is bit-identical to re-quantizing the same corpus rows."""
     z = quantized(embs, id_col, vec_col)
     qz = z.select(
         F.col("vid").alias("q_id"),
         F.col("qv").alias("q_qv"),
         F.col("nsq").alias("q_nsq"),
     )
-    nz = z.select(
+    nz = (neighbor_z if neighbor_z is not None else z).select(
         F.col("vid").alias("neighbor_id"),
         F.col("qv").alias("n_qv"),
         F.col("nsq").alias("n_nsq"),
@@ -1402,6 +1410,7 @@ def ivfpq_topk(
             eager=False,
         )
         codes = pq_encode(embs, C, id_col, vec_col)
+        index_vecs = None  # in-session path: neighbors live in embs
         index = (
             ranked.filter(F.col("cell_rank") == 1)
             .select(F.col("vid").alias("n_id"), "cell")
@@ -1426,6 +1435,12 @@ def ivfpq_topk(
                     "or the matching value"
                 )
         index = embs.sparkSession.read.parquet(f"{index_path}/codes.parquet")
+        # exact-rerank neighbor side: the index's own quantized
+        # vectors — the query frame may be a separate batch that does
+        # not contain the neighbors (the streaming serve path)
+        index_vecs = embs.sparkSession.read.parquet(
+            f"{index_path}/vectors.parquet"
+        )
         pr_src = embs if query_pred is None else embs.filter(query_pred)
         ranked = _ivf_rank_cells(pr_src, cells, Civf, nprobe, id_col, vec_col)
     Cm = C.astype(np.float64)
@@ -1504,7 +1519,9 @@ def ivfpq_topk(
         .filter(F.col("rn1") <= shortlist)
         .select("q_id", F.col("n_id").alias("neighbor_id"))
     )
-    return _exact_rerank(cand, embs, k, id_col, vec_col)
+    return _exact_rerank(
+        cand, embs, k, id_col, vec_col, neighbor_z=index_vecs
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1523,11 +1540,14 @@ def save_ivfpq_index(
     ivf_lloyd_iters: int = 1,
     pq_lloyd_iters: int = 1,
 ) -> None:
-    """Persist a trained IVFADC index as three parquet tables under
+    """Persist a trained IVFADC index as four parquet tables under
     ``path``: ``centroids.parquet`` (cell, cqv — the trained IVF
     centroid set), ``codebook.parquet`` (m, cell, cv — the PQ
-    sub-codebooks), and ``codes.parquet`` (n_id, cell, codes,
-    recon_nsq — every vector's cell assignment and PQ code).  All
+    sub-codebooks), ``codes.parquet`` (n_id, cell, codes,
+    recon_nsq — every vector's cell assignment and PQ code), and
+    ``vectors.parquet`` (vid, qv, nsq — the quantized raw vectors,
+    the exact-rerank source that keeps the index self-contained when
+    the query frame is a separate batch).  All
     coordinates are the exact-integer quantized values, so a
     load-and-probe reproduces the in-session plan BIT-FOR-BIT
     (pinned by tests/test_dedup_similarity.py).
@@ -1553,6 +1573,13 @@ def save_ivfpq_index(
     )
     assigned.join(codes, "n_id").write.mode("overwrite").parquet(
         f"{path}/codes.parquet"
+    )
+    # quantized raw vectors: the exact-rerank source for probes whose
+    # query frame is a SEPARATE table (streaming serve batches) — the
+    # index must be self-contained, the same reason FAISS's rerank
+    # variants keep a raw copy alongside the codes
+    quantized(embs, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/vectors.parquet"
     )
     spark.createDataFrame(
         [(int(cells[i]), [int(v) for v in Civf[i]]) for i in range(len(cells))],
@@ -1623,27 +1650,35 @@ def append_to_ivfpq_index(
     assigned.join(codes, "n_id").write.mode("append").parquet(
         f"{path}/codes.parquet"
     )
+    quantized(new_vecs, id_col, vec_col).write.mode("append").parquet(
+        f"{path}/vectors.parquet"
+    )
 
 
-def compact_ivfpq_index(spark, path: str, target_files: int = 1) -> int:
+def compact_ivfpq_index(
+    spark, path: str, target_files: int = 1
+) -> dict[str, int]:
     """Maintenance job for the append-only IVFADC index — the
     symmetric of :func:`~etl_cpc_schema_spark.operators.dedup.compact_dedup_index`:
     every :func:`append_to_ivfpq_index` adds parquet files to
-    ``codes.parquet``, and after N daily batches each probe pays N
-    file opens; compaction folds the codes table back to
-    ``target_files`` with the shared stage-then-swap kernel
-    (sources.readers.compact_parquet_inplace — eager checkpoint
-    before any delete, self-repairing delete→rename window).  The
-    control-plane tables (centroids, codebook) are single-file by
-    construction and untouched.  Rows are rewritten verbatim (the
-    append contract is new-ids-only, so there are no duplicates to
-    collapse); probe-for-probe equality is test-pinned.  Returns the
-    codes row count."""
+    ``codes.parquet`` and ``vectors.parquet``, and after N daily
+    batches each probe pays N file opens; compaction folds both data
+    tables back to ``target_files`` with the shared stage-then-swap
+    kernel (sources.readers.compact_parquet_inplace — eager
+    checkpoint before any delete, self-repairing delete→rename
+    window).  The control-plane tables (centroids, codebook) are
+    single-file by construction and untouched.  Rows are rewritten
+    verbatim (the append contract is new-ids-only, so there are no
+    duplicates to collapse); probe-for-probe equality is test-pinned.
+    Returns ``{table: row_count}``."""
     from ..sources.readers import compact_parquet_inplace
 
-    return compact_parquet_inplace(
-        spark, f"{path}/codes.parquet", False, target_files
-    )
+    return {
+        table: compact_parquet_inplace(
+            spark, f"{path}/{table}.parquet", False, target_files
+        )
+        for table in ("codes", "vectors")
+    }
 
 
 def load_ivfpq_index(spark, path: str):

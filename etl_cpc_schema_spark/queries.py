@@ -8796,6 +8796,154 @@ def multimodal_video_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: stream_ann_probe geometry: the standing corpus (index training
+#: side) is vec_id < SPLIT1; batch 1 is [SPLIT1, SPLIT2); batch 2 is
+#: the rest.  SPLIT1 matches ANN_IVFPQ_SPLIT's rationale (≥ the seed
+#: counts, < the smallest corpus); SPLIT2 keeps both batches non-empty
+#: at every SF (500 vectors at sf0.001/0.01, 2000 at sf0.1).
+_SANN_SPLIT1 = 256
+_SANN_SPLIT2 = 384
+
+
+def _stream_ann_probe_oracle(
+    split1: int = _SANN_SPLIT1,
+    split2: int = _SANN_SPLIT2,
+    n_centroids: int = 32,
+    nprobe: int = 10,
+    m: int = 16,
+    ksub: int = 16,
+    shortlist: int = 48,
+    k: int = 3,
+    ivf_lloyd: int = 2,
+    pq_lloyd: int = 1,
+) -> str:
+    """Two-stage batch twin of the streaming ANN serve-and-grow loop:
+    ONE frozen geometry (both Lloyd chains restricted to the standing
+    corpus, vec_id < split1 — the train_max machinery), ONE
+    assignment/encoding over every vector, and per stage a probe
+    chain whose CANDIDATES are the index membership at that batch's
+    arrival time (stage 1: the corpus; stage 2: corpus ∪ batch 1) and
+    whose QUERIES are the batch — exactly what probe-then-append
+    produced on the Spark side."""
+    cent_cos_t = (
+        "CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * c.cqv[i+1])) AS DOUBLE)"
+        " / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE)))"
+    )
+    ivf = _ivf_lloyd_ctes(ivf_lloyd, cent_cos_t, train_tbl="ntrain")
+    codebook, sub = _pq_codebook_ctes(
+        m, ksub, pq_lloyd, train_filter=f"vec_id < {split1}"
+    )
+    ivf_cf = f"c{ivf_lloyd}"
+    sdot = _pq_sdot(sub)
+    pq_cf = f"pqc{pq_lloyd}"
+
+    def chain(s: str, qfilter: str, mfilter: str) -> str:
+        return f""", qn{s} AS (
+  SELECT vec_id, nsq FROM n WHERE {qfilter}
+), cand0{s} AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id
+  FROM (SELECT vec_id, cell FROM assign
+         WHERE cell_rank <= {nprobe} AND {qfilter}) a
+  JOIN (SELECT vec_id, cell FROM assign
+         WHERE cell_rank = 1 AND {mfilter}) b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+), ad{s} AS (
+  SELECT c0.q_id, c0.n_id, sum({sdot}) AS adot
+  FROM cand0{s} c0
+  JOIN sv s ON s.vec_id = c0.q_id
+  JOIN codes cd ON cd.vec_id = c0.n_id AND cd.m = s.m
+  JOIN {pq_cf} c ON c.m = cd.m AND c.cell = cd.cell
+  GROUP BY c0.q_id, c0.n_id
+), scored{s} AS (
+  SELECT ad.q_id, ad.n_id,
+         CAST(ad.adot AS DOUBLE)
+           / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(recon.rn AS DOUBLE)))
+           AS cos
+  FROM ad{s} ad
+  JOIN qn{s} qn ON qn.vec_id = ad.q_id
+  JOIN recon ON recon.vec_id = ad.n_id
+  WHERE qn.nsq > 0 AND recon.rn > 0
+), cand{s} AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+             AS rn1
+    FROM scored{s}
+  ) t WHERE rn1 <= {shortlist}
+), rer{s} AS (
+  SELECT cand.q_id, cand.n_id,
+         CAST(list_sum(list_transform(range(len(a.qv)),
+                                      i -> a.qv[i+1] * b.qv[i+1])) AS DOUBLE)
+           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+           AS xcos
+  FROM cand{s} cand
+  JOIN n a ON a.vec_id = cand.q_id
+  JOIN n b ON b.vec_id = cand.n_id
+  WHERE a.nsq > 0 AND b.nsq > 0
+), out{s} AS (
+  SELECT q_id, CAST(n_id AS BIGINT) AS neighbor_id,
+         CAST(rn2 AS BIGINT) AS rank
+  FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY xcos DESC, n_id)
+             AS rn2
+    FROM rer{s}
+  ) t WHERE rn2 <= {k}
+)"""
+
+    s1 = chain(
+        "1",
+        f"vec_id >= {split1} AND vec_id < {split2}",
+        f"vec_id < {split1}",
+    )
+    s2 = chain("2", f"vec_id >= {split2}", f"vec_id < {split2}")
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])) AS nsq
+  FROM q
+), ntrain AS (
+  SELECT * FROM n WHERE vec_id < {split1}
+), c0 AS (
+  SELECT vec_id AS cell, qv AS cqv, nsq AS cnsq FROM n WHERE vec_id < {n_centroids}
+){ivf}, assign AS (
+  SELECT vec_id, cell, row_number() OVER (
+           PARTITION BY vec_id ORDER BY ccos DESC, cell) AS cell_rank
+  FROM (
+    SELECT a.vec_id, c.cell, {cent_cos_t} AS ccos
+    FROM n a CROSS JOIN {ivf_cf} c
+  )
+){codebook}{s1}{s2}
+SELECT * FROM out1
+UNION ALL
+SELECT * FROM out2
+ORDER BY q_id, rank
+"""
+
+
+@query("stream_ann_probe", _stream_ann_probe_oracle())
+def stream_ann_probe_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Online ANN serving with continuous index growth — the TWELFTH
+    streaming class, the ANN symmetric of stream_incremental_dedup:
+    the standing corpus (vec_id < 256) is trained and saved once as
+    an IVFADC index; vector batches stream in two deterministic
+    micro-batches; each batch retrieves its top-3 neighbors from the
+    index AS IT EXISTS AT ARRIVAL (frozen-geometry probe, no
+    training) and is then appended via append_to_ivfpq_index — so a
+    batch-2 query can retrieve a batch-1 vector, and a batch never
+    retrieves itself.  See streaming/ingest.py::ann_probe_stream for
+    the drive/idempotence shape; the oracle is ONE frozen-geometry
+    IVFADC SQL with per-stage candidate-membership filters (stage 1
+    probes the corpus, stage 2 probes corpus ∪ batch 1)."""
+    from .streaming.ingest import ann_probe_stream
+
+    return ann_probe_stream(
+        spark, sf, split1=_SANN_SPLIT1, split2=_SANN_SPLIT2
+    )
+
+
 def _stream_incremental_dedup_oracle() -> str:
     """Two-stage batch twin of the streaming incremental dedup: batch
     1 (doc_id % 10 == 0) probes the corpus index; its keepers join the
@@ -8914,6 +9062,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivfpq_appended",
     "stream_incremental_dedup",
     "multimodal_video_dedup",
+    "stream_ann_probe",
     # Tier 3 — the r6-stale block; touched-kernel families first.
     "ann_cosine_topk",
     "ann_lsh_buckets",

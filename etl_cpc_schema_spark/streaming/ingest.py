@@ -804,3 +804,119 @@ def incremental_dedup_stream(
         # checkpoint above; safe to remove now
         shutil.rmtree(index_path, ignore_errors=True)
         shutil.rmtree(out_stage, ignore_errors=True)
+
+
+def _ann_probe_sink(index_path: str, out_stage: str):
+    """foreachBatch sink for the streaming ANN serve-and-grow loop —
+    module-level factory so the redelivery test drives the exact sink
+    the query uses (the :func:`_incremental_dedup_sink` pattern).
+
+    Per batch: the arriving vectors PROBE the persisted IVFADC index
+    (``ivfpq_topk(index_path=...)`` — frozen geometry, no training,
+    only the batch is ranked against the loaded centroids), results
+    land in an idempotent ``batch_id=<n>`` overwrite directory, the
+    batch is appended to the index (``append_to_ivfpq_index`` — one
+    encode pass over the new vectors only), and an ``_applied_<n>``
+    marker makes a redelivered batch a no-op.  The probe is eagerly
+    checkpointed BEFORE the append so a batch can never retrieve
+    itself."""
+    from ..operators.similarity import append_to_ivfpq_index, ivfpq_topk
+
+    def sink(bdf, bid):
+        marker = os.path.join(out_stage, f"_applied_{bid}")
+        if os.path.exists(marker):
+            return  # redelivered batch: output + append already done
+        res = ivfpq_topk(
+            bdf,
+            k=3,
+            nprobe=10,
+            shortlist=48,
+            index_path=index_path,
+        ).localCheckpoint(eager=True)  # retrieve BEFORE self-append
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_stage, f"batch_id={bid}")
+        )
+        append_to_ivfpq_index(bdf, index_path)
+        open(marker, "w").close()
+
+    return sink
+
+
+def ann_probe_stream(
+    spark: SparkSession,
+    data_dir: str,
+    split1: int = 256,
+    split2: int = 384,
+) -> DataFrame:
+    """Online ANN serving with CONTINUOUS index growth — the TWELFTH
+    streaming class, the ANN symmetric of
+    :func:`incremental_dedup_stream`: the standing corpus
+    (vec_id < ``split1``) is trained and saved ONCE as an IVFADC index;
+    vector batches stream in (two deterministic micro-batches:
+    ``split1 <= vec_id < split2`` then the rest, mtime-forced order);
+    each batch retrieves its top-k neighbors from the index AS IT
+    EXISTS AT ARRIVAL TIME and is then appended under the frozen
+    geometry — so a batch-2 query can retrieve a batch-1 vector (the
+    serve-and-grow semantic every online vector store runs), and a
+    batch never retrieves itself.
+
+    At 100 TB: per-batch cost is batch-sized (probe = queries ×
+    nprobe × occupancy; append = one Arrow/BLAS encode over the new
+    vectors); corpus-sized work happens once at save and at
+    compaction (compact_ivfpq_index).  Exactly-once posture and the
+    two-batch drive shape are identical to the dedup stream (see
+    :func:`_ann_probe_sink`).
+    """
+    batch = spark.read.parquet(f"{data_dir}/embeddings.parquet")
+    from ..operators.similarity import save_ivfpq_index
+
+    index_path = tempfile.mkdtemp(prefix="spark_sann_idx_")
+    stage = tempfile.mkdtemp(prefix="spark_sann_in_")
+    out_stage = tempfile.mkdtemp(prefix="spark_sann_out_")
+    try:
+        save_ivfpq_index(
+            batch.filter(F.col("vec_id") < split1),
+            index_path,
+            n_centroids=32,
+            m_subspaces=16,
+            ksub=16,
+            ivf_lloyd_iters=2,
+            pq_lloyd_iters=1,
+        )
+        b1 = batch.filter(
+            (F.col("vec_id") >= split1) & (F.col("vec_id") < split2)
+        )
+        b2 = batch.filter(F.col("vec_id") >= split2)
+        b1.repartition(1).write.mode("append").parquet(stage)
+        pre = {f for f in os.listdir(stage) if f.endswith(".parquet")}
+        b2.repartition(1).write.mode("append").parquet(stage)
+        _force_mtime_after(stage, pre)
+
+        sink = _ann_probe_sink(index_path, out_stage)
+
+        def start(checkpoint):
+            stream = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            return (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # in-batch joins only — no stream state store to size
+        _drive_to_completion(spark, start, None)
+        return (
+            spark.read.option("basePath", out_stage)
+            .parquet(f"{out_stage}/batch_id=*")
+            .select("q_id", "neighbor_id", "rank")
+            .orderBy("q_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(index_path, ignore_errors=True)
+        shutil.rmtree(out_stage, ignore_errors=True)

@@ -1176,6 +1176,9 @@ def test_ivfpq_index_append_equals_frozen_rebuild(spark, tmp_path):
         "vid", "n_id"
     )
     assigned.join(codes, "n_id").write.parquet(f"{p_ref}/codes.parquet")
+    SIM.quantized(embs, "vec_id", "embedding").write.parquet(
+        f"{p_ref}/vectors.parquet"
+    )
 
     def probe(path):
         return {
@@ -1358,13 +1361,19 @@ def test_ivfpq_index_compaction_preserves_probes(spark, tmp_path):
         }
 
     def nfiles():
-        dd = os.path.join(path, "codes.parquet")
-        return sum(1 for f in os.listdir(dd) if f.endswith(".parquet"))
+        return max(
+            sum(
+                1
+                for f in os.listdir(os.path.join(path, f"{t}.parquet"))
+                if f.endswith(".parquet")
+            )
+            for t in ("codes", "vectors")
+        )
 
     before = probe()
     assert nfiles() >= 4
-    n = SIM.compact_ivfpq_index(spark, path)
-    assert n == 150
+    counts = SIM.compact_ivfpq_index(spark, path)
+    assert counts == {"codes": 150, "vectors": 150}
     assert nfiles() == 1
     assert probe() == before and len(before) > 0
 
@@ -1448,6 +1457,9 @@ def test_ivfpq_index_append_after_compaction(spark, tmp_path):
         "vid", "n_id"
     )
     assigned.join(codes, "n_id").write.parquet(f"{p_ref}/codes.parquet")
+    SIM.quantized(embs, "vec_id", "embedding").write.parquet(
+        f"{p_ref}/vectors.parquet"
+    )
 
     def probe(p):
         return {

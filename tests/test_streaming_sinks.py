@@ -414,3 +414,86 @@ def test_incremental_dedup_sink_redelivery_noop(spark, tmp_path):
     sink(b1, 0)  # redelivery — must be a complete no-op
     assert index_files() == files1
     assert out_rows() == rows1 and len(rows1) > 0
+
+
+def test_ann_probe_stream_serves_and_grows(spark, tmp_path):
+    """The serve-and-grow semantics pinned on a planted fixture: a
+    batch-2 vector identical to a batch-1 vector must retrieve that
+    batch-1 vector at rank 1 — only possible because batch 1 was
+    appended before batch 2 probed — and a batch never retrieves
+    itself (no q_id == neighbor_id rows)."""
+    import random
+
+    from etl_cpc_schema_spark.streaming.ingest import ann_probe_stream
+
+    random.seed(37)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(16)])
+        for i in range(40)
+    ]
+    # batch 1 = ids 40..49 (vec 45 is distinctive); batch 2 = ids 50+
+    rows += [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(16)])
+        for i in range(40, 50)
+    ]
+    probe_vec = rows[45][1]
+    rows.append((55, list(probe_vec)))  # batch-2 clone of batch-1's 45
+    rows.append((56, [round(random.uniform(-1, 1), 3) for _ in range(16)]))
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    d.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = ann_probe_stream(spark, str(tmp_path), split1=40, split2=50)
+    got = {
+        (r["q_id"], r["rank"]): r["neighbor_id"] for r in out.collect()
+    }
+    assert got[(55, 1)] == 45  # clone retrieves its batch-1 twin
+    assert all(q != n for (q, _), n in got.items())
+    qids = {q for q, _ in got}
+    assert qids >= {45, 55, 56}  # both batches produced results
+
+
+def test_ann_probe_sink_redelivery_noop(spark, tmp_path):
+    """The _applied marker makes a redelivered batch a no-op for BOTH
+    the output dir and the index codes/vectors tables."""
+    import random
+
+    from etl_cpc_schema_spark.operators.similarity import save_ivfpq_index
+    from etl_cpc_schema_spark.streaming.ingest import _ann_probe_sink
+
+    random.seed(41)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(16)])
+        for i in range(80)
+    ]
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    save_ivfpq_index(
+        d.filter(F.col("vec_id") < 50), idx,
+        n_centroids=8, m_subspaces=4, ksub=8,
+    )
+    sink = _ann_probe_sink(idx, out)
+    b1 = d.filter(F.col("vec_id") >= 50)
+    sink(b1, 0)
+
+    def index_files():
+        return {
+            (t, f)
+            for t in ("codes", "vectors")
+            for f in os.listdir(os.path.join(idx, f"{t}.parquet"))
+            if f.endswith(".parquet")
+        }
+
+    def out_rows():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(os.path.join(out, "batch_id=0")).collect(),
+            )
+        )
+
+    files1, rows1 = index_files(), out_rows()
+    sink(b1, 0)  # redelivery — must be a complete no-op
+    assert index_files() == files1
+    assert out_rows() == rows1 and len(rows1) > 0
