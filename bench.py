@@ -120,6 +120,9 @@ HEADLINE = [
     "ann_ivfpq_appended",
     "stream_incremental_dedup",
     "multimodal_video_dedup",
+    # the ANN serve-and-grow stream (probe-then-append per batch;
+    # includes its per-run index save by design, like the dedup twin)
+    "stream_ann_probe",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median
