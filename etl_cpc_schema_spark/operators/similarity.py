@@ -1460,15 +1460,17 @@ def ivfpq_topk(
     qorder = np.argsort(q_ids)
     q_ids, Q = q_ids[qorder].astype(np.int64), Q[qorder]
     q_nsq = (Q * Q).sum(axis=1).astype(np.int64)
+    # one (n×sub)@(sub×ksub) BLAS matmul per subspace, then a single
+    # vectorized int64 conversion — the previous per-(query, m) small
+    # matmuls with a per-element int() comprehension were the driver
+    # bottleneck at serve-batch query counts (413k elements at the
+    # streaming stage-2 batch)
+    lut_np = np.stack(
+        [Q[:, mi * sub : (mi + 1) * sub] @ Cm[mi].T for mi in range(M)],
+        axis=1,
+    ).astype(np.int64)
     lut_rows = [
-        (
-            int(q_ids[i]),
-            [
-                [int(v) for v in (Q[i, mi * sub : (mi + 1) * sub] @ Cm[mi].T)]
-                for mi in range(M)
-            ],
-            int(q_nsq[i]),
-        )
+        (int(q_ids[i]), lut_np[i].tolist(), int(q_nsq[i]))
         for i in range(len(q_ids))
     ]
     lut = embs.sparkSession.createDataFrame(
@@ -1560,9 +1562,32 @@ def save_ivfpq_index(
     as any ANN system); incremental upserts append to codes.parquet
     with the EXISTING centroids via :func:`_ivf_rank_cells` +
     :func:`pq_encode`."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = embs.sparkSession
-    cells, Civf = ivf_train(embs, n_centroids, id_col, vec_col, ivf_lloyd_iters)
-    Cpq = pq_train(embs, m_subspaces, ksub, id_col, vec_col, pq_lloyd_iters)
+    # three INDEPENDENT chains overlap (the ivfpq_topk training-
+    # concurrency pattern): the IVF Lloyd chain, the PQ Lloyd chain,
+    # and the quantized-vectors write (the exact-rerank source for
+    # probes whose query frame is a SEPARATE table — streaming serve
+    # batches; the index must be self-contained, the same reason
+    # FAISS's rerank variants keep a raw copy alongside the codes).
+    # Only the codes write needs both trained geometries.
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        fut_ivf = ex.submit(
+            ivf_train, embs, n_centroids, id_col, vec_col, ivf_lloyd_iters
+        )
+        fut_pq = ex.submit(
+            pq_train, embs, m_subspaces, ksub, id_col, vec_col,
+            pq_lloyd_iters,
+        )
+        fut_vecs = ex.submit(
+            lambda: quantized(embs, id_col, vec_col)
+            .write.mode("overwrite")
+            .parquet(f"{path}/vectors.parquet")
+        )
+        cells, Civf = fut_ivf.result()
+        Cpq = fut_pq.result()
+        fut_vecs.result()
     assigned = (
         _ivf_rank_cells(embs, cells, Civf, 1, id_col, vec_col)
         .filter(F.col("cell_rank") == 1)
@@ -1573,13 +1598,6 @@ def save_ivfpq_index(
     )
     assigned.join(codes, "n_id").write.mode("overwrite").parquet(
         f"{path}/codes.parquet"
-    )
-    # quantized raw vectors: the exact-rerank source for probes whose
-    # query frame is a SEPARATE table (streaming serve batches) — the
-    # index must be self-contained, the same reason FAISS's rerank
-    # variants keep a raw copy alongside the codes
-    quantized(embs, id_col, vec_col).write.mode("overwrite").parquet(
-        f"{path}/vectors.parquet"
     )
     spark.createDataFrame(
         [(int(cells[i]), [int(v) for v in Civf[i]]) for i in range(len(cells))],
