@@ -23,6 +23,8 @@ UDFs anywhere in this module.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -386,6 +388,34 @@ def lsh_verified_jaccard_pairs(
     )
 
 
+def _index_frames(
+    docs: DataFrame,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    id_col: str,
+    text_col: str,
+) -> dict[str, DataFrame]:
+    """The three dedup-index data frames for a doc set.  Fingerprints
+    are DOC-KEYED (doc_id, fp) — one row per doc, not a bare value
+    set — so a tombstoned doc's fingerprint row can be dropped at
+    probe/compaction time exactly as a rebuild-without-it would
+    (round-10 deletion support); probes project to ``fp`` and
+    ``distinct`` it, so collision semantics are unchanged."""
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TX.fingerprint(F.col(text_col)).alias("fp"),
+    )
+    sh = iter_checkpoint(shingle_table(docs, id_col, text_col, n), eager=False)
+    return {
+        "fingerprints": fps,
+        "bands": minhash_band_keys(sh, num_hashes, bands),
+        "shingles": sh.select(
+            "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
+        ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s")),
+    }
+
+
 def _write_index_tables(
     docs: DataFrame,
     path: str,
@@ -395,45 +425,60 @@ def _write_index_tables(
     bands: int,
     id_col: str,
     text_col: str,
+    batch_key: str | None = None,
 ) -> None:
     """Write the three dedup-index data tables for a doc set — the
     shared kernel of :func:`save_dedup_index` (overwrite) and
-    :func:`append_to_dedup_index` (append).
+    :func:`append_to_dedup_index` (append / staged delta).
 
-    The fingerprint job is INDEPENDENT of the shingle pipeline (bands
-    and shingles share one lazily-checkpointed shingle table;
-    fingerprints never touch it), so it is submitted from a second
-    thread and its Spark job overlaps the signing chain — the same
-    overlap ivfpq_topk applies to its two training chains.  On
-    local[32] this hides the fingerprint pass entirely; on a cluster
-    concurrent independent jobs keep executors busy instead of
-    serializing.  The two threads write DIFFERENT table directories,
-    so there is no write-path overlap to race on."""
+    With ``batch_key`` the rows are staged as a committed delta
+    (index_store.write_delta — marker last, replay rolls back and
+    rewrites), the streaming-sink path that closes the at-least-once
+    append window.  Otherwise the fingerprint job is INDEPENDENT of
+    the shingle pipeline (bands and shingles share one
+    lazily-checkpointed shingle table; fingerprints never touch it),
+    so it is submitted from a second thread and its Spark job
+    overlaps the signing chain — the same overlap ivfpq_topk applies
+    to its two training chains.  The two threads write DIFFERENT
+    table directories, so there is no write-path overlap to race on.
+    The fingerprint future's outcome is retrieved even when the
+    signing chain raises (round-9 ADVICE: ``__exit__`` only WAITS, so
+    a swallowed executor exception could leave a half-appended direct
+    write with one failure unsurfaced); a failed DIRECT append leaves
+    partial table files and requires re-running the same batch or a
+    compaction — one more reason the staged path is the default for
+    unattended writers."""
+    frames = _index_frames(docs, n, num_hashes, bands, id_col, text_col)
+    if batch_key is not None:
+        from . import index_store as IS
+
+        IS.write_delta(path, batch_key, frames)
+        return
+
+    from . import index_store as IS
+
+    root = IS.active_root(path)
 
     def _fingerprints() -> None:
-        docs.select(
-            TX.fingerprint(F.col(text_col)).alias("fp")
-        ).distinct().write.mode(mode).parquet(f"{path}/fingerprints.parquet")
+        frames["fingerprints"].write.mode(mode).parquet(
+            f"{root}/fingerprints.parquet"
+        )
 
     def _signatures() -> None:
-        sh = iter_checkpoint(
-            shingle_table(docs, id_col, text_col, n), eager=False
-        )
-        minhash_band_keys(sh, num_hashes, bands).write.mode(mode).parquet(
-            f"{path}/bands.parquet"
-        )
-        sh.select(
-            "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
-        ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s")).write.mode(
-            mode
-        ).parquet(f"{path}/shingles.parquet")
+        frames["bands"].write.mode(mode).parquet(f"{root}/bands.parquet")
+        frames["shingles"].write.mode(mode).parquet(f"{root}/shingles.parquet")
 
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         fut = ex.submit(_fingerprints)
-        _signatures()
-        fut.result()
+        try:
+            _signatures()
+        finally:
+            # surfaced even when _signatures raised: Python chains the
+            # in-flight exception as __context__, so neither failure
+            # is silently dropped
+            fut.result()
 
 
 def save_dedup_index(
@@ -456,8 +501,10 @@ def save_dedup_index(
       geometry; probes MUST band with the same family or collisions
       are meaningless, so the probe side reads its parameters from
       here rather than trusting the caller.
-    * ``fingerprints.parquet`` — distinct normalized text fingerprints
-      (the exact-dup layer).
+    * ``fingerprints.parquet`` — (doc_id, fp) normalized text
+      fingerprints, DOC-KEYED so deletions can drop a doc's row
+      (probes project to ``fp`` and distinct it — the exact-dup
+      layer's collision semantics are value-set, unchanged).
     * ``bands.parquet`` — (doc_id, bk) MinHash band keys
       (:func:`minhash_band_keys` — the same expressions the one-shot
       path evaluates, so index probes collide bit-identical pairs).
@@ -472,7 +519,13 @@ def save_dedup_index(
     All signature work runs in ONE pass over the corpus (the shingle
     table is lazily checkpointed and feeds all three tables).
     """
+    from . import index_store as IS
+
     spark = corpus.sparkSession
+    # a fresh save owns the whole dir: clear any store state a prior
+    # lifecycle left behind (a stale generation pointer would shadow
+    # the flat tables written below)
+    IS.reset(path)
     spark.createDataFrame(
         [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
     ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
@@ -485,6 +538,7 @@ def append_to_dedup_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_key: str | None = None,
 ) -> None:
     """Upsert an accepted arrival batch into a persisted dedup index —
     the second half of the daily-ingest lifecycle: after
@@ -503,76 +557,133 @@ def append_to_dedup_index(
     appended twice would double its shingle rows and inflate that
     doc's shared counts).
 
+    With ``batch_key`` the batch is staged as a committed delta
+    instead (index_store.write_delta — marker written last, a replay
+    rolls back and rewrites), which closes the at-least-once window
+    of the raw append; the streaming sink uses this path with the
+    micro-batch id as the key.
+
     Test-pinned equivalence: append(corpus_b) onto index(corpus_a) ==
     save(corpus_a ∪ corpus_b), probe-for-probe.
     """
+    from . import index_store as IS
+
     spark = new_docs.sparkSession
-    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
+    meta = spark.read.parquet(
+        os.path.join(IS.active_root(path), "meta.parquet")
+    ).collect()[0]
     n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
     _write_index_tables(new_docs, path, "append", n, num_hashes, bands,
-                        id_col, text_col)
+                        id_col, text_col, batch_key=batch_key)
+
+
+def remove_from_dedup_index(
+    doc_ids: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Delete documents from a persisted dedup index (takedown /
+    corpus re-filter) WITHOUT a rebuild: the ids land in the index's
+    tombstone table and every probe anti-joins them out of the
+    fingerprint/band/shingle scans; :func:`compact_dedup_index`
+    physically drops the rows and clears the tombstones.  Requires
+    the doc-keyed fingerprint schema (round-10 saves) — a legacy
+    bare-value fingerprint table cannot attribute a fingerprint to a
+    doc, so deletion on such an index raises with the fix (re-save)
+    rather than silently leaving the exact-dup layer stale.
+    Probe-after-delete equals a rebuild without the deleted docs,
+    test-pinned (tests/test_dedup_similarity.py)."""
+    from . import index_store as IS
+
+    spark = doc_ids.sparkSession
+    fp_schema = spark.read.parquet(
+        IS.table_path(path, "fingerprints")
+    ).schema.fieldNames()
+    if "doc_id" not in fp_schema:
+        raise ValueError(
+            f"remove_from_dedup_index: the index at {path!r} predates "
+            "doc-keyed fingerprints — its exact-dup layer cannot drop "
+            "a deleted doc's fingerprint; re-save the index to enable "
+            "deletions"
+        )
+    IS.append_tombstones(
+        doc_ids.select(F.col(id_col).cast("long").alias("doc_id")), path
+    )
 
 
 def compact_dedup_index(
     spark, path: str, target_files: int = 1
 ) -> dict[str, int]:
-    """Maintenance job for the append-only dedup index: rewrite the
-    three data tables under the SAME ``meta.parquet`` with bounded
-    file counts — after N daily appends each table holds O(N) small
-    parquet files and every probe pays N file opens; compaction folds
-    them back to ``target_files``.  The fingerprint table is also
-    ``distinct``-ed (appends may re-add a fingerprint VALUE that
-    already exists; the probe distincts it anyway, so this only
-    shrinks bytes, never changes answers).  Band keys and shingles
-    are rewritten verbatim — the append contract (new doc ids only)
-    means they carry no duplicate rows to collapse.
+    """Maintenance job for the append-only dedup index: fold the
+    three data tables (base files + committed deltas, minus
+    tombstoned docs) back to ``target_files`` under the SAME
+    ``meta.parquet`` — after N daily appends each table holds O(N)
+    small parquet files and every probe pays N file opens plus an
+    anti-join per accumulated tombstone set; compaction collapses
+    both costs.  Band keys and shingles are rewritten verbatim
+    beyond the tombstone drop — the append contract (new doc ids
+    only) means they carry no duplicate rows to collapse.  A legacy
+    bare-value fingerprint table is additionally ``distinct``-ed
+    (old-style appends could re-add a value; doc-keyed tables cannot).
 
-    Crash-safety is the stage-then-swap shape
-    (:func:`~etl_cpc_schema_spark.streaming.ingest.compact_topk_stage`'s
-    write-new-before-delete-old, applied per table): rows are
-    materialized via an eager ``localCheckpoint`` BEFORE any file is
-    touched (severing lineage from the files about to be deleted),
-    the compacted copy is written to ``<table>.parquet.compacting``,
-    and only then is the live directory deleted and the staging dir
-    renamed over it.  The one non-atomic window (between delete and
-    rename) is self-repairing: on entry, a missing live dir with a
-    completed staging dir is renamed into place, so re-running
-    ``compact_dedup_index`` after ANY crash converges; a stale
-    staging dir from an earlier crash is discarded.  Rename is
-    atomic on HDFS and local file:// (on S3 it is a copy — use the
-    same committer caveats as any rename-based job).  Returns
-    ``{table: row_count}``.
+    Crash-safety is GENERATIONAL (index_store.promote_generation —
+    the round-10 replacement for the per-table stage-then-swap, whose
+    recovery could misread a partially deleted live dir, round-9
+    ADVICE): the folded tables land in a complete new ``gen_N`` dir,
+    the ``current`` pointer file is atomically replaced, and only
+    then is anything stale swept — so a crash at ANY point leaves
+    either the old or the new generation fully live, and the swap
+    covers all three tables AT ONCE (no window where codes-style
+    sibling tables disagree).  Returns ``{table: row_count}``.
 
     Probe-for-probe equality before/after compaction is test-pinned
     (tests/test_dedup_similarity.py).
     """
-    from ..sources.readers import compact_parquet_inplace
+    from . import index_store as IS
 
-    return {
-        table: compact_parquet_inplace(
-            spark, f"{path}/{table}.parquet", dedupe, target_files
-        )
-        for table, dedupe in (
-            ("fingerprints", True),
-            ("bands", False),
-            ("shingles", False),
-        )
-    }
+    tomb = IS.tombstones(spark, path)
+    frames: dict[str, DataFrame] = {}
+    for table in ("fingerprints", "bands", "shingles"):
+        df = IS.read_table(spark, path, table)
+        if "doc_id" in df.columns:
+            if tomb is not None:
+                df = df.join(tomb, "doc_id", "left_anti")
+        else:
+            df = df.distinct()
+        frames[table] = df
+    return IS.promote_generation(
+        spark, path, frames, control_tables=("meta",),
+        target_files=target_files,
+    )
 
 
 def load_dedup_index(spark, path: str) -> dict:
     """Lazy handles on a persisted dedup index (:func:`save_dedup_index`):
     ``{'n', 'num_hashes', 'bands': int, 'fingerprints', 'band_keys',
     'shingles': DataFrame}``.  Only ``meta`` is collected (one row);
-    the three data tables stay distributed parquet scans."""
-    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
+    the three data tables stay distributed scans with the full store
+    semantics applied — base ∪ committed deltas, minus tombstoned
+    docs — so every probe sees staged appends and deletions
+    identically.  ``fingerprints`` is normalized to its ``fp`` column
+    (doc-keyed and legacy bare-value tables load the same way)."""
+    from . import index_store as IS
+
+    meta = spark.read.parquet(
+        os.path.join(IS.active_root(path), "meta.parquet")
+    ).collect()[0]
+    tomb = IS.tombstones(spark, path)
+
+    def _data(table: str) -> DataFrame:
+        df = IS.read_table(spark, path, table)
+        if tomb is not None and "doc_id" in df.columns:
+            df = df.join(tomb, "doc_id", "left_anti")
+        return df
+
     return {
         "n": meta["n"],
         "num_hashes": meta["num_hashes"],
         "bands": meta["bands"],
-        "fingerprints": spark.read.parquet(f"{path}/fingerprints.parquet"),
-        "band_keys": spark.read.parquet(f"{path}/bands.parquet"),
-        "shingles": spark.read.parquet(f"{path}/shingles.parquet"),
+        "fingerprints": _data("fingerprints").select("fp"),
+        "band_keys": _data("bands"),
+        "shingles": _data("shingles"),
     }
 
 

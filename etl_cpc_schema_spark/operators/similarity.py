@@ -1434,12 +1434,14 @@ def ivfpq_topk(
                     "geometry comes from the loaded index — pass None "
                     "or the matching value"
                 )
-        index = embs.sparkSession.read.parquet(f"{index_path}/codes.parquet")
-        # exact-rerank neighbor side: the index's own quantized
+        # the ONE store-aware reader: base ∪ committed deltas, minus
+        # tombstones — staged appends and deletions are visible here
+        # exactly as they are to every other probe.  index_vecs is
+        # the exact-rerank neighbor side: the index's own quantized
         # vectors — the query frame may be a separate batch that does
         # not contain the neighbors (the streaming serve path)
-        index_vecs = embs.sparkSession.read.parquet(
-            f"{index_path}/vectors.parquet"
+        index, index_vecs = _index_data_tables(
+            embs.sparkSession, index_path
         )
         pr_src = embs if query_pred is None else embs.filter(query_pred)
         ranked = _ivf_rank_cells(pr_src, cells, Civf, nprobe, id_col, vec_col)
@@ -1564,7 +1566,13 @@ def save_ivfpq_index(
     :func:`pq_encode`."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from . import index_store as IS
+
     spark = embs.sparkSession
+    # a fresh save owns the whole dir: clear any store state a prior
+    # lifecycle left behind (a stale generation pointer would shadow
+    # the flat tables written below)
+    IS.reset(path)
     # three INDEPENDENT chains overlap (the ivfpq_topk training-
     # concurrency pattern): the IVF Lloyd chain, the PQ Lloyd chain,
     # and the quantized-vectors write (the exact-rerank source for
@@ -1619,6 +1627,7 @@ def append_to_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_key: str | None = None,
 ) -> None:
     """Upsert a vector batch into a persisted IVFADC index — the
     lifecycle completion the dedup index got first
@@ -1632,12 +1641,25 @@ def append_to_ivfpq_index(
     vectors only, with the two control-plane matrices read once.
 
     Contract mirrors the dedup index: geometry comes from the index
-    itself (never the caller); a batch whose vector dimensionality
-    does not match the trained centroids is rejected LOUDLY before
-    any write; the caller guarantees ``new_vecs`` carries ids NOT
-    already in the index (re-appending an id would duplicate its
+    itself (never the caller); a batch with ANY vector whose
+    dimensionality does not match the trained centroids is rejected
+    LOUDLY before any write (one min/max aggregate over the whole
+    batch — a first-row-only check would let a mixed batch through,
+    round-9 ADVICE); the caller guarantees ``new_vecs`` carries ids
+    NOT already in the index (re-appending an id would duplicate its
     codes row and surface the same neighbor twice).  An empty batch
     is a no-op.
+
+    Durability: with ``batch_key`` the batch is staged as a committed
+    delta (index_store.write_delta — marker written last, replay
+    rolls back and rewrites), which closes the at-least-once window
+    of a raw append; this is the path the streaming sink uses.
+    Without it the write is a direct parquet ``mode("append")`` (new
+    files only, object-storage-safe), with ``vectors.parquet``
+    written FIRST — an orphan vectors row from a crash between the
+    two writes is harmless to probes, while the reverse order left
+    codes rows whose exact-rerank join silently dropped neighbors
+    (round-9 ADVICE).
 
     Test-pinned equivalence: append(batch_b) onto index(corpus_a) ==
     encoding corpus_a ∪ batch_b under index(corpus_a)'s geometry,
@@ -1645,17 +1667,23 @@ def append_to_ivfpq_index(
     fresh :func:`save_ivfpq_index`) when the corpus distribution
     drifts — the standard ANN maintenance cadence.
     """
+    from . import index_store as IS
+
     spark = new_vecs.sparkSession
     cells, Civf, Cpq = load_ivfpq_index(spark, path)
     dims = Civf.shape[1]
-    first = new_vecs.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
+    ext = new_vecs.select(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if ext["lo"] is None:
         return  # empty batch — nothing to encode, nothing to write
-    if first["d"] != dims:
+    if ext["lo"] != dims or ext["hi"] != dims:
         raise ValueError(
-            f"append_to_ivfpq_index: batch vectors have {first['d']} "
-            f"dims but the index at {path!r} was trained on {dims} — "
-            "geometry is frozen at save time; re-save to change it"
+            f"append_to_ivfpq_index: batch vectors span "
+            f"{ext['lo']}-{ext['hi']} dims but the index at {path!r} "
+            f"was trained on {dims} — geometry is frozen at save "
+            "time; re-save to change it"
         )
     assigned = (
         _ivf_rank_cells(new_vecs, cells, Civf, 1, id_col, vec_col)
@@ -1665,12 +1693,59 @@ def append_to_ivfpq_index(
     codes = pq_encode(new_vecs, Cpq, id_col, vec_col).withColumnRenamed(
         "vid", "n_id"
     )
+    vecs = quantized(new_vecs, id_col, vec_col)
+    if batch_key is not None:
+        IS.write_delta(
+            path,
+            batch_key,
+            {"codes": assigned.join(codes, "n_id"), "vectors": vecs},
+        )
+        return
+    root = IS.active_root(path)
+    vecs.write.mode("append").parquet(f"{root}/vectors.parquet")
     assigned.join(codes, "n_id").write.mode("append").parquet(
-        f"{path}/codes.parquet"
+        f"{root}/codes.parquet"
     )
-    quantized(new_vecs, id_col, vec_col).write.mode("append").parquet(
-        f"{path}/vectors.parquet"
+
+
+def remove_from_ivfpq_index(
+    vec_ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Delete vectors from a persisted IVFADC index (takedown /
+    corpus re-filter) WITHOUT a rebuild: the ids land in the index's
+    tombstone table and every probe anti-joins them out of the codes
+    and exact-rerank scans; :func:`compact_ivfpq_index` physically
+    drops the rows and clears the tombstones.  Deleting an id that
+    was never indexed is a harmless no-op (the anti-join matches
+    nothing), so the delete is one tiny value-set append, never a
+    corpus scan; a replayed delete is idempotent because readers
+    ``distinct`` the tombstones.  Probe-after-delete equals a rebuild
+    without the deleted vectors, test-pinned
+    (tests/test_dedup_similarity.py)."""
+    from . import index_store as IS
+
+    IS.append_tombstones(
+        vec_ids.select(F.col(id_col).cast("long").alias("vid")), path
     )
+
+
+def _index_data_tables(spark, path: str):
+    """(codes, vectors) of a persisted IVFADC index with the full
+    store semantics applied: base ∪ committed deltas, minus
+    tombstoned ids — the ONE reader every probe goes through, so
+    staged appends and deletions are visible (or invisible)
+    identically everywhere."""
+    from . import index_store as IS
+
+    codes = IS.read_table(spark, path, "codes")
+    vecs = IS.read_table(spark, path, "vectors")
+    tomb = IS.tombstones(spark, path)
+    if tomb is not None:
+        codes = codes.join(
+            tomb.withColumnRenamed("vid", "n_id"), "n_id", "left_anti"
+        )
+        vecs = vecs.join(tomb, "vid", "left_anti")
+    return codes, vecs
 
 
 def compact_ivfpq_index(
@@ -1678,33 +1753,60 @@ def compact_ivfpq_index(
 ) -> dict[str, int]:
     """Maintenance job for the append-only IVFADC index — the
     symmetric of :func:`~etl_cpc_schema_spark.operators.dedup.compact_dedup_index`:
-    every :func:`append_to_ivfpq_index` adds parquet files to
-    ``codes.parquet`` and ``vectors.parquet``, and after N daily
-    batches each probe pays N file opens; compaction folds both data
-    tables back to ``target_files`` with the shared stage-then-swap
-    kernel (sources.readers.compact_parquet_inplace — eager
-    checkpoint before any delete, self-repairing delete→rename
-    window).  The control-plane tables (centroids, codebook) are
-    single-file by construction and untouched.  Rows are rewritten
-    verbatim (the append contract is new-ids-only, so there are no
-    duplicates to collapse); probe-for-probe equality is test-pinned.
-    Returns ``{table: row_count}``."""
-    from ..sources.readers import compact_parquet_inplace
+    after N appended batches each probe pays N file opens (plus an
+    anti-join when tombstones exist); compaction folds base +
+    committed delta files into ``target_files``, physically drops
+    tombstoned rows, and commits the result as a new GENERATION
+    (index_store.promote_generation — complete new dir, atomic
+    pointer swap, then sweep), so a crash at any point leaves either
+    the old or the new generation fully live, never a partially
+    deleted table (the window the round-9 single-dir kernel's
+    recovery could misread, per that round's ADVICE).  The
+    control-plane tables (centroids, codebook) are copied verbatim —
+    compaction never changes geometry.  Probe-for-probe equality is
+    test-pinned.  Returns ``{table: row_count}``.
 
-    return {
-        table: compact_parquet_inplace(
-            spark, f"{path}/{table}.parquet", False, target_files
+    Integrity check (round-9 ADVICE): a codes row without its vectors
+    twin would make the exact rerank silently drop that neighbor and
+    shift ranks, so codes ⊆ vectors is verified here and a violation
+    raises; orphan VECTORS rows (the harmless direction — a legacy
+    non-staged append that crashed between its two writes) are healed
+    by dropping them in the fold."""
+    from . import index_store as IS
+
+    codes, vecs = _index_data_tables(spark, path)
+    matched = vecs.join(
+        codes.select(F.col("n_id").alias("vid")), "vid", "left_semi"
+    )
+    n_codes, n_matched = codes.count(), matched.count()
+    if n_matched < n_codes:
+        raise ValueError(
+            f"compact_ivfpq_index: {n_codes - n_matched} codes rows "
+            f"at {path!r} have no vectors twin — the exact rerank "
+            "would silently drop those neighbors; a non-staged "
+            "writer crashed mid-append: re-append the affected batch "
+            "or re-save the index"
         )
-        for table in ("codes", "vectors")
-    }
+    return IS.promote_generation(
+        spark,
+        path,
+        {"codes": codes, "vectors": matched},
+        control_tables=("centroids", "codebook"),
+        target_files=target_files,
+    )
 
 
 def load_ivfpq_index(spark, path: str):
     """(cells, Civf, Cpq) — the control-plane matrices of a persisted
     index (:func:`save_ivfpq_index`); the codes table stays distributed
-    and is read lazily by :func:`ivfpq_topk`."""
+    and is read lazily by :func:`ivfpq_topk`.  Resolves through the
+    generational store pointer so a compacted index loads
+    identically."""
     import numpy as np
 
+    from . import index_store as IS
+
+    path = IS.active_root(path)
     cent = spark.read.parquet(f"{path}/centroids.parquet").orderBy("cell").collect()
     if not cent:
         raise ValueError(f"load_ivfpq_index: no centroids under {path!r}")

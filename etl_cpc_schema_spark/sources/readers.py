@@ -307,41 +307,63 @@ def compact_parquet_inplace(
     target_files: int = 1,
 ) -> int:
     """In-place small-files compaction of ONE parquet table dir with
-    the stage-then-swap crash posture (the per-table kernel of the
-    persisted-index compactions): materialize the rows via an eager
-    ``localCheckpoint`` BEFORE touching any file (severing lineage
-    from the files about to be deleted), write the folded copy to
-    ``<main>.compacting``, delete the live dir, rename the staging
-    dir over it.  The delete→rename window is self-repairing: on
-    entry a missing live dir with a completed staging dir is promoted,
-    and a stale staging dir alongside a live one is discarded, so
-    re-running after ANY crash converges.  Rename is atomic on HDFS
-    and local file:// (an S3 rename is a copy — same caveat as any
-    rename-committer job).  ``dedupe`` additionally ``distinct``s the
-    rows (for value-set tables whose appends may repeat values).
-    Returns the row count.
+    a rename-only swap: write the folded copy to ``<main>.compacting``,
+    rename the live dir to ``<main>.old``, rename the staging dir
+    over ``<main>``, delete ``<main>.old``.  The live table is NEVER
+    the target of a recursive delete while it is the only complete
+    copy — the round-9 protocol's one unsound window (a crash mid
+    ``delete(main)`` left a PARTIAL live dir beside a complete stage,
+    and the old recovery preferred the partial dir; round-9 ADVICE).
+    Every crash state is now unambiguous and the recovery below
+    converges on re-run:
+
+    * ``.old`` + live dir → crash after the swap: drop ``.old``.
+    * ``.old`` + stage, no live dir → crash between the two renames:
+      promote the stage, drop ``.old``.
+    * ``.old`` alone → defensive restore (no such state is reachable
+      under this protocol, but an interrupted manual cleanup lands
+      here): rename it back.
+    * stage beside a live dir → pre-swap crash: the live dir is
+      authoritative, discard the stage.
+    * no live dir + stage (legacy round-9 delete→rename crash):
+      promote the stage.
+
+    Renames are atomic on HDFS and local file:// (an S3 rename is a
+    copy — same caveat as any rename-committer job; the generational
+    index store is the posture for multi-table artifacts).
+    ``dedupe`` additionally ``distinct``s the rows (for value-set
+    tables whose appends may repeat values).  Returns the row count,
+    read back from the folded files (doubling as a write check).
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
-    stage = f"{main}.compacting"
+    stage, old = f"{main}.compacting", f"{main}.old"
     fs = HPath(main).getFileSystem(conf)
-    # recovery: a previous run crashed between delete and rename —
-    # the staging dir is complete by construction, promote it
-    if not fs.exists(HPath(main)) and fs.exists(HPath(stage)):
-        fs.rename(HPath(stage), HPath(main))
-    # a staging dir alongside a live dir is a pre-delete crash
-    # leftover — the live dir is authoritative, discard the stage
-    if fs.exists(HPath(stage)):
-        fs.delete(HPath(stage), True)
+    mainp, stagep, oldp = HPath(main), HPath(stage), HPath(old)
+    if fs.exists(oldp):
+        if fs.exists(mainp):
+            fs.delete(oldp, True)
+        elif fs.exists(stagep):
+            fs.rename(stagep, mainp)
+            fs.delete(oldp, True)
+        else:
+            fs.rename(oldp, mainp)
+    if not fs.exists(mainp) and fs.exists(stagep):
+        fs.rename(stagep, mainp)
+    if fs.exists(stagep):
+        fs.delete(stagep, True)
     df = spark.read.parquet(main)
     if dedupe:
         df = df.distinct()
-    df = df.localCheckpoint(eager=True)
-    n = df.count()
+    # the stage is materialized while every source file still exists,
+    # so no lineage-severing checkpoint is needed; the count reads the
+    # folded files (no second pass over the source)
     df.coalesce(target_files).write.parquet(stage)
-    fs.delete(HPath(main), True)
-    fs.rename(HPath(stage), HPath(main))
+    n = spark.read.parquet(stage).count()
+    fs.rename(mainp, oldp)
+    fs.rename(stagep, mainp)
+    fs.delete(oldp, True)
     return n
 
 

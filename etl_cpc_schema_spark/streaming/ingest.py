@@ -686,17 +686,27 @@ def _incremental_dedup_sink(index_path: str, out_stage: str):
     Per batch: probe the CURRENT index (re-loaded — a handle created
     before an earlier batch's append would pin the old file listing),
     decide keep flags, write them to an idempotent ``batch_id=<n>``
-    overwrite directory, append the keepers to the index, and drop an
-    ``_applied_<n>`` marker LAST so a redelivered batch is a no-op.
-    The decision frame is eagerly checkpointed BEFORE the append so
-    the probe can never see the batch's own keepers."""
+    overwrite directory, stage the keepers' index rows as a
+    batch-keyed COMMITTED DELTA (``append_to_dedup_index(...,
+    batch_key=bid)`` — index_store.write_delta, marker written last),
+    and drop an ``_applied_<n>`` marker so a redelivered batch is a
+    no-op.  The round-9 at-least-once window is closed: a replay
+    first ROLLS BACK its own delta (committed or torn), so the
+    re-probe cannot see the batch's own earlier attempt and the
+    rewrite cannot duplicate it — one batch's rows live in exactly
+    one delta dir, pinned by the crash-replay test
+    (tests/test_streaming_sinks.py).  The decision frame is eagerly
+    checkpointed BEFORE the append so the probe can never see the
+    batch's own keepers."""
     from ..operators import dedup as DD
+    from ..operators import index_store as IS
 
     def sink(bdf, bid):
         marker = os.path.join(out_stage, f"_applied_{bid}")
         if os.path.exists(marker):
             return  # redelivered batch: output + append already done
         s = bdf.sparkSession
+        IS.rollback_delta(index_path, bid)  # crashed attempt, if any
         idx = DD.load_dedup_index(s, index_path)
         res = DD.incremental_dedup_indexed(
             bdf, idx, num=4, den=5
@@ -709,7 +719,7 @@ def _incremental_dedup_sink(index_path: str, out_stage: str):
             "doc_id",
             "left_semi",
         )
-        DD.append_to_dedup_index(keepers, index_path)
+        DD.append_to_dedup_index(keepers, index_path, batch_key=str(bid))
         open(marker, "w").close()
 
     return sink
@@ -744,11 +754,12 @@ def incremental_dedup_stream(
     ``batch_id=<n>`` overwrite directory, and a ``_applied_<n>``
     marker written AFTER the index append makes a redelivered batch a
     no-op — re-running the finished stream (same checkpoint, same
-    source) changes neither the sink nor the index.  A crash BETWEEN
-    the append and the marker re-appends that batch's keepers on
-    replay (the narrow at-least-once window every non-transactional
-    append sink has); production closes it by staging appends as
-    batch-keyed delta dirs folded by compact_dedup_index.
+    source) changes neither the sink nor the index.  The append
+    itself is a batch-keyed committed delta rolled back and rewritten
+    on replay (round 10 — see :func:`_incremental_dedup_sink`), so a
+    crash BETWEEN the append and the marker no longer duplicates the
+    batch's keepers: deltas are folded into the base by
+    compact_dedup_index on the normal maintenance cadence.
 
     At 100 TB: the per-batch cost is batch-sized (probe = arrivals ×
     bands × occupancy; append = one signing pass over keepers);
@@ -819,13 +830,20 @@ def _ann_probe_sink(index_path: str, out_stage: str):
     encode pass over the new vectors only), and an ``_applied_<n>``
     marker makes a redelivered batch a no-op.  The probe is eagerly
     checkpointed BEFORE the append so a batch can never retrieve
-    itself."""
+    itself.  The append is a batch-keyed COMMITTED DELTA
+    (index_store.write_delta via ``batch_key=bid``), and a replay
+    first rolls its own delta back — so the round-9 at-least-once
+    window (a crash between append and marker re-appending codes rows
+    and surfacing the same neighbor twice) is closed, pinned by the
+    crash-replay test (tests/test_streaming_sinks.py)."""
+    from ..operators import index_store as IS
     from ..operators.similarity import append_to_ivfpq_index, ivfpq_topk
 
     def sink(bdf, bid):
         marker = os.path.join(out_stage, f"_applied_{bid}")
         if os.path.exists(marker):
             return  # redelivered batch: output + append already done
+        IS.rollback_delta(index_path, bid)  # crashed attempt, if any
         res = ivfpq_topk(
             bdf,
             k=3,
@@ -836,7 +854,7 @@ def _ann_probe_sink(index_path: str, out_stage: str):
         res.write.mode("overwrite").parquet(
             os.path.join(out_stage, f"batch_id={bid}")
         )
-        append_to_ivfpq_index(bdf, index_path)
+        append_to_ivfpq_index(bdf, index_path, batch_key=str(bid))
         open(marker, "w").close()
 
     return sink

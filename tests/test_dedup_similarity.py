@@ -1226,11 +1226,14 @@ def test_ivfpq_index_append_guards(spark, tmp_path):
 def test_dedup_index_compaction_preserves_probes(spark, tmp_path):
     """compact_dedup_index must leave probe results bit-identical
     while reducing each data table's parquet file count to the
-    target after a run of appends, and a crash between delete and
-    rename must be self-repairing on the next run."""
+    target after a run of appends, and the generational commit's
+    crash states (stray uncommitted generation; swept-late stale
+    files) must be self-repairing on the next run."""
     import os
     import random
     import shutil
+
+    from etl_cpc_schema_spark.operators import index_store as IS
 
     random.seed(17)
     vocab = [f"w{i}" for i in range(25)]
@@ -1258,7 +1261,7 @@ def test_dedup_index_compaction_preserves_probes(spark, tmp_path):
         }
 
     def nfiles(table):
-        dd = os.path.join(path, f"{table}.parquet")
+        dd = IS.table_path(path, table)
         return sum(1 for f in os.listdir(dd) if f.endswith(".parquet"))
 
     before = probe()
@@ -1270,14 +1273,32 @@ def test_dedup_index_compaction_preserves_probes(spark, tmp_path):
     for t in ("fingerprints", "bands", "shingles"):
         assert nfiles(t) == 1, (t, nfiles(t))
     assert counts["bands"] > 0 and counts["shingles"] > 0
+    # the fold committed a generation: pointer present, flat tables
+    # swept, probes resolve through the pointer
+    assert os.path.exists(os.path.join(path, "current"))
+    assert not os.path.exists(os.path.join(path, "bands.parquet"))
 
-    # simulate the delete→rename crash window: live dir gone, a
-    # completed staging dir present — the next compact promotes it
-    live = os.path.join(path, "bands.parquet")
-    shutil.move(live, live + ".compacting")
-    DD.compact_dedup_index(spark, path)
+    # crash state A: a compaction died BEFORE its pointer swap,
+    # leaving a stray (unreferenced) generation dir — probes ignore
+    # it and the next compact sweeps it and converges
+    gen1 = IS.active_root(path)
+    stray = os.path.join(path, "gen_99999999")
+    shutil.copytree(gen1, stray)
     assert probe() == before
-    assert nfiles("bands") == 1
+    DD.compact_dedup_index(spark, path)
+    assert not os.path.exists(stray)
+    assert probe() == before
+
+    # crash state B: pointer swap landed but the sweep died, leaving
+    # the PRIOR generation on disk — the pointer is authoritative and
+    # the next compact sweeps the leftovers
+    gen2 = IS.active_root(path)
+    leftover = os.path.join(path, "gen_00000000")
+    shutil.copytree(gen2, leftover)
+    assert probe() == before
+    DD.compact_dedup_index(spark, path)
+    assert not os.path.exists(leftover)
+    assert probe() == before
 
 
 def test_video_dedup_planted_copies(spark, tmp_path):
@@ -1361,10 +1382,12 @@ def test_ivfpq_index_compaction_preserves_probes(spark, tmp_path):
         }
 
     def nfiles():
+        from etl_cpc_schema_spark.operators import index_store as IS
+
         return max(
             sum(
                 1
-                for f in os.listdir(os.path.join(path, f"{t}.parquet"))
+                for f in os.listdir(IS.table_path(path, t))
                 if f.endswith(".parquet")
             )
             for t in ("codes", "vectors")
@@ -1440,12 +1463,14 @@ def test_ivfpq_index_append_after_compaction(spark, tmp_path):
     SIM.compact_ivfpq_index(spark, path)
     SIM.append_to_ivfpq_index(embs.filter(F.col("vec_id") >= 100), path)
 
+    from etl_cpc_schema_spark.operators import index_store as IS
+
     cells, Civf, Cpq = SIM.load_ivfpq_index(spark, path)
     p_ref = str(tmp_path / "ref")
-    spark.read.parquet(f"{path}/centroids.parquet").write.parquet(
+    spark.read.parquet(IS.table_path(path, "centroids")).write.parquet(
         f"{p_ref}/centroids.parquet"
     )
-    spark.read.parquet(f"{path}/codebook.parquet").write.parquet(
+    spark.read.parquet(IS.table_path(path, "codebook")).write.parquet(
         f"{p_ref}/codebook.parquet"
     )
     assigned = (
