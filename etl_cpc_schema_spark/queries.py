@@ -2914,19 +2914,31 @@ def _lsh_jaccard_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     return _verified_pairs_sql(num_hashes, bands) + "ORDER BY d1, d2\n"
 
 
-def _incremental_dedup_oracle() -> str:
+def _incremental_dedup_oracle(
+    corpus_pred_fmt: str = "{c} % 5 <> 0",
+) -> str:
+    """Batch-vs-corpus incremental dedup oracle.  ``corpus_pred_fmt``
+    (formatted with ``c`` = the doc-id column) defines the EFFECTIVE
+    standing corpus — the default is everything outside the arrival
+    partition; docs_dedup_index_maintained narrows it to
+    save ∪ appended − removed, which is exactly what a probe against
+    the maintained index must behave as."""
     fp = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    cp_doc = corpus_pred_fmt.format(c="doc_id")
+    cp_d1 = corpus_pred_fmt.format(c="d1")
+    cp_d2 = corpus_pred_fmt.format(c="d2")
     return f"""
 WITH vp AS (
   {_verified_pairs_sql()}
 ), arrivals AS (
   SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 5 = 0
 ), corpus_fp AS (
-  SELECT DISTINCT {fp} AS fp FROM documents WHERE doc_id % 5 <> 0
+  SELECT DISTINCT {fp} AS fp FROM documents WHERE {cp_doc}
 ), near AS (
   SELECT CASE WHEN d1 % 5 = 0 THEN d1 ELSE d2 END AS doc_id,
          count(*) AS n_near
-  FROM vp WHERE (d1 % 5 = 0) <> (d2 % 5 = 0)
+  FROM vp WHERE ((d1 % 5 = 0) AND ({cp_d2}))
+            OR ((d2 % 5 = 0) AND ({cp_d1}))
   GROUP BY 1
 )
 SELECT a.doc_id,
@@ -2972,6 +2984,52 @@ def docs_incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
         ("dedup", sf, 3),
         lambda p: DD.save_dedup_index(corpus, p, n=3),
     )
+    index = DD.load_dedup_index(spark, path)
+    return DD.incremental_dedup_indexed(
+        arrivals, index, num=4, den=5
+    ).orderBy("doc_id")
+
+
+@query(
+    "docs_dedup_index_maintained",
+    _incremental_dedup_oracle(
+        corpus_pred_fmt="({c} % 5 <> 0 AND {c} % 10 <> 1)"
+    ),
+)
+def docs_dedup_index_maintained_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL maintenance lifecycle of the persisted dedup index,
+    driver-visible (VERDICT r9 #4/#5): save the initial corpus
+    (doc_id % 5 ∈ {1,2,3}), stage a later partition as a COMMITTED
+    DELTA append (doc_id % 5 == 4, batch_key — the staged path the
+    streaming sink uses), DELETE a slice via tombstones
+    (doc_id % 10 == 1, remove_from_dedup_index), COMPACT (fold base +
+    delta, physically drop the tombstoned rows, commit a new
+    generation), then probe the arrival partition (doc_id % 5 == 0)
+    through the compacted index.  The oracle is the incremental-dedup
+    SQL with the effective corpus narrowed to save ∪ appended −
+    removed — maintenance must answer exactly as a fresh index built
+    on the surviving corpus, which is the whole contract: appends
+    add, deletes subtract, compaction changes NOTHING.  At 100 TB
+    every step is bounded: append is batch-sized, delete is one
+    value-set write, compaction is the one corpus-sized fold and runs
+    on the maintenance cadence, probes are arrivals × bands ×
+    occupancy."""
+    d = _t(spark, sf, "documents")
+    arrivals = d.filter(F.col("doc_id") % 5 == 0)
+
+    def build(p: str) -> None:
+        DD.save_dedup_index(
+            d.filter((F.col("doc_id") % 5).isin(1, 2, 3)), p, n=3
+        )
+        DD.append_to_dedup_index(
+            d.filter(F.col("doc_id") % 5 == 4), p, batch_key="day1"
+        )
+        DD.remove_from_dedup_index(
+            d.filter(F.col("doc_id") % 10 == 1).select("doc_id"), p
+        )
+        DD.compact_dedup_index(spark, p)
+
+    path = _cached_index(("dedup_maint", sf, 3), build)
     index = DD.load_dedup_index(spark, path)
     return DD.incremental_dedup_indexed(
         arrivals, index, num=4, den=5
@@ -4345,6 +4403,7 @@ def _ivfpq_topk_oracle(
     ivf_lloyd: int = ANN_IVFPQ_IVF_LLOYD,
     pq_lloyd: int = ANN_IVFPQ_PQ_LLOYD,
     train_max: int | None = None,
+    drop_pred: str | None = None,
 ) -> str:
     """IVFADC oracle: the IVF Lloyd/assignment chain
     (:func:`_ivf_lloyd_ctes`, cosine cells) composed with the shared
@@ -4353,7 +4412,15 @@ def _ivfpq_topk_oracle(
     shortlist, exact rerank.  ``train_max`` restricts BOTH Lloyd
     chains to ``vec_id < train_max`` while assignment/encoding still
     covers the whole corpus — the frozen-geometry semantics of
-    save(corpus_a) + append(batch_b) (ann_ivfpq_appended)."""
+    save(corpus_a) + append(batch_b) (ann_ivfpq_appended).
+    ``drop_pred`` (a SQL predicate over ``vec_id``) removes matching
+    vectors from the CANDIDATE side only — queries still query, the
+    geometry is untouched — i.e. exactly what remove_from_ivfpq_index
+    tombstones (ann_ivfpq_deleted) and what compaction physically
+    drops (ann_ivfpq_compacted): one oracle for both physical states
+    is itself the claim that probe-time anti-join and physical drop
+    answer identically."""
+    drop = f" AND NOT ({drop_pred})" if drop_pred else ""
     cent_cos_t = (
         "CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[i+1] * c.cqv[i+1])) AS DOUBLE)"
         " / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE)))"
@@ -4395,7 +4462,7 @@ WITH q AS (
   SELECT a.vec_id AS q_id, b.vec_id AS n_id
   FROM (SELECT vec_id, cell FROM assign
          WHERE cell_rank <= {nprobe} AND vec_id < {qmax}) a
-  JOIN (SELECT vec_id, cell FROM assign WHERE cell_rank = 1) b
+  JOIN (SELECT vec_id, cell FROM assign WHERE cell_rank = 1{drop}) b
     ON a.cell = b.cell AND a.vec_id != b.vec_id
 ), ad AS (
   SELECT c0.q_id, c0.n_id, sum({sdot}) AS adot
@@ -4605,6 +4672,151 @@ def ann_ivfpq_appended_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("q_id", "rank")
     )
+
+
+#: ann_ivfpq_deleted / ann_ivfpq_compacted: the tombstoned slice.
+#: vec_id % 10 == 7 crosses both the initial corpus (< SPLIT) and the
+#: appended batch, and intersects the query range (< QMAX = 64) — so
+#: the test is non-degenerate: deleted vectors vanish as NEIGHBORS
+#: while still issuing queries.
+ANN_IVFPQ_DROP_SQL = "vec_id % 10 = 7"
+
+
+def _ivfpq_maintained_probe(spark: SparkSession, sf: str, path: str):
+    from .operators.similarity import ivfpq_topk
+
+    return (
+        ivfpq_topk(
+            _t(spark, sf, "embeddings"),
+            k=ANN_IVFPQ_K,
+            nprobe=ANN_IVFPQ_NPROBE,
+            shortlist=ANN_IVFPQ_SHORTLIST,
+            query_pred=F.col("vec_id") < ANN_IVFPQ_QMAX,
+            index_path=path,
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+@query(
+    "ann_ivfpq_deleted",
+    _ivfpq_topk_oracle(
+        train_max=ANN_IVFPQ_SPLIT, drop_pred=ANN_IVFPQ_DROP_SQL
+    ),
+)
+def ann_ivfpq_deleted_q(spark: SparkSession, sf: str) -> DataFrame:
+    """DELETION from the persisted IVFADC index without a rebuild
+    (VERDICT r9 #5 — the takedown/re-filter path every production
+    vector store needs): save on the initial corpus, append the rest
+    under the frozen geometry, then remove_from_ivfpq_index tombstones
+    vec_id % 10 == 7; the probe's store-aware reader anti-joins the
+    tombstones out of the codes and exact-rerank scans, so deleted
+    vectors vanish as neighbors while still issuing queries.  The
+    oracle is the frozen-geometry IVFADC SQL with the same predicate
+    excluding the CANDIDATE side only — i.e. exactly a rebuild
+    without the deleted vectors.  Deletion cost at 100 TB: one
+    value-set append, never a corpus scan; the probe pays one bounded
+    anti-join until compaction folds the tombstones away
+    (ann_ivfpq_compacted proves that fold answers identically)."""
+    from .operators.similarity import (
+        append_to_ivfpq_index,
+        remove_from_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    embs = _t(spark, sf, "embeddings")
+
+    def build(p: str) -> None:
+        save_ivfpq_index(
+            embs.filter(F.col("vec_id") < ANN_IVFPQ_SPLIT),
+            p,
+            n_centroids=ANN_IVFPQ_CENTROIDS,
+            m_subspaces=ANN_IVFPQ_M,
+            ksub=ANN_IVFPQ_KSUB,
+            ivf_lloyd_iters=ANN_IVFPQ_IVF_LLOYD,
+            pq_lloyd_iters=ANN_IVFPQ_PQ_LLOYD,
+        )
+        append_to_ivfpq_index(
+            embs.filter(F.col("vec_id") >= ANN_IVFPQ_SPLIT), p
+        )
+        remove_from_ivfpq_index(
+            embs.filter(F.col("vec_id") % 10 == 7).select("vec_id"), p
+        )
+
+    path = _cached_index(
+        (
+            "ivfpq_del", sf, ANN_IVFPQ_SPLIT, ANN_IVFPQ_CENTROIDS,
+            ANN_IVFPQ_M, ANN_IVFPQ_KSUB, ANN_IVFPQ_IVF_LLOYD,
+            ANN_IVFPQ_PQ_LLOYD,
+        ),
+        build,
+    )
+    return _ivfpq_maintained_probe(spark, sf, path)
+
+
+@query(
+    "ann_ivfpq_compacted",
+    _ivfpq_topk_oracle(
+        train_max=ANN_IVFPQ_SPLIT, drop_pred=ANN_IVFPQ_DROP_SQL
+    ),
+)
+def ann_ivfpq_compacted_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL maintenance cycle of the persisted IVFADC index,
+    driver-visible (VERDICT r9 #4): save → staged-delta append
+    (batch_key, the committed-delta path the streaming sink uses) →
+    tombstone delete → compact_ivfpq_index (fold base + delta,
+    physically drop tombstoned rows, verify codes ⊆ vectors, commit a
+    new GENERATION behind an atomic pointer swap) → probe.  The
+    oracle is LITERALLY ann_ivfpq_deleted's — compaction must not
+    change a single answer, so the same SQL grading two different
+    physical states (tombstone anti-join there, physical drop here)
+    IS the maintenance contract.  At 100 TB compaction is the one
+    corpus-sized pass and runs on the maintenance cadence; every
+    probe after it pays target_files file opens and zero
+    anti-joins."""
+    from .operators.similarity import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        remove_from_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    embs = _t(spark, sf, "embeddings")
+
+    def build(p: str) -> None:
+        save_ivfpq_index(
+            embs.filter(F.col("vec_id") < ANN_IVFPQ_SPLIT),
+            p,
+            n_centroids=ANN_IVFPQ_CENTROIDS,
+            m_subspaces=ANN_IVFPQ_M,
+            ksub=ANN_IVFPQ_KSUB,
+            ivf_lloyd_iters=ANN_IVFPQ_IVF_LLOYD,
+            pq_lloyd_iters=ANN_IVFPQ_PQ_LLOYD,
+        )
+        append_to_ivfpq_index(
+            embs.filter(F.col("vec_id") >= ANN_IVFPQ_SPLIT),
+            p,
+            batch_key="day1",
+        )
+        remove_from_ivfpq_index(
+            embs.filter(F.col("vec_id") % 10 == 7).select("vec_id"), p
+        )
+        compact_ivfpq_index(spark, p)
+
+    path = _cached_index(
+        (
+            "ivfpq_cmp", sf, ANN_IVFPQ_SPLIT, ANN_IVFPQ_CENTROIDS,
+            ANN_IVFPQ_M, ANN_IVFPQ_KSUB, ANN_IVFPQ_IVF_LLOYD,
+            ANN_IVFPQ_PQ_LLOYD,
+        ),
+        build,
+    )
+    return _ivfpq_maintained_probe(spark, sf, path)
 
 
 # ---------------------------------------------------------------------------
@@ -9027,68 +9239,19 @@ def stream_incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 #: the sample at the current evidence gap (VERDICT r8 "Next round" #1:
 #: after round 8 no query's driver evidence is older than r5, and the
 #: r5 block is exactly 21 names).  Tier 1 is that complete r5-stale
-#: block — with a 50-row sample it fits with ~29 slots to spare.
-#: Tier 2 is the round-9 additions (never driver-sampled).  Tier 3 is
-#: the 47-name r6 block; the names whose shared kernels changed in
-#: round 9 lead it (similarity.py's ivfpq training overlap feeds the
-#: ANN family; streaming/ingest.py's sentinel rework feeds stream_*;
-#: multimodal.py gains the video near-dup kernels), then the rest.
-#: Names past the 50-row cutoff lead the r10 rotation.
+#: Round-10 rotation (VERDICT r9 #1): Tier 1 is the complete 22-name
+#: r6-stale block (the TPC-H-shape q58-q72 run + the 11-name text_*
+#: block) — after this round no query's driver evidence is older than
+#: r7.  Tier 2 is the round-10 additions (index compaction / deletion
+#: lifecycle queries; never driver-sampled before).  Tier 3 is the
+#: 50-name r7 block; the families whose shared kernels round 10
+#: touches lead it (similarity.py/dedup.py gain the delta-staged
+#: append + tombstone + generational-compaction store, feeding the
+#: ANN-index and stream families; the three profiled sketch entries
+#: ride along for a fresh driver row), then the rest.  Names past the
+#: 50-row cutoff lead the r11 rotation.
 _DRIVER_PRIORITY: list[str] = [
-    # Tier 1 — the r5-stale block, complete (VERDICT r8 #1).
-    "q03_project_cast_lit",
-    "q27_json_extract",
-    "q31_ancestor_paths",
-    "q34_udaf_geomean",
-    "q35_full_outer",
-    "q36_intersect",
-    "q43_variant_extract",
-    "q50_map_type",
-    "q51_regex_rewrite",
-    "q52_union_by_name",
-    "q53_try_cast",
-    "q54_exists_subquery",
-    "q55_funnel",
-    "q56_cohort_retention",
-    "q57_scd2_merge",
-    "q60_expectations",
-    "q61_returned_items",
-    "q64_large_volume",
-    "approx_distinct_users",
-    "text_keywords",
-    "text_lm_perplexity",
-    # Tier 2 — round-9 additions (names appended here as each lands;
-    # the registry test rejects dead entries).
-    "ann_ivfpq_appended",
-    "stream_incremental_dedup",
-    "multimodal_video_dedup",
-    "stream_ann_probe",
-    # Tier 3 — the r6-stale block; touched-kernel families first.
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "dedup_embedding_lsh",
-    "multimodal_frames",
-    "multimodal_meta",
-    "multimodal_resize",
-    "stream_dedup_counts",
-    "stream_static_join",
-    "stream_user_counts_stateful",
-    "stream_windowed_topk",
-    "docs_chunk",
-    "docs_contamination",
-    "docs_dsir_weights",
-    "docs_pack_sequences",
-    "docs_pipeline",
-    "docs_stratified_sample",
-    "docs_temperature_sample",
-    "docs_train_split",
-    "q01_regex_parse",
-    "q02_filter_predicates",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q06_left_join_default",
-    "q14_pipeline_composite",
+    # Tier 1 — the r6-stale block, complete (VERDICT r9 #1).
     "q18_join_agg",
     "q58_shipping_priority",
     "q59_local_supplier_volume",
@@ -9111,6 +9274,62 @@ _DRIVER_PRIORITY: list[str] = [
     "text_token_bpe",
     "text_token_freq",
     "text_url_domains",
+    # Tier 2 — round-10 additions (names appended here as each lands;
+    # the registry test rejects dead entries).
+    "ann_ivfpq_deleted",
+    "ann_ivfpq_compacted",
+    "docs_dedup_index_maintained",
+    # Tier 3 — the r7-stale block; touched/profiled families first.
+    "ann_ivfpq_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_lsh_topk_probed",
+    "docs_bloom_contamination",
+    "docs_source_overlap",
+    "approx_heavy_hitters",
+    "stream_approx_distinct",
+    "stream_bloom_gate",
+    "stream_hourly_counts",
+    "stream_outer_join",
+    "stream_sessionize",
+    "stream_stream_join",
+    "docs_semdedup",
+    "docs_kmeans_prune",
+    "docs_dup_spans",
+    "docs_scrub_dup_spans",
+    "approx_hll_mergeable",
+    "approx_quantiles_bounded",
+    "docs_ccnet_buckets",
+    "docs_cdc_chunk",
+    "docs_cdc_dedup",
+    "docs_corpus_build",
+    "docs_hard_negatives",
+    "docs_modern_corpus",
+    "docs_quality_logreg",
+    "docs_triplets",
+    "q17_pricing_summary",
+    "q21_running_window",
+    "q22_sessionize",
+    "q23_asof_join",
+    "q44_asof_forward",
+    "q45_salted_join",
+    "q62_nation_trade_volume",
+    "q65_custdist",
+    "q73_supplier_part_counts",
+    "q74_dominant_suppliers",
+    "q75_recursive_closure",
+    "q76_profile_events",
+    "q77_integrity_checks",
+    "q78_lateral_topk",
+    "q79_sliding_window",
+    "q80_bag_set_ops",
+    "q81_fuzzy_join",
+    "q82_triangle_counts",
+    "q83_label_propagation",
+    "text_bm25_topk",
+    "text_rare_tokens",
+    "text_textrank",
+    "text_winnowing",
 ]
 
 
