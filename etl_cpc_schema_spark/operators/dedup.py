@@ -991,6 +991,13 @@ def bloom_contamination(
     shingle set, partitioned normally.  The prefilter is pure
     whole-stage-codegen; tune fp via m_bits (fp ≈ (1−e^{−kn/m})^k).
     """
+    # referenced twice (bitmap build + the exact-confirm build side)
+    # but deliberately NOT checkpointed: the rows are big shingle
+    # STRINGS and the recompute is one cheap Arrow map pass — the
+    # round-9 checkpoint rule's explicit exception (measured here in
+    # round 10: a lazy checkpoint of this frame degraded repeated
+    # probes 3.6 → 4.3-9.4 s as the materialized blocks pressured
+    # executor memory, while the no-checkpoint baseline held steady)
     b_str = (
         shingle_table(benchmark, id_col, text_col, n)
         .select(F.explode("shingles").alias("sh_str"))

@@ -1661,6 +1661,7 @@ def kmv_source_overlap(d: DataFrame, k: int = KMV_K) -> DataFrame:
     frame — parameterized so the accuracy test can drive it with a
     corpus of KNOWN overlap."""
     from .functions.hashing import portable_hash64
+    from .operators.iterutils import iter_checkpoint
     from .operators.skew import grouped_bottomk
 
     ex = d.select(
@@ -1669,7 +1670,16 @@ def kmv_source_overlap(d: DataFrame, k: int = KMV_K) -> DataFrame:
     dist = ex.select(
         "source", portable_hash64(F.col("s"), seed="kmv").alias("h")
     ).distinct()
-    sk = grouped_bottomk(dist, "source", "h", k).select("source", "h")
+    # the sketch table is referenced FOUR times below (both sides of
+    # the pair join, both tag arms) and its subtree is the one
+    # corpus-sized pass (shingle explode → md5 → distinct → salted
+    # bottom-k window); at sources × k rows it is exactly the
+    # narrow-after-projection shape the round-9 checkpoint audit
+    # showed wins 20-40% — materialize once, not four times
+    sk = iter_checkpoint(
+        grouped_bottomk(dist, "source", "h", k).select("source", "h"),
+        eager=False,
+    )
 
     a, b = sk.alias("a"), sk.alias("b")
     prs = (
