@@ -111,6 +111,13 @@ OPERATORS = [
     # n_centroids ∝ n occupancy schedule as ann_ivfpq_topk_scaled
     "multimodal_video_dedup_scaled",
     "ann_ivfpq_appended_scaled",
+    # round-10: the two streaming index classes' PER-BATCH cost with
+    # the arrivals FIXED and the standing corpus grown — the curve
+    # that can falsify the "batch-sized, not corpus-sized" claim
+    # (VERDICT r9 #7); the save is memoized outside the timed region,
+    # replays are idempotent via the staged-delta protocol
+    "stream_incremental_dedup_scaled",
+    "stream_ann_probe_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -453,7 +460,112 @@ def main() -> int:
             index_path=path,
         )
 
+    # the two streaming index classes claim their PER-BATCH cost is
+    # batch-sized; the curve that can falsify that holds the ARRIVALS
+    # FIXED while the standing corpus grows 1x/10x/100x (VERDICT r9
+    # #7).  The corpus-sized save is memoized per scale dir (it has
+    # its own measured curve: ann_ivfpq_appended_scaled pays training
+    # in-measurement), so the timed region is exactly what a serving
+    # day pays: per batch, re-load the index handles, probe, and
+    # append the batch under its batch key.  Replaying the same batch
+    # keys per timed run is IDEMPOTENT by the round-10 staged-delta
+    # protocol (rollback + rewrite), which is also what makes a
+    # min-of-RUNS estimator valid here.  Residual corpus-size
+    # dependence is the index SCAN feeding the probe joins — linear
+    # bytes, the documented floor, which is why the gate is
+    # sub-quadratic rather than flat.
+    _stream_saved: dict[str, str] = {}
+
+    def _stream_dedup_scaled(spark, sf_dir):
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators import dedup as DD
+        from etl_cpc_schema_spark.operators import index_store as IS
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        key = f"dedup:{sf_dir}"
+        path = _stream_saved.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="spark_scale_sdedup_")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            DD.save_dedup_index(
+                docs.filter(F.col("doc_id") >= 500), path, n=3
+            )
+            _stream_saved[key] = path
+        batches = (("b0", 0, 250), ("b1", 250, 500))
+        for bkey, _, _ in batches:
+            IS.rollback_delta(path, bkey)
+        outs = []
+        for bkey, lo, hi in batches:
+            batch = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            idx = DD.load_dedup_index(spark, path)
+            res = DD.incremental_dedup_indexed(
+                batch, idx, num=4, den=5
+            ).localCheckpoint(eager=True)
+            keepers = batch.join(
+                res.filter(F.col("keep")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            DD.append_to_dedup_index(keepers, path, batch_key=bkey)
+            outs.append(res)
+        return outs[0].unionByName(outs[1])
+
+    def _stream_ann_probe_scaled(spark, sf_dir):
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators import index_store as IS
+        from etl_cpc_schema_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            ivfpq_topk,
+            save_ivfpq_index,
+        )
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        key = f"ann:{sf_dir}"
+        path = _stream_saved.get(key)
+        if path is None:
+            n = embs.count()
+            path = tempfile.mkdtemp(prefix="spark_scale_sann_")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            save_ivfpq_index(
+                embs.filter(F.col("vec_id") >= 512),
+                path,
+                n_centroids=max(32, n // 64),
+                m_subspaces=16,
+                ksub=16,
+                ivf_lloyd_iters=1,
+                pq_lloyd_iters=1,
+            )
+            _stream_saved[key] = path
+        batches = (("b0", 0, 256), ("b1", 256, 512))
+        for bkey, _, _ in batches:
+            IS.rollback_delta(path, bkey)
+        outs = []
+        for bkey, lo, hi in batches:
+            batch = embs.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            )
+            res = ivfpq_topk(
+                batch, k=3, nprobe=10, shortlist=48, index_path=path
+            ).localCheckpoint(eager=True)
+            append_to_ivfpq_index(batch, path, batch_key=bkey)
+            outs.append(res)
+        return outs[0].unionByName(outs[1])
+
     extra = {
+        "stream_incremental_dedup_scaled": _stream_dedup_scaled,
+        "stream_ann_probe_scaled": _stream_ann_probe_scaled,
         "multimodal_video_dedup_scaled": _video_dedup_scaled,
         "ann_ivfpq_appended_scaled": _ivfpq_appended_scaled,
         "multimodal_dedup_scaled": _multimodal_dedup_scaled,
