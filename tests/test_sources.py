@@ -282,3 +282,57 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) >= {"id", "symbol", "status"}
     assert rows[1] == ("A01B", None) and rows[3] == ("C07D", "ACTIVE")
     assert len(rows) == 3
+
+
+def test_compact_parquet_inplace_rename_swap_crash_states(spark, tmp_path):
+    """The round-10 rename-only swap: the live dir is never the
+    target of a recursive delete while it is the only complete copy,
+    and every crash state converges on the next run — including the
+    mid-rename window (.old + stage, no live) and the legacy round-9
+    delete->rename window (stage only)."""
+    import os
+    import shutil
+
+    main = str(tmp_path / "t.parquet")
+    df = spark.range(100).selectExpr("id", "id % 7 AS v")
+    for _ in range(3):
+        df.write.mode("append").parquet(main)
+
+    def nfiles():
+        return sum(1 for f in os.listdir(main) if f.endswith(".parquet"))
+
+    def rows():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(main).collect()
+        )
+
+    before = rows()
+    assert nfiles() >= 3
+    assert R.compact_parquet_inplace(spark, main) == 300
+    assert nfiles() == 1 and rows() == before
+
+    # pre-swap crash: a stale stage beside the live dir is discarded
+    shutil.copytree(main, main + ".compacting")
+    assert R.compact_parquet_inplace(spark, main) == 300
+    assert rows() == before and not os.path.exists(main + ".compacting")
+
+    # crash between the two renames: .old + complete stage, no live
+    shutil.copytree(main, main + ".compacting")
+    os.rename(main, main + ".old")
+    assert R.compact_parquet_inplace(spark, main) == 300
+    assert rows() == before
+    assert not os.path.exists(main + ".old")
+
+    # crash after the swap, before cleanup: .old beside the live dir
+    shutil.copytree(main, main + ".old")
+    assert R.compact_parquet_inplace(spark, main) == 300
+    assert rows() == before and not os.path.exists(main + ".old")
+
+    # legacy round-9 window: live dir gone, completed stage present
+    os.rename(main, main + ".compacting")
+    assert R.compact_parquet_inplace(spark, main) == 300
+    assert rows() == before and nfiles() == 1
+
+    # dedupe folds repeated value rows (value-set tables)
+    df.write.mode("append").parquet(main)
+    assert R.compact_parquet_inplace(spark, main, dedupe=True) == 100
