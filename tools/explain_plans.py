@@ -114,6 +114,14 @@ INSPECT = [
     # per-micro-batch inside foreachBatch, not a single DataFrame)
     "ann_ivfpq_appended",
     "multimodal_video_dedup",
+    # round 10: the maintained-index probes — deleted reads base +
+    # tombstone anti-joins; compacted reads the folded generation
+    # (same oracle, two physical states); the dedup twin runs the
+    # full save/delta-append/delete/compact lifecycle behind its
+    # probe plan
+    "ann_ivfpq_deleted",
+    "ann_ivfpq_compacted",
+    "docs_dedup_index_maintained",
 ]
 
 CHECKS = {
