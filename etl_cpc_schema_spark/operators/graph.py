@@ -233,22 +233,26 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Each triangle contributes exactly +1 to each of its three
     corners: it is enumerated once, at its lowest-(degree, id)
     corner, by the compact-forward orientation (module docstring)."""
-    from .iterutils import iter_checkpoint
+    from pyspark.storagelevel import StorageLevel
 
     # e is referenced three times (both degree legs + the ranking
     # join) and arcs three more (both wedge legs + the closing arc);
-    # without checkpoints every reference re-expanded the whole
+    # without materialization every reference re-expanded the whole
     # upstream edge derivation — for the co-order graph that is the
-    # C(g,2) basket self-join, re-run up to nine times (the .explain
-    # audit showed 30 parquet scans).  Both tables are 2-3 longs per
-    # row; materializing them once is cheap at any scale.
-    e = iter_checkpoint(
-        edges.select(
-            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct(),
-        eager=False,
+    # C(g,2) basket self-join, re-run up to nine times (the round-9
+    # .explain audit showed 30 parquet scans).  PERSIST, not
+    # localCheckpoint (round 10): this operator is not iterative, so
+    # it needs REUSE, not lineage severing — and the columnar
+    # compressed cache spills cleanly and recomputes on eviction,
+    # where the round-9 localCheckpoint's deserialized row blocks
+    # OOM'd a default-heap local[8] session at sf0.1 (the
+    # driver-shaped contract session q82 must survive).  Same 16-GiB
+    # bench profile either way; the win over no-materialization is
+    # unchanged.
+    e = edges.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -265,14 +269,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     fwd = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
         F.col("dv").alias("d"), F.col("v").alias("n")
     )
-    arcs = iter_checkpoint(
-        ranked.select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-        ),
-        eager=False,
-    )
+    arcs = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # wedges at the source: two arcs out of a, far ends ordered by
     # (degree, id) to match the closing arc's own orientation
     e1 = arcs.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
