@@ -447,15 +447,30 @@ def _write_index_tables(
     write with one failure unsurfaced); a failed DIRECT append leaves
     partial table files and requires re-running the same batch or a
     compaction — one more reason the staged path is the default for
-    unattended writers."""
-    frames = _index_frames(docs, n, num_hashes, bands, id_col, text_col)
-    if batch_key is not None:
-        from . import index_store as IS
+    unattended writers.
 
+    Legacy compatibility: appends MATCH the base fingerprint schema —
+    an index saved before round 10 holds bare-``fp`` fingerprints,
+    and writing doc-keyed rows next to them (direct append) or into
+    a delta unioned with them (staged) would hand the reader a
+    mixed-schema table; such appends project to the legacy shape
+    instead (probes only ever read ``fp``, so answers are identical —
+    only deletion support is absent, and remove refuses loudly on
+    those indexes anyway)."""
+    from . import index_store as IS
+
+    frames = _index_frames(docs, n, num_hashes, bands, id_col, text_col)
+    if mode == "append":
+        base_fp = docs.sparkSession.read.parquet(
+            IS.table_path(path, "fingerprints")
+        )
+        if "doc_id" not in base_fp.schema.fieldNames():
+            frames["fingerprints"] = (
+                frames["fingerprints"].select("fp").distinct()
+            )
+    if batch_key is not None:
         IS.write_delta(path, batch_key, frames)
         return
-
-    from . import index_store as IS
 
     root = IS.active_root(path)
 

@@ -306,3 +306,45 @@ def test_save_resets_prior_store_state(spark, tmp_path):
     DD.save_dedup_index(corpus, ref, n=3)
     got = _dedup_probe(spark, path, arrivals)
     assert got == _dedup_probe(spark, ref, arrivals) and len(got) > 0
+
+
+def test_append_to_legacy_bare_fp_index_matches_schema(spark, tmp_path):
+    """An index saved before round 10 holds bare-`fp` fingerprints;
+    appends (direct AND staged) must project to that shape rather
+    than writing doc-keyed rows into the same table — a mixed-schema
+    parquet dir reads nondeterministically.  Probe results must equal
+    a same-era rebuild on the full corpus."""
+    import shutil
+
+    d = _docs(spark, seed=53)
+    arrivals = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    c1 = corpus.filter(F.col("doc_id") < 20)
+    c2 = corpus.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+    c3 = corpus.filter(F.col("doc_id") >= 40)
+
+    def legacyize(path):
+        """Rewrite the fingerprint table to the round-9 bare-fp shape."""
+        fp_dir = os.path.join(path, "fingerprints.parquet")
+        legacy = spark.read.parquet(fp_dir).select("fp").distinct()
+        legacy.write.parquet(fp_dir + ".tmp")
+        shutil.rmtree(fp_dir)
+        os.rename(fp_dir + ".tmp", fp_dir)
+
+    p = str(tmp_path / "legacy")
+    DD.save_dedup_index(c1, p, n=3)
+    legacyize(p)
+    DD.append_to_dedup_index(c2, p)                      # direct
+    DD.append_to_dedup_index(c3, p, batch_key="day2")    # staged
+    # the merged fingerprint table must read with ONE schema
+    fp = IS.read_table(spark, p, "fingerprints")
+    assert fp.schema.fieldNames() == ["fp"]
+
+    p_ref = str(tmp_path / "rebuilt")
+    DD.save_dedup_index(corpus, p_ref, n=3)
+    got = _dedup_probe(spark, p, arrivals)
+    assert got == _dedup_probe(spark, p_ref, arrivals) and len(got) > 0
+
+    # compaction of the legacy index still works (distincts values)
+    DD.compact_dedup_index(spark, p)
+    assert _dedup_probe(spark, p, arrivals) == got
