@@ -123,11 +123,14 @@ HEADLINE = [
     # the ANN serve-and-grow stream (probe-then-append per batch;
     # includes its per-run index save by design, like the dedup twin)
     "stream_ann_probe",
-    # round-10 addition: the full IVFADC maintenance cycle's PROBE
+    # round-10 additions: the full IVFADC maintenance cycle's PROBE
     # cost (save → staged append → tombstone delete → generational
     # compaction happen once at warm-up; timed runs measure probing
-    # the compacted generation — the post-maintenance serving shape)
+    # the compacted generation — the post-maintenance serving shape),
+    # and the audio near-dup composition (codegen fingerprint pass +
+    # the set-overlap equi-join)
     "ann_ivfpq_compacted",
+    "multimodal_audio_dedup",
 ]
 
 #: entries whose first invocation builds a process-cached persisted

@@ -340,3 +340,102 @@ def sample_frames(
             )
 
     return with_payload.select(id_col, "payload").mapInPandas(run, FRAMES_SCHEMA)
+
+
+#: chromaprint-shaped audio fingerprint geometry: 32-sample frames,
+#: 16 bands of 2 samples, sub-fingerprint bit b = band b's energy
+#: surrogate ROSE versus the previous frame.  16-bit subfp values are
+#: the equi-join key of the downstream set-overlap dedup, so BANDS is
+#: the occupancy lever exactly like PHASH_BITS on the image/video
+#: path (widen with corpus growth to hold bucket occupancy constant).
+AUDIO_FRAME_CHARS = 32
+AUDIO_BANDS = 16
+AUDIO_MAX_FRAMES = 16
+
+
+def audio_subfingerprints(
+    with_payload: DataFrame,
+    frame_chars: int = AUDIO_FRAME_CHARS,
+    bands: int = AUDIO_BANDS,
+    max_frames: int = AUDIO_MAX_FRAMES,
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """(doc_id, frame_idx, subfp) — AUDIO near-dup fingerprints in the
+    Chromaprint/Philips-robust-hash shape: the decoded sample stream
+    is framed, each frame is split into ``bands`` bands, and bit ``b``
+    of a frame's sub-fingerprint is whether band ``b``'s energy
+    surrogate ROSE relative to the SAME band one frame earlier — the
+    sign-of-temporal-delta structure that makes audio fingerprints
+    robust to gain/codec changes (an absolute-energy bit would flip
+    under re-encoding; a delta bit only flips if the song changes).
+
+    Decode is the STUB point (this container has no audio codecs):
+    ``decode(payload, 'utf-8')`` stands in for the PCM decode a real
+    cluster runs as an Arrow pass, and the per-band energy is a
+    deterministic portable-md5 surrogate of the band's samples so the
+    DuckDB oracle reproduces every bit; a real deployment swaps in
+    FFT band energies inside the same frame/band/delta frame and
+    keeps EVERYTHING downstream (the distinct sets, the
+    shared-subfp equi-join, the Jaccard gate) unchanged.
+
+    Everything below the decode is pure whole-stage-codegen JVM
+    expressions — one explode over frame indices, ``2 × bands``
+    column-sliced hashes per row, zero Python.  A doc with fewer than
+    two full frames emits nothing (no previous frame to difference
+    against), exactly as the oracle's ``range(1, nf)`` does.
+
+    ``portable=True`` (default) uses the portable md5 hash so the
+    DuckDB oracle reproduces every bit — the ORACLE-portability
+    choice, not the scale path; ``portable=False`` swaps in
+    ``xxhash64`` (same JVM expression shape, ~10× cheaper per call)
+    for oracle-free large-scale runs.  A real deployment replaces the
+    surrogate with FFT band energies — no hash at all — and every
+    downstream stage is unchanged either way.
+    """
+    from ..functions.hashing import portable_hash64
+
+    if frame_chars % bands != 0:
+        raise ValueError(
+            f"frame_chars={frame_chars} must be divisible by bands={bands}"
+        )
+    hash_fn = (
+        (lambda c: portable_hash64(c, seed="au"))
+        if portable
+        else (lambda c: F.xxhash64(c))
+    )
+    bw = frame_chars // bands
+    s = F.decode(F.col("payload"), "utf-8")
+    nf = F.least(
+        F.lit(max_frames), (F.length(s) / frame_chars).cast("int")
+    )
+    frames = (
+        with_payload.select(
+            F.col(id_col).alias("doc_id"), s.alias("s"), nf.alias("nf")
+        )
+        .filter(F.col("nf") >= 2)
+        .select(
+            "doc_id",
+            "s",
+            F.explode(F.sequence(F.lit(1), F.col("nf") - 1)).alias("j"),
+        )
+    )
+
+    def band_hash(frame_idx, b):
+        return hash_fn(
+            F.col("s").substr(
+                frame_idx * frame_chars + b * bw + 1, F.lit(bw)
+            )
+        )
+
+    subfp = F.lit(0)
+    for b in range(bands):
+        subfp = subfp + F.when(
+            band_hash(F.col("j"), b) > band_hash(F.col("j") - 1, b),
+            F.lit(2**b),
+        ).otherwise(F.lit(0))
+    return frames.select(
+        "doc_id",
+        F.col("j").cast("bigint").alias("frame_idx"),
+        subfp.cast("bigint").alias("subfp"),
+    )

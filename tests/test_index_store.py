@@ -348,3 +348,37 @@ def test_append_to_legacy_bare_fp_index_matches_schema(spark, tmp_path):
     # compaction of the legacy index still works (distincts values)
     DD.compact_dedup_index(spark, p)
     assert _dedup_probe(spark, p, arrivals) == got
+
+
+def test_audio_dedup_planted_copies(spark, tmp_path):
+    """multimodal_audio_dedup pins: an exact re-encode-free copy
+    shares ALL sub-fingerprints (Jaccard 1); a track sharing only its
+    first half falls under the 1/2 gate; the unrelated track pairs
+    with nothing.  Frame blocks are random 32-char strings so
+    sub-fingerprint collisions across different material are noise."""
+    import random
+
+    from etl_cpc_schema_spark.queries import multimodal_audio_dedup_q
+
+    random.seed(59)
+    blk = lambda: "".join(
+        random.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(32)
+    )
+    a_blocks = [blk() for _ in range(16)]
+    half = a_blocks[:8] + [blk() for _ in range(8)]
+    rows = [
+        (1, "".join(a_blocks)),
+        (2, "".join(a_blocks)),          # exact copy of 1
+        (3, "".join(half)),              # first half shared only
+        (4, "".join(blk() for _ in range(16))),  # unrelated
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {
+        (r["d1"], r["d2"]): (r["shared"], r["n1"], r["n2"])
+        for r in multimodal_audio_dedup_q(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs
+    sh, n1, n2 = pairs[(1, 2)]
+    assert sh == n1 == n2  # identical sets
+    assert not any(3 in p or 4 in p for p in pairs)

@@ -122,6 +122,9 @@ INSPECT = [
     "ann_ivfpq_deleted",
     "ann_ivfpq_compacted",
     "docs_dedup_index_maintained",
+    # round 10: the audio near-dup composition (codegen fingerprint
+    # pass + set-overlap equi-join — the video plan's shape)
+    "multimodal_audio_dedup",
 ]
 
 CHECKS = {

@@ -118,6 +118,10 @@ OPERATORS = [
     # replays are idempotent via the staged-delta protocol
     "stream_incremental_dedup_scaled",
     "stream_ann_probe_scaled",
+    # round-10: the audio near-dup composition with sub-fingerprint
+    # WIDTH as the occupancy lever (bands 16 → 20 → 24, the
+    # PHASH_BITS dilution pattern)
+    "multimodal_audio_dedup_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -563,7 +567,67 @@ def main() -> int:
             outs.append(res)
         return outs[0].unionByName(outs[1])
 
+    def _audio_dedup_scaled(spark, sf_dir):
+        # the audio composition with the sub-fingerprint WIDTH as the
+        # occupancy lever (the PHASH_BITS pattern): rows in the
+        # equi-join grow ~linearly with tracks, so BANDS widens
+        # (16 → 20 → 24 bits, band width 2 held) to keep shared-subfp
+        # bucket occupancy constant — the registry query pins the
+        # 16-bit geometry its oracle reproduces
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators import dedup as DD
+        from etl_cpc_schema_spark.operators import multimodal as MM
+        from etl_cpc_schema_spark.operators.iterutils import iter_checkpoint
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = d.count()
+        bands = 16 if n <= 10_000 else (20 if n <= 100_000 else 24)
+        # portable=False: the scaled run has no SQL oracle to satisfy,
+        # so the band surrogate is xxhash64 (same expression shape,
+        # ~10x cheaper than the registry query's oracle-portable md5)
+        sets = iter_checkpoint(
+            MM.audio_subfingerprints(
+                MM.attach_fake_payload(d),
+                frame_chars=2 * bands,
+                bands=bands,
+                portable=False,
+            )
+            .select("doc_id", "subfp")
+            .distinct(),
+            eager=False,
+        )
+        sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a, b = sets.alias("a"), sets.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.subfp") == F.col("b.subfp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            )
+            .agg(F.count("*").alias("shared"))
+        )
+        return (
+            pairs.join(
+                sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")),
+                "d1",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")),
+                "d2",
+            )
+            .filter(
+                DD.jaccard_at_least(
+                    F.col("shared"), F.col("n1"), F.col("n2"), 1, 2
+                )
+            )
+        )
+
     extra = {
+        "multimodal_audio_dedup_scaled": _audio_dedup_scaled,
         "stream_incremental_dedup_scaled": _stream_dedup_scaled,
         "stream_ann_probe_scaled": _stream_ann_probe_scaled,
         "multimodal_video_dedup_scaled": _video_dedup_scaled,
