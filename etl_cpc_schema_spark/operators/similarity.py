@@ -1351,6 +1351,7 @@ def ivfpq_topk(
     ivf_lloyd_iters: int = 1,
     pq_lloyd_iters: int = 1,
     index_path: str | None = None,
+    geometry=None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV) — the COMPOSED two-lever ANN:
     IVF cells prune the candidate set (queries × nprobe × occupancy,
@@ -1377,10 +1378,21 @@ def ivfpq_topk(
     geometry the index wasn't trained with gets a loud ValueError
     instead of silently probing someone else's layout.  Leave them
     ``None`` (the default) to accept whatever the index holds.
+    ``geometry`` (a :func:`load_ivfpq_index` tuple) skips the
+    per-call control-plane load for serving loops that probe the
+    same index every batch — geometry is FROZEN for an index's
+    lifetime so the reuse is exact, while the codes/vectors tables
+    are still re-listed per call (staged appends stay visible).
     """
     import numpy as np
     from concurrent.futures import ThreadPoolExecutor
 
+    if geometry is not None and index_path is None:
+        raise ValueError(
+            "ivfpq_topk: geometry= is the control-plane cache of a "
+            "persisted index and only makes sense with index_path= "
+            "(the data tables still come from the index)"
+        )
     if index_path is None:
         n_centroids = 32 if n_centroids is None else n_centroids
         m_subspaces = 16 if m_subspaces is None else m_subspaces
@@ -1421,7 +1433,10 @@ def ivfpq_topk(
         # full-corpus probe ranking — only the query subset is ranked
         # against the loaded centroids (strictly less work than the
         # in-session path, identical results — test-pinned)
-        cells, Civf, C = load_ivfpq_index(embs.sparkSession, index_path)
+        if geometry is not None:
+            cells, Civf, C = geometry
+        else:
+            cells, Civf, C = load_ivfpq_index(embs.sparkSession, index_path)
         for name, passed, loaded in (
             ("n_centroids", n_centroids, len(cells)),
             ("m_subspaces", m_subspaces, C.shape[0]),
@@ -1628,6 +1643,7 @@ def append_to_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_key: str | None = None,
+    geometry=None,
 ) -> None:
     """Upsert a vector batch into a persisted IVFADC index — the
     lifecycle completion the dedup index got first
@@ -1665,12 +1681,18 @@ def append_to_ivfpq_index(
     encoding corpus_a ∪ batch_b under index(corpus_a)'s geometry,
     probe-for-probe (tests/test_dedup_similarity.py).  Retrain (a
     fresh :func:`save_ivfpq_index`) when the corpus distribution
-    drifts — the standard ANN maintenance cadence.
+    drifts — the standard ANN maintenance cadence.  ``geometry``
+    (a :func:`load_ivfpq_index` tuple) skips the per-call
+    control-plane load for serving loops — exact reuse, because
+    geometry is frozen for the index's lifetime.
     """
     from . import index_store as IS
 
     spark = new_vecs.sparkSession
-    cells, Civf, Cpq = load_ivfpq_index(spark, path)
+    if geometry is not None:
+        cells, Civf, Cpq = geometry  # serving loop: frozen, preloaded
+    else:
+        cells, Civf, Cpq = load_ivfpq_index(spark, path)
     dims = Civf.shape[1]
     ext = new_vecs.select(
         F.min(F.size(F.col(vec_col))).alias("lo"),
@@ -1801,18 +1823,36 @@ def load_ivfpq_index(spark, path: str):
     index (:func:`save_ivfpq_index`); the codes table stays distributed
     and is read lazily by :func:`ivfpq_topk`.  Resolves through the
     generational store pointer so a compacted index loads
-    identically."""
+    identically.  The two control-plane collects (centroids,
+    codebook) are independent jobs — submitted from two threads so
+    their scheduling latencies overlap, the same pattern as the
+    training chains in :func:`save_ivfpq_index`.  A serving loop that
+    probes the SAME index repeatedly should load once and pass the
+    tuple through ``geometry=`` (:func:`ivfpq_topk` /
+    :func:`append_to_ivfpq_index`) — geometry is frozen for an
+    index's lifetime, so the reuse is exact, and only the data
+    tables (which each probe re-lists) change between batches."""
     import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
 
     from . import index_store as IS
 
     path = IS.active_root(path)
-    cent = spark.read.parquet(f"{path}/centroids.parquet").orderBy("cell").collect()
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_cent = ex.submit(
+            lambda: spark.read.parquet(f"{path}/centroids.parquet")
+            .orderBy("cell")
+            .collect()
+        )
+        fut_cb = ex.submit(
+            lambda: spark.read.parquet(f"{path}/codebook.parquet").collect()
+        )
+        cent = fut_cent.result()
+        cb = fut_cb.result()
     if not cent:
         raise ValueError(f"load_ivfpq_index: no centroids under {path!r}")
     cells = np.array([r["cell"] for r in cent], dtype=np.int64)
     Civf = np.array([r["cqv"] for r in cent], dtype=np.float64)
-    cb = spark.read.parquet(f"{path}/codebook.parquet").collect()
     M = max(r["m"] for r in cb) + 1
     K = max(r["cell"] for r in cb) + 1
     sub = len(cb[0]["cv"])

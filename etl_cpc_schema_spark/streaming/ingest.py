@@ -828,33 +828,55 @@ def _ann_probe_sink(index_path: str, out_stage: str):
     land in an idempotent ``batch_id=<n>`` overwrite directory, the
     batch is appended to the index (``append_to_ivfpq_index`` — one
     encode pass over the new vectors only), and an ``_applied_<n>``
-    marker makes a redelivered batch a no-op.  The probe is eagerly
-    checkpointed BEFORE the append so a batch can never retrieve
-    itself.  The append is a batch-keyed COMMITTED DELTA
+    marker makes a redelivered batch a no-op.  The probe result is
+    fully MATERIALIZED (the blocking parquet write of the batch
+    output) BEFORE the append runs, so a batch can never retrieve
+    itself — the write is the barrier; an extra eager checkpoint
+    would re-buffer the same rows a second time for nothing.  The
+    index GEOMETRY (centroids + codebook) is loaded once per sink
+    and reused across batches — it is frozen for the index's
+    lifetime, while the codes/vectors tables are re-listed per batch
+    so earlier batches' appends stay visible (the serving-loop
+    shape: geometry in memory at executor startup, data re-scanned).
+    The append is a batch-keyed COMMITTED DELTA
     (index_store.write_delta via ``batch_key=bid``), and a replay
     first rolls its own delta back — so the round-9 at-least-once
     window (a crash between append and marker re-appending codes rows
     and surfacing the same neighbor twice) is closed, pinned by the
     crash-replay test (tests/test_streaming_sinks.py)."""
     from ..operators import index_store as IS
-    from ..operators.similarity import append_to_ivfpq_index, ivfpq_topk
+    from ..operators.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    geom = []  # loaded on first batch, frozen for the index lifetime
 
     def sink(bdf, bid):
         marker = os.path.join(out_stage, f"_applied_{bid}")
         if os.path.exists(marker):
             return  # redelivered batch: output + append already done
         IS.rollback_delta(index_path, bid)  # crashed attempt, if any
+        if not geom:
+            geom.append(load_ivfpq_index(bdf.sparkSession, index_path))
         res = ivfpq_topk(
             bdf,
             k=3,
             nprobe=10,
             shortlist=48,
             index_path=index_path,
-        ).localCheckpoint(eager=True)  # retrieve BEFORE self-append
+            geometry=geom[0],
+        )
+        # this blocking write IS the retrieve-before-self-append
+        # barrier: the probe is fully computed into the batch output
+        # before the append below adds any file
         res.write.mode("overwrite").parquet(
             os.path.join(out_stage, f"batch_id={bid}")
         )
-        append_to_ivfpq_index(bdf, index_path, batch_key=str(bid))
+        append_to_ivfpq_index(
+            bdf, index_path, batch_key=str(bid), geometry=geom[0]
+        )
         open(marker, "w").close()
 
     return sink
