@@ -670,7 +670,7 @@ def compact_dedup_index(
     )
 
 
-def load_dedup_index(spark, path: str) -> dict:
+def load_dedup_index(spark, path: str, meta: dict | None = None) -> dict:
     """Lazy handles on a persisted dedup index (:func:`save_dedup_index`):
     ``{'n', 'num_hashes', 'bands': int, 'fingerprints', 'band_keys',
     'shingles': DataFrame}``.  Only ``meta`` is collected (one row);
@@ -678,12 +678,20 @@ def load_dedup_index(spark, path: str) -> dict:
     semantics applied — base ∪ committed deltas, minus tombstoned
     docs — so every probe sees staged appends and deletions
     identically.  ``fingerprints`` is normalized to its ``fp`` column
-    (doc-keyed and legacy bare-value tables load the same way)."""
+    (doc-keyed and legacy bare-value tables load the same way).
+
+    ``meta`` (a ``{'n', 'num_hashes', 'bands'}`` mapping, e.g. a
+    previous load's result) skips the one-row collect for serving
+    loops that re-load the SAME index every micro-batch — the
+    shingle/band geometry is frozen for an index's lifetime exactly
+    like the IVFPQ centroids, while the data handles built here are
+    fresh scans either way (staged appends stay visible)."""
     from . import index_store as IS
 
-    meta = spark.read.parquet(
-        os.path.join(IS.active_root(path), "meta.parquet")
-    ).collect()[0]
+    if meta is None:
+        meta = spark.read.parquet(
+            os.path.join(IS.active_root(path), "meta.parquet")
+        ).collect()[0]
     tomb = IS.tombstones(spark, path)
 
     def _data(table: str) -> DataFrame:

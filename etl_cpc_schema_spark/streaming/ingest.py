@@ -695,11 +695,19 @@ def _incremental_dedup_sink(index_path: str, out_stage: str):
     re-probe cannot see the batch's own earlier attempt and the
     rewrite cannot duplicate it — one batch's rows live in exactly
     one delta dir, pinned by the crash-replay test
-    (tests/test_streaming_sinks.py).  The decision frame is eagerly
-    checkpointed BEFORE the append so the probe can never see the
-    batch's own keepers."""
+    (tests/test_streaming_sinks.py).  The decision frame is fully
+    MATERIALIZED (the blocking parquet write of the batch output)
+    BEFORE the append runs — the write is the decide-before-mutate
+    barrier, and the keeper set is derived from the WRITTEN files,
+    so the probe plan runs exactly once and can never see the
+    batch's own keepers.  The index META row (shingle n, hash count,
+    band count — frozen for the index's lifetime) is collected once
+    per sink and reused; the three data tables are re-loaded per
+    batch so earlier batches' appended deltas stay visible."""
     from ..operators import dedup as DD
     from ..operators import index_store as IS
+
+    meta = []  # collected on first batch, frozen for the index lifetime
 
     def sink(bdf, bid):
         marker = os.path.join(out_stage, f"_applied_{bid}")
@@ -707,15 +715,20 @@ def _incremental_dedup_sink(index_path: str, out_stage: str):
             return  # redelivered batch: output + append already done
         s = bdf.sparkSession
         IS.rollback_delta(index_path, bid)  # crashed attempt, if any
-        idx = DD.load_dedup_index(s, index_path)
-        res = DD.incremental_dedup_indexed(
-            bdf, idx, num=4, den=5
-        ).localCheckpoint(eager=True)  # decide BEFORE mutating the index
-        res.write.mode("overwrite").parquet(
-            os.path.join(out_stage, f"batch_id={bid}")
+        idx = DD.load_dedup_index(
+            s, index_path, meta=meta[0] if meta else None
         )
+        if not meta:
+            meta.append(
+                {k: idx[k] for k in ("n", "num_hashes", "bands")}
+            )
+        out_dir = os.path.join(out_stage, f"batch_id={bid}")
+        # this blocking write IS the decide-before-mutate barrier
+        DD.incremental_dedup_indexed(bdf, idx, num=4, den=5).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
         keepers = bdf.join(
-            res.filter(F.col("keep")).select("doc_id"),
+            s.read.parquet(out_dir).filter(F.col("keep")).select("doc_id"),
             "doc_id",
             "left_semi",
         )
