@@ -1619,22 +1619,43 @@ def save_ivfpq_index(
     codes = pq_encode(embs, Cpq, id_col, vec_col).withColumnRenamed(
         "vid", "n_id"
     )
-    assigned.join(codes, "n_id").write.mode("overwrite").parquet(
-        f"{path}/codes.parquet"
-    )
-    spark.createDataFrame(
-        [(int(cells[i]), [int(v) for v in Civf[i]]) for i in range(len(cells))],
-        "cell long, cqv array<bigint>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     M, K, _sub = Cpq.shape
-    spark.createDataFrame(
-        [
-            (mi, c, [int(v) for v in Cpq[mi][c]])
-            for mi in range(M)
-            for c in range(K)
-        ],
-        "m int, cell int, cv array<bigint>",
-    ).write.mode("overwrite").parquet(f"{path}/codebook.parquet")
+
+    # the three remaining writes are independent of one another (the
+    # corpus-sized codes table and the two control-plane tables built
+    # from already-collected matrices) — overlap them like the
+    # training chains above; the save is complete when all three land
+    def _write_codes():
+        assigned.join(codes, "n_id").write.mode("overwrite").parquet(
+            f"{path}/codes.parquet"
+        )
+
+    def _write_centroids():
+        spark.createDataFrame(
+            [
+                (int(cells[i]), [int(v) for v in Civf[i]])
+                for i in range(len(cells))
+            ],
+            "cell long, cqv array<bigint>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+
+    def _write_codebook():
+        spark.createDataFrame(
+            [
+                (mi, c, [int(v) for v in Cpq[mi][c]])
+                for mi in range(M)
+                for c in range(K)
+            ],
+            "m int, cell int, cv array<bigint>",
+        ).write.mode("overwrite").parquet(f"{path}/codebook.parquet")
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [
+            ex.submit(w)
+            for w in (_write_codes, _write_centroids, _write_codebook)
+        ]
+        for f in futs:
+            f.result()
 
 
 def append_to_ivfpq_index(
