@@ -131,6 +131,9 @@ HEADLINE = [
     # the set-overlap equi-join)
     "ann_ivfpq_compacted",
     "multimodal_audio_dedup",
+    # metadata-filtered vector search: same-label IVF with the
+    # selectivity-scaled nprobe (the filtered-ANN recall rule)
+    "ann_filtered_topk",
 ]
 
 #: entries whose first invocation builds a process-cached persisted

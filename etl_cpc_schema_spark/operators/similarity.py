@@ -643,18 +643,26 @@ def _ivf_rank_cells(
     id_col: str,
     vec_col: str,
     emit_cos: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vid, qv, nsq, cell, cell_rank[, ccos]): every vector's
-    ``rank_limit`` nearest centroids, ranked (cos desc, cell asc)
-    INSIDE the Arrow worker — no window shuffle; a stable argsort over
-    ascending-cell columns reproduces the SQL tie-break exactly.
+    """(vid, qv, nsq, cell, cell_rank[, ccos][, *passthrough]): every
+    vector's ``rank_limit`` nearest centroids, ranked (cos desc, cell
+    asc) INSIDE the Arrow worker — no window shuffle; a stable argsort
+    over ascending-cell columns reproduces the SQL tie-break exactly.
 
     With ``emit_cos`` the centroid cosine itself is appended.  It is
     bit-identical to the SQL oracle's float64 expression: quantized
     coordinates are integers, so every dot product is an exact integer
     below 2^53 (summation order irrelevant), and sqrt / multiply /
     divide are each a single correctly-rounded IEEE op in both
-    engines."""
+    engines.
+
+    ``passthrough`` names metadata columns of ``embs`` carried through
+    the Arrow pass unchanged (types preserved from the input schema).
+    This is how filtered search keeps its predicate columns riding
+    WITH the vector — the alternative, joining metadata back onto the
+    ranked table by id, would re-shuffle the corpus once per probe
+    (see :func:`ivf_topk` ``match_cols``)."""
     import numpy as np
 
     n_cells, dims = C.shape
@@ -665,6 +673,15 @@ def _ivf_rank_cells(
     schema = "vid long, qv array<bigint>, nsq bigint, cell long, cell_rank int"
     if emit_cos:
         schema += ", ccos double"
+    reserved = {"vid", "qv", "nsq", "cell", "cell_rank", "ccos"}
+    for c in passthrough:
+        if c in reserved:
+            raise ValueError(
+                f"_ivf_rank_cells: passthrough column {c!r} collides "
+                f"with an output column ({sorted(reserved)}) — rename "
+                "it before assignment"
+            )
+        schema += f", {c} {embs.schema[c].dataType.simpleString()}"
 
     def gen(batches):
         import numpy as np
@@ -695,10 +712,14 @@ def _ivf_rank_cells(
                 }
                 if emit_cos:
                     cols["ccos"] = cos[rows, order[:, r]]
+                for pc in passthrough:
+                    cols[pc] = pdf[pc].to_numpy()
                 frames.append(pd.DataFrame(cols))
             yield pd.concat(frames, ignore_index=True)
 
-    return embs.select(id_col, vec_col).mapInPandas(gen, schema)
+    return embs.select(id_col, vec_col, *passthrough).mapInPandas(
+        gen, schema
+    )
 
 
 def ivf_assign(
@@ -709,10 +730,12 @@ def ivf_assign(
     rank_limit: int = 1,
     lloyd_iters: int = 0,
     emit_cos: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vid, qv, nsq, cell, cell_rank[, ccos]) — IVF cell assignment
-    (``emit_cos`` appends the centroid cosine, see
-    :func:`_ivf_rank_cells`).
+    """(vid, qv, nsq, cell, cell_rank[, ccos][, *passthrough]) — IVF
+    cell assignment (``emit_cos`` appends the centroid cosine,
+    ``passthrough`` carries metadata columns through the Arrow pass;
+    see :func:`_ivf_rank_cells`).
 
     Seed centroids are the ``n_centroids`` lowest-id vectors: a
     deterministic "training sample" both Spark and the SQL oracle can
@@ -737,7 +760,14 @@ def ivf_assign(
     """
     cells, C = ivf_train(embs, n_centroids, id_col, vec_col, lloyd_iters)
     return _ivf_rank_cells(
-        embs, cells, C, rank_limit, id_col, vec_col, emit_cos=emit_cos
+        embs,
+        cells,
+        C,
+        rank_limit,
+        id_col,
+        vec_col,
+        emit_cos=emit_cos,
+        passthrough=passthrough,
     )
 
 
@@ -802,6 +832,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_pred=None,
     lloyd_iters: int = 0,
+    match_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Approximate top-k via an inverted file (IVF): the corpus is
     partitioned into ``n_centroids`` cells by nearest centroid; each
@@ -819,6 +850,22 @@ def ivf_topk(
 
     ``query_pred`` restricts the probe side (predicate over ``vid``),
     mirroring ``lsh_topk``.
+
+    ``match_cols`` is FILTERED vector search — the metadata-constrained
+    retrieval every production vector store serves (tenant, language,
+    license, label): a candidate must equal the query on every named
+    column, enforced INSIDE the cell join so non-matching vectors are
+    discarded before any scoring.  The predicate columns ride through
+    the Arrow assignment pass with the vector (``passthrough`` —
+    joining them back by id would re-shuffle the corpus), so the only
+    plan change is extra equi-join keys: candidate volume becomes
+    queries × nprobe × occupancy × selectivity.  The recall caveat is
+    the classic filtered-ANN cliff: a filter of selectivity 1/s thins
+    every probed cell by ~1/s, so hold candidate count (and recall)
+    by scaling ``nprobe`` up toward s× the unfiltered setting — the
+    same rule FAISS/IVF deployments apply before falling back to
+    brute force over the filtered slice when the filter is extremely
+    selective (recall ≥0.80 at the shipped settings is test-pinned).
     """
     # ONE corpus-by-centroid scoring pass serves both sides: rank 1 is
     # the cell assignment, ranks 1..nprobe are the probe targets —
@@ -832,23 +879,25 @@ def ivf_topk(
             vec_col,
             rank_limit=nprobe,
             lloyd_iters=lloyd_iters,
+            passthrough=match_cols,
         ),
         eager=False,
     )
-    index = ranked.filter(F.col("cell_rank") == 1).select(
-        "vid", "qv", "nsq", "cell"
-    )
+    keep = ["vid", "qv", "nsq", "cell", *match_cols]
+    index = ranked.filter(F.col("cell_rank") == 1).select(*keep)
     probes = ranked
     if query_pred is not None:
         probes = probes.filter(query_pred)
-    a = probes.select("vid", "qv", "nsq", "cell").alias("a")
+    a = probes.select(*keep).alias("a")
     b = index.alias("b")
     dot = VE.dot_q(F.col("a.qv"), F.col("b.qv"))
     cos = VE.cosine_q(dot, F.col("a.nsq"), F.col("b.nsq"))
-    scored = a.join(
-        b,
-        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") != F.col("b.vid")),
-    ).select(
+    cond = (F.col("a.cell") == F.col("b.cell")) & (
+        F.col("a.vid") != F.col("b.vid")
+    )
+    for mc in match_cols:
+        cond = cond & (F.col(f"a.{mc}") == F.col(f"b.{mc}"))
+    scored = a.join(b, cond).select(
         F.col("a.vid").alias("q_id"),
         F.col("b.vid").alias("neighbor_id"),
         cos.alias("cos"),

@@ -4,6 +4,7 @@ oracle parity suite): planted duplicates are actually found."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_cpc_schema_spark.operators import dedup as DD
@@ -448,6 +449,91 @@ def test_ann_ivf_recall_pinned(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.80, f"IVF recall@{ANN_IVF_K} collapsed to {recall:.3f}"
+
+
+def test_ann_filtered_recall_pinned(spark, sf_dir):
+    """Filtered-ANN recall pin (ann_filtered_topk): same-label top-k
+    via ivf_topk(match_cols=('label',)) vs the exact filtered brute
+    force.  This pin guards BOTH failure modes of filtered search:
+    a broken match propagation (wrong/shifted labels through the
+    Arrow passthrough would crater recall toward 0) and the
+    selectivity cliff (the registry's nprobe=20 restores the
+    candidate count a 1/10-selectivity filter removes; nprobe=8
+    measured 0.59 — below this pin by design)."""
+    from etl_cpc_schema_spark.queries import (
+        ANN_FILT_NPROBE,
+        ANN_IVF_CENTROIDS,
+        ANN_IVF_K,
+        ANN_IVF_LLOYD,
+        ANN_IVF_QMAX,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = SIM.quantized(embs, "vec_id", "embedding").join(
+        embs.select(F.col("vec_id").alias("vid"), "label"), "vid"
+    )
+    a = q.filter(F.col("vid") < ANN_IVF_QMAX).alias("a")
+    b = q.alias("b")
+    from etl_cpc_schema_spark.functions import vectors as VEX
+
+    cos = VEX.cosine_q(
+        VEX.dot_q(F.col("a.qv"), F.col("b.qv")),
+        F.col("a.nsq"),
+        F.col("b.nsq"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in (
+            a.join(
+                b,
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vid") != F.col("b.vid")),
+            )
+            .select(
+                F.col("a.vid").alias("q_id"),
+                F.col("b.vid").alias("neighbor_id"),
+                cos.alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= ANN_IVF_K)
+            .collect()
+        )
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(
+            embs,
+            k=ANN_IVF_K,
+            n_centroids=ANN_IVF_CENTROIDS,
+            nprobe=ANN_FILT_NPROBE,
+            query_pred=F.col("vid") < ANN_IVF_QMAX,
+            lloyd_iters=ANN_IVF_LLOYD,
+            match_cols=("label",),
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.80, f"filtered recall collapsed to {recall:.3f}"
+    # every retrieved neighbor actually satisfies the filter
+    lab = {r["vec_id"]: r["label"] for r in embs.select("vec_id", "label").collect()}
+    assert all(lab[qi] == lab[ni] for qi, ni in approx)
+
+
+def test_ivf_passthrough_preserves_metadata(spark, sf_dir):
+    """ivf_assign(passthrough=...) must carry metadata columns through
+    the Arrow kernel untouched and aligned with their vector — a
+    shifted column (the classic vectorization off-by-one) would make
+    filtered search silently filter on the WRONG rows."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.ivf_assign(
+        embs, n_centroids=8, rank_limit=3, passthrough=("label",)
+    )
+    want = {r["vec_id"]: r["label"] for r in embs.select("vec_id", "label").collect()}
+    rows = out.select("vid", "label", "cell_rank").collect()
+    assert len(rows) == 3 * len(want)
+    assert all(want[r["vid"]] == r["label"] for r in rows)
 
 
 def test_ivf_cells_partition_corpus(spark, sf_dir):

@@ -125,6 +125,10 @@ INSPECT = [
     # round 10: the audio near-dup composition (codegen fingerprint
     # pass + set-overlap equi-join — the video plan's shape)
     "multimodal_audio_dedup",
+    # round 10: metadata-filtered vector search — the label equality
+    # must sit INSIDE the cell join's key set (extra equi-join key),
+    # not as a post-scoring filter
+    "ann_filtered_topk",
 ]
 
 CHECKS = {

@@ -122,6 +122,11 @@ OPERATORS = [
     # WIDTH as the occupancy lever (bands 16 → 20 → 24, the
     # PHASH_BITS dilution pattern)
     "multimodal_audio_dedup_scaled",
+    # round-10: metadata-filtered vector search — constant-selectivity
+    # label filter over the n_centroids ∝ n occupancy schedule; the
+    # filter multiplies candidate volume by a constant (1/10), it
+    # does not change the growth order
+    "ann_filtered_topk_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -626,7 +631,31 @@ def main() -> int:
             )
         )
 
+    def _filtered_topk_scaled(spark, sf_dir):
+        # Filtered vector search at scale: the label filter's
+        # selectivity is CONSTANT (10 labels at every factor), so
+        # candidate volume stays queries x nprobe x occupancy x 0.1
+        # with the same n_centroids ∝ n occupancy schedule as the
+        # unfiltered curve — the filter multiplies work by a
+        # constant, it does not change the growth order.
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators.similarity import ivf_topk
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = embs.count()
+        return ivf_topk(
+            embs,
+            k=3,
+            n_centroids=max(32, n // 64),
+            nprobe=20,
+            query_pred=F.col("vid") < 64,
+            lloyd_iters=1,
+            match_cols=("label",),
+        )
+
     extra = {
+        "ann_filtered_topk_scaled": _filtered_topk_scaled,
         "multimodal_audio_dedup_scaled": _audio_dedup_scaled,
         "stream_incremental_dedup_scaled": _stream_dedup_scaled,
         "stream_ann_probe_scaled": _stream_ann_probe_scaled,
