@@ -122,16 +122,29 @@ def pagerank(
     constant: lineage stays shallow, no checkpoint needed (contrast
     the until-convergence loop in operators/components.py, which
     checkpoints per round via iterutils)."""
+    from pyspark.storagelevel import StorageLevel
+
     gc = list(group_cols)
+    # e feeds every iteration's contribution join and nodes feeds
+    # every iteration's rank rebuild (plus the node derivation) — an
+    # unmaterialized plan re-expands the caller's edge derivation
+    # once PER REFERENCE (for text_textrank that is the tokenize +
+    # adjacent-pair explode over the whole corpus, re-run 14 times —
+    # the same .explain finding that cost q82 30 parquet scans).
+    # PERSIST, not localCheckpoint, for the triangle_counts reason:
+    # fixed-iteration loops need reuse, not lineage severing, and the
+    # columnar cache spills/recomputes cleanly on eviction.
     e = (
         edges.select(*gc, "u", "v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
         e.select(*gc, F.col("u").alias("node"))
         .union(e.select(*gc, F.col("v").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     outdeg = e.groupBy(*gc, "u").agg(F.count("*").alias("_od"))
     base = unit * (1000 - damping_milli) // 1000
@@ -184,6 +197,8 @@ def label_propagation(
     so a celebrity vertex costs a bounded two-phase hash aggregate
     (partials per task) instead of a single-task sort over its
     neighbor list.  All shuffles key on the node id."""
+    from pyspark.storagelevel import StorageLevel
+
     e = (
         edges.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
@@ -191,7 +206,12 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    arcs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # every round joins arcs against the previous labels — persist so
+    # the caller's edge derivation expands once, not once per round
+    # (the pagerank/triangle_counts materialization rule)
+    arcs = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = arcs.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("community", F.col("node"))
     for rnd in range(iterations):
