@@ -469,7 +469,16 @@ def _write_index_tables(
                 frames["fingerprints"].select("fp").distinct()
             )
     if batch_key is not None:
-        IS.write_delta(path, batch_key, frames)
+        # bands and shingles share the lazily-checkpointed shingle
+        # table — keep them serial within one group so a single first
+        # action materializes it; fingerprints overlap from the other
+        # group (the same structure as the direct-write path below)
+        IS.write_delta(
+            path,
+            batch_key,
+            frames,
+            serial_groups=(("bands", "shingles"), ("fingerprints",)),
+        )
         return
 
     root = IS.active_root(path)

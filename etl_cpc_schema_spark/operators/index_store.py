@@ -141,20 +141,53 @@ def rollback_delta(path: str, batch_key: str) -> None:
 
 
 def write_delta(
-    path: str, batch_key: str, tables: dict[str, DataFrame]
+    path: str,
+    batch_key: str,
+    tables: dict[str, DataFrame],
+    serial_groups: tuple[tuple[str, ...], ...] | None = None,
 ) -> None:
     """Stage one batch's appended rows as an atomic, idempotent delta:
     every table's rows land under ``deltas/<key>/`` and become visible
     to readers only when the ``_committed`` marker (written LAST)
     exists.  Any earlier attempt for the same key is dropped first, so
     re-running after a crash at ANY point converges to exactly one
-    copy of the batch."""
+    copy of the batch.
+
+    Table writes within a delta run CONCURRENTLY by default (they are
+    independent Spark jobs into different directories, and the marker
+    — joined on every future — still commits strictly last, so the
+    atomicity contract is unchanged).  ``serial_groups`` partitions
+    the table names into groups run sequentially WITHIN a group and
+    concurrently ACROSS groups — for frames that share a
+    lazily-materialized upstream (the dedup index's bands/shingles
+    share one checkpointed shingle table), where two concurrent first
+    actions would race to materialize it.  Unlisted tables each form
+    their own group."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ddir = os.path.join(active_root(path), DELTAS, str(batch_key))
     shutil.rmtree(ddir, ignore_errors=True)
-    for table, df in tables.items():
-        df.write.mode("overwrite").parquet(
-            os.path.join(ddir, f"{table}.parquet")
-        )
+
+    grouped: list[tuple[str, ...]] = list(serial_groups or ())
+    listed = {t for g in grouped for t in g}
+    grouped += [(t,) for t in tables if t not in listed]
+
+    def _write_group(names: tuple[str, ...]) -> None:
+        for table in names:
+            tables[table].write.mode("overwrite").parquet(
+                os.path.join(ddir, f"{table}.parquet")
+            )
+
+    with ThreadPoolExecutor(max_workers=max(1, len(grouped))) as ex:
+        futs = [ex.submit(_write_group, g) for g in grouped if g]
+        err = None
+        for f in futs:
+            try:
+                f.result()
+            except Exception as e:  # join ALL before deciding
+                err = err or e
+        if err is not None:
+            raise err
     open(os.path.join(ddir, COMMITTED), "w").close()
 
 
