@@ -132,8 +132,11 @@ HEADLINE = [
     "ann_ivfpq_compacted",
     "multimodal_audio_dedup",
     # metadata-filtered vector search: same-label IVF with the
-    # selectivity-scaled nprobe (the filtered-ANN recall rule)
+    # selectivity-scaled nprobe (the filtered-ANN recall rule), and
+    # the same filter against the PERSISTED index (label as a payload
+    # column in codes.parquet; probe-side cost, index process-cached)
     "ann_filtered_topk",
+    "ann_ivfpq_filtered",
 ]
 
 #: entries whose first invocation builds a process-cached persisted
@@ -145,6 +148,7 @@ HEADLINE = [
 INDEX_WARMED = [
     "ann_ivfpq_appended",
     "ann_ivfpq_compacted",
+    "ann_ivfpq_filtered",
 ]
 
 #: median-of-N per query (VERDICT r5 #8, was best-of-2): the median

@@ -1401,6 +1401,7 @@ def ivfpq_topk(
     pq_lloyd_iters: int = 1,
     index_path: str | None = None,
     geometry=None,
+    match_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV) — the COMPOSED two-lever ANN:
     IVF cells prune the candidate set (queries × nprobe × occupancy,
@@ -1432,6 +1433,19 @@ def ivfpq_topk(
     same index every batch — geometry is FROZEN for an index's
     lifetime so the reuse is exact, while the codes/vectors tables
     are still re-listed per call (staged appends stay visible).
+
+    ``match_cols`` is FILTERED search composed with the index (the
+    :func:`ivf_topk` ``match_cols`` semantics at the IVFADC tier):
+    a candidate must equal the query on every named column, enforced
+    as extra equi-join keys in the candidate join — before ADC
+    scoring, before the shortlist, before the exact rerank.  In the
+    in-session path the columns ride the Arrow assignment pass; with
+    ``index_path`` they must have been persisted INTO the codes
+    table at save time (``save_ivfpq_index(attr_cols=...)``) — an
+    index saved without them REFUSES the filtered probe loudly
+    rather than silently returning unfiltered neighbors.  Same
+    recall rule as ivf_topk: scale nprobe up toward s× for a
+    1/s-selectivity filter.
     """
     import numpy as np
     from concurrent.futures import ThreadPoolExecutor
@@ -1467,14 +1481,22 @@ def ivfpq_topk(
             cells_t, Civf_t = fut_ivf.result()
             C = fut_pq.result()
         ranked = iter_checkpoint(
-            _ivf_rank_cells(embs, cells_t, Civf_t, nprobe, id_col, vec_col),
+            _ivf_rank_cells(
+                embs,
+                cells_t,
+                Civf_t,
+                nprobe,
+                id_col,
+                vec_col,
+                passthrough=match_cols,
+            ),
             eager=False,
         )
         codes = pq_encode(embs, C, id_col, vec_col)
         index_vecs = None  # in-session path: neighbors live in embs
         index = (
             ranked.filter(F.col("cell_rank") == 1)
-            .select(F.col("vid").alias("n_id"), "cell")
+            .select(F.col("vid").alias("n_id"), "cell", *match_cols)
             .join(codes.withColumnRenamed("vid", "n_id"), "n_id")
         )
     else:
@@ -1507,8 +1529,19 @@ def ivfpq_topk(
         index, index_vecs = _index_data_tables(
             embs.sparkSession, index_path
         )
+        missing = [c for c in match_cols if c not in index.columns]
+        if missing:
+            raise ValueError(
+                f"ivfpq_topk: match_cols {missing} are not persisted in "
+                f"the index at {index_path!r} — filtered probes need the "
+                "filter columns in the codes table; re-save with "
+                f"save_ivfpq_index(attr_cols={tuple(match_cols)!r})"
+            )
         pr_src = embs if query_pred is None else embs.filter(query_pred)
-        ranked = _ivf_rank_cells(pr_src, cells, Civf, nprobe, id_col, vec_col)
+        ranked = _ivf_rank_cells(
+            pr_src, cells, Civf, nprobe, id_col, vec_col,
+            passthrough=match_cols,
+        )
     Cm = C.astype(np.float64)
     M, _, sub = C.shape
 
@@ -1557,8 +1590,8 @@ def ivfpq_topk(
         )
     )
     pairs = (
-        probes.select(F.col("vid").alias("q_id"), "cell")
-        .join(index, "cell")
+        probes.select(F.col("vid").alias("q_id"), "cell", *match_cols)
+        .join(index, ["cell", *match_cols])
         .filter(F.col("q_id") != F.col("n_id"))
         .join(F.broadcast(lut), "q_id")
         .filter((F.col("q_nsq") > 0) & (F.col("recon_nsq") > 0))
@@ -1607,6 +1640,7 @@ def save_ivfpq_index(
     vec_col: str = "embedding",
     ivf_lloyd_iters: int = 1,
     pq_lloyd_iters: int = 1,
+    attr_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist a trained IVFADC index as four parquet tables under
     ``path``: ``centroids.parquet`` (cell, cqv — the trained IVF
@@ -1627,7 +1661,19 @@ def save_ivfpq_index(
     sized.  Rebuild the index when the corpus drifts (the same cadence
     as any ANN system); incremental upserts append to codes.parquet
     with the EXISTING centroids via :func:`_ivf_rank_cells` +
-    :func:`pq_encode`."""
+    :func:`pq_encode`.
+
+    ``attr_cols`` persists metadata columns of ``embs`` INTO the
+    codes table (riding the assignment's Arrow pass —
+    :func:`_ivf_rank_cells` ``passthrough``), which makes the index
+    FILTERABLE: ``ivfpq_topk(index_path=..., match_cols=...)``
+    enforces equality on them inside the candidate join.  The
+    payload-column design production vector stores use — the filter
+    attribute lives next to the posting, so a filtered probe never
+    joins an external metadata table at candidate volume.  Appends
+    project the same columns from the incoming batch
+    (:func:`append_to_ivfpq_index` reads the base schema and refuses
+    a batch that lacks them); compaction rewrites them verbatim."""
     from concurrent.futures import ThreadPoolExecutor
 
     from . import index_store as IS
@@ -1661,9 +1707,11 @@ def save_ivfpq_index(
         Cpq = fut_pq.result()
         fut_vecs.result()
     assigned = (
-        _ivf_rank_cells(embs, cells, Civf, 1, id_col, vec_col)
+        _ivf_rank_cells(
+            embs, cells, Civf, 1, id_col, vec_col, passthrough=attr_cols
+        )
         .filter(F.col("cell_rank") == 1)
-        .select(F.col("vid").alias("n_id"), "cell")
+        .select(F.col("vid").alias("n_id"), "cell", *attr_cols)
     )
     codes = pq_encode(embs, Cpq, id_col, vec_col).withColumnRenamed(
         "vid", "n_id"
@@ -1777,10 +1825,32 @@ def append_to_ivfpq_index(
             f"was trained on {dims} — geometry is frozen at save "
             "time; re-save to change it"
         )
+    # a filterable index (save_ivfpq_index attr_cols) persists
+    # metadata columns in codes — appended batches must carry the
+    # SAME columns or filtered probes would silently drop every
+    # appended vector (null never equals the query's attribute)
+    base_cols = spark.read.parquet(
+        IS.table_path(path, "codes")
+    ).schema.fieldNames()
+    attr_cols = tuple(
+        c for c in base_cols if c not in ("n_id", "cell", "codes", "recon_nsq")
+    )
+    lacking = [c for c in attr_cols if c not in new_vecs.columns]
+    if lacking:
+        raise ValueError(
+            f"append_to_ivfpq_index: the index at {path!r} persists "
+            f"attribute columns {list(attr_cols)} in its codes table "
+            f"but the batch lacks {lacking} — filtered probes would "
+            "silently never match appended vectors; supply the "
+            "columns or re-save the index without attr_cols"
+        )
     assigned = (
-        _ivf_rank_cells(new_vecs, cells, Civf, 1, id_col, vec_col)
+        _ivf_rank_cells(
+            new_vecs, cells, Civf, 1, id_col, vec_col,
+            passthrough=attr_cols,
+        )
         .filter(F.col("cell_rank") == 1)
-        .select(F.col("vid").alias("n_id"), "cell")
+        .select(F.col("vid").alias("n_id"), "cell", *attr_cols)
     )
     codes = pq_encode(new_vecs, Cpq, id_col, vec_col).withColumnRenamed(
         "vid", "n_id"

@@ -1220,6 +1220,75 @@ def test_ivfpq_index_geometry_mismatch_raises(spark, tmp_path):
         )
 
 
+def test_ivfpq_filtered_index_lifecycle(spark, tmp_path):
+    """Filterable IVFADC index (save attr_cols → filtered probe →
+    attr-carrying append → compaction), four pins: (1) a filtered
+    probe only returns same-label neighbors; (2) an index saved
+    WITHOUT the attribute refuses match_cols loudly; (3) an append
+    lacking the attribute column refuses loudly (a silently-null
+    attribute would make appended vectors unmatched forever); (4)
+    filtered answers are identical before and after compaction (the
+    attrs rewrite verbatim)."""
+    import random
+
+    random.seed(23)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(16)], i % 3)
+        for i in range(90)
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "fidx")
+    SIM.save_ivfpq_index(
+        embs.filter(F.col("vec_id") < 60), path,
+        n_centroids=8, m_subspaces=4, ksub=8, attr_cols=("label",),
+    )
+    SIM.append_to_ivfpq_index(embs.filter(F.col("vec_id") >= 60), path)
+
+    def probe():
+        return sorted(
+            map(
+                tuple,
+                SIM.ivfpq_topk(
+                    embs, k=2, nprobe=6, shortlist=16,
+                    query_pred=F.col("vec_id") < 10,
+                    index_path=path, match_cols=("label",),
+                ).collect(),
+            )
+        )
+
+    got = probe()
+    assert got, "filtered probe returned nothing"
+    lab = {r["vec_id"]: r["label"] for r in embs.select("vec_id", "label").collect()}
+    assert all(lab[q] == lab[n] for q, n, _ in got)
+    # appended vectors (ids >= 60) are retrievable through the filter
+    assert any(n >= 60 for _, n, _ in got)
+
+    # (4) compaction preserves filtered answers exactly
+    SIM.compact_ivfpq_index(spark, path)
+    assert probe() == got
+
+    # (2) an attr-less index refuses the filtered probe
+    bare = str(tmp_path / "bare")
+    SIM.save_ivfpq_index(
+        embs.filter(F.col("vec_id") < 60), bare,
+        n_centroids=8, m_subspaces=4, ksub=8,
+    )
+    with pytest.raises(ValueError, match="not persisted in the index"):
+        SIM.ivfpq_topk(
+            embs, k=2, nprobe=6, shortlist=16,
+            query_pred=F.col("vec_id") < 10,
+            index_path=bare, match_cols=("label",),
+        )
+
+    # (3) an append lacking the persisted attribute refuses
+    with pytest.raises(ValueError, match="batch lacks"):
+        SIM.append_to_ivfpq_index(
+            embs.filter(F.col("vec_id") >= 60).drop("label"), path
+        )
+
+
 def test_ivfpq_index_append_equals_frozen_rebuild(spark, tmp_path):
     """append_to_ivfpq_index(batch_b) onto index(corpus_a) must be
     probe-for-probe identical to encoding corpus_a UNION batch_b under

@@ -127,8 +127,10 @@ INSPECT = [
     "multimodal_audio_dedup",
     # round 10: metadata-filtered vector search — the label equality
     # must sit INSIDE the cell join's key set (extra equi-join key),
-    # not as a post-scoring filter
+    # not as a post-scoring filter; the _ivfpq variant probes the
+    # persisted index with the label as a codes payload column
     "ann_filtered_topk",
+    "ann_ivfpq_filtered",
 ]
 
 CHECKS = {
