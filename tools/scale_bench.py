@@ -127,6 +127,9 @@ OPERATORS = [
     # filter multiplies candidate volume by a constant (1/10), it
     # does not change the growth order
     "ann_filtered_topk_scaled",
+    # the same filter at the IVFADC tier (extra candidate-join keys,
+    # label as a payload column in the codes side)
+    "ann_ivfpq_filtered_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -631,6 +634,33 @@ def main() -> int:
             )
         )
 
+    def _ivfpq_filtered_scaled(spark, sf_dir):
+        # The persisted-index filtered probe's growth twin, measured
+        # in-session (probe volume is identical; the save is the
+        # amortized term the appended/indexed curves already cover):
+        # same n_centroids ∝ n schedule as ann_ivfpq_topk_scaled,
+        # constant-selectivity label filter as extra candidate-join
+        # keys, nprobe at the selectivity-scaled 20.
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators.similarity import ivfpq_topk
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = embs.count()
+        return ivfpq_topk(
+            embs,
+            k=3,
+            n_centroids=max(32, n // 64),
+            nprobe=20,
+            m_subspaces=16,
+            ksub=16,
+            shortlist=48,
+            query_pred=F.col("vec_id") < 64,
+            ivf_lloyd_iters=1,
+            pq_lloyd_iters=1,
+            match_cols=("label",),
+        )
+
     def _filtered_topk_scaled(spark, sf_dir):
         # Filtered vector search at scale: the label filter's
         # selectivity is CONSTANT (10 labels at every factor), so
@@ -656,6 +686,7 @@ def main() -> int:
 
     extra = {
         "ann_filtered_topk_scaled": _filtered_topk_scaled,
+        "ann_ivfpq_filtered_scaled": _ivfpq_filtered_scaled,
         "multimodal_audio_dedup_scaled": _audio_dedup_scaled,
         "stream_incremental_dedup_scaled": _stream_dedup_scaled,
         "stream_ann_probe_scaled": _stream_ann_probe_scaled,
