@@ -99,6 +99,33 @@ def test_torn_delta_invisible_and_rollback(spark, tmp_path):
     assert IS.read_table(spark, path, "fingerprints").count() == base_n
 
 
+def test_write_delta_failed_table_leaves_no_marker(spark, tmp_path):
+    """With concurrent table writes (round 10), a failing write in ANY
+    group must surface its error and must NOT leave a _committed
+    marker — the healthy sibling table may have landed, but without
+    the marker the whole delta stays invisible and a replay converges
+    (the write-concurrency change must not widen the torn-delta
+    window)."""
+    import pytest
+
+    ok = spark.range(5).select(F.col("id").alias("doc_id"))
+    # a frame whose evaluation fails at write time, not at plan time
+    bad = spark.range(5).select(
+        F.when(F.col("id") < 99, F.raise_error(F.lit("boom")))
+        .otherwise(F.lit(1))
+        .alias("x")
+    )
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    with pytest.raises(Exception, match="boom"):
+        IS.write_delta(path, "b1", {"good": ok, "bad": bad})
+    ddir = os.path.join(path, "deltas", "b1")
+    assert not os.path.exists(os.path.join(ddir, "_committed"))
+    # and the torn delta is invisible + rollbackable, as ever
+    IS.rollback_delta(path, "b1")
+    assert not os.path.exists(ddir)
+
+
 def test_dedup_sink_crash_replay_no_duplicate_rows(spark, tmp_path):
     """Crash between the index append and the applied marker, then
     replay: the round-9 window re-appended the keepers (duplicate
