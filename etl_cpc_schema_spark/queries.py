@@ -9547,76 +9547,20 @@ def stream_incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
-#: driver samples a subset of the registry per round; this list points
-#: the sample at the current evidence gap (VERDICT r8 "Next round" #1:
-#: after round 8 no query's driver evidence is older than r5, and the
-#: r5 block is exactly 21 names).  Tier 1 is that complete r5-stale
-#: Round-10 rotation (VERDICT r9 #1): Tier 1 is the complete 22-name
-#: r6-stale block (the TPC-H-shape q58-q72 run + the 11-name text_*
-#: block) — after this round no query's driver evidence is older than
-#: r7.  Tier 2 is the round-10 additions (index compaction / deletion
-#: lifecycle queries; never driver-sampled before).  Tier 3 is the
-#: 50-name r7 block; the families whose shared kernels round 10
-#: touches lead it (similarity.py/dedup.py gain the delta-staged
-#: append + tombstone + generational-compaction store, feeding the
-#: ANN-index and stream families; the three profiled sketch entries
-#: ride along for a fresh driver row), then the rest.  Names past the
-#: 50-row cutoff lead the r11 rotation.
+#: driver samples a 50-row subset of the registry per round; this list
+#: points the sample at the current evidence gap.  Round-11 rotation
+#: (VERDICT r10 "Next round" #1): Tier 1 is the complete 28-name
+#: r7-stale block (the oldest driver evidence in the ledger — after
+#: this round no query's latest driver row is older than r8).  Tier 2
+#: is the round-11 additions (names appended as each lands; the
+#: registry test rejects dead entries).  Tier 3 is the 50-name r8
+#: block; the families round 11 touches lead it (similarity.py gains
+#: persisted attr_cols metadata feeding ann_ivfpq_indexed; the
+#: multimodal/dedup sketch families carry the r10 weak-flag profiling
+#: and deserve a fresh driver row), then the rest.  Names past the
+#: 50-row cutoff lead the r12 rotation.
 _DRIVER_PRIORITY: list[str] = [
-    # Tier 1 — the r6-stale block, complete (VERDICT r9 #1).
-    "q18_join_agg",
-    "q58_shipping_priority",
-    "q59_local_supplier_volume",
-    "q63_promo_share",
-    "q66_avg_quantity_outliers",
-    "q67_waiting_suppliers",
-    "q68_sales_opportunity",
-    "q69_top_supplier",
-    "q70_nation_value_share",
-    "q71_disjunctive_revenue",
-    "q72_market_share",
-    "text_fingerprint",
-    "text_gopher_filters",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality_filter",
-    "text_repetition",
-    "text_rolling_hash",
-    "text_stats",
-    "text_token_bpe",
-    "text_token_freq",
-    "text_url_domains",
-    # Tier 2 — round-10 additions (names appended here as each lands;
-    # the registry test rejects dead entries).
-    "ann_ivfpq_deleted",
-    "ann_ivfpq_compacted",
-    "docs_dedup_index_maintained",
-    "multimodal_audio_dedup",
-    "ann_filtered_topk",
-    "ann_ivfpq_filtered",
-    # Tier 3 — the r7-stale block; touched/profiled families first.
-    "ann_ivfpq_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_lsh_topk_probed",
-    "docs_bloom_contamination",
-    "docs_source_overlap",
-    "approx_heavy_hitters",
-    "stream_approx_distinct",
-    "stream_bloom_gate",
-    "stream_hourly_counts",
-    "stream_outer_join",
-    "stream_sessionize",
-    "stream_stream_join",
-    "docs_semdedup",
-    "docs_kmeans_prune",
-    "docs_dup_spans",
-    "docs_scrub_dup_spans",
-    "approx_hll_mergeable",
-    "approx_quantiles_bounded",
-    "docs_ccnet_buckets",
-    "docs_cdc_chunk",
-    "docs_cdc_dedup",
+    # Tier 1 — the r7-stale block, complete (VERDICT r10 #1).
     "docs_corpus_build",
     "docs_hard_negatives",
     "docs_modern_corpus",
@@ -9645,6 +9589,58 @@ _DRIVER_PRIORITY: list[str] = [
     "text_rare_tokens",
     "text_textrank",
     "text_winnowing",
+    # Tier 2 — round-11 additions (appended as each lands).
+    # Tier 3 — the r8 block; touched/profiled families first.
+    "ann_ivfpq_indexed",
+    "multimodal_dedup",
+    "multimodal_dedup_clustered",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "docs_incremental_dedup",
+    "docs_dedup_clustered",
+    "ann_knn_join",
+    "docs_winnow_pairs",
+    "docs_corpus_drift",
+    "docs_domain_mix",
+    "docs_global_shuffle",
+    "docs_leakage_safe_split",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "q07_distinct_sort",
+    "q08_max_per_group",
+    "q09_group_count",
+    "q10_topn_rank",
+    "q11_conditional_status",
+    "q12_parent_lookup",
+    "q13_normalize_split",
+    "q15_tumbling_window",
+    "q16_dedup_last_wins",
+    "q19_rollup",
+    "q20_set_ops",
+    "q24_pivot_counts",
+    "q25_cube",
+    "q26_distinct_exact",
+    "q28_unpivot",
+    "q29_interval_join",
+    "q30_skewed_agg",
+    "q32_quantiles",
+    "q33_grouped_topk",
+    "q37_range_window",
+    "q38_window_misc",
+    "q39_grouping_sets",
+    "q40_stats_agg",
+    "q41_string_funcs",
+    "q42_datetime_funcs",
+    "q46_nullsafe_join",
+    "q47_udtf_enumerate",
+    "q48_resample_gapfill",
+    "q49_snapshot_diff",
 ]
 
 
