@@ -18,6 +18,8 @@ quantized-integer scheme from functions.vectors.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -866,6 +868,14 @@ def ivf_topk(
     same rule FAISS/IVF deployments apply before falling back to
     brute force over the filtered slice when the filter is extremely
     selective (recall ≥0.80 at the shipped settings is test-pinned).
+
+    NULL attribute semantics: the filter is an EQUI-join, so a NULL in
+    a ``match_cols`` column — on either side — matches nothing (SQL
+    null-equality).  A query row with a NULL label therefore returns
+    ZERO neighbors, and an indexed vector with a NULL label is
+    invisible to every filtered probe.  Coalesce nullable attributes
+    to a sentinel value before indexing/probing if "unlabeled" should
+    participate in filtered search.
     """
     # ONE corpus-by-centroid scoring pass serves both sides: rank 1 is
     # the cell assignment, ranks 1..nprobe are the probe targets —
@@ -1445,7 +1455,10 @@ def ivfpq_topk(
     index saved without them REFUSES the filtered probe loudly
     rather than silently returning unfiltered neighbors.  Same
     recall rule as ivf_topk: scale nprobe up toward s× for a
-    1/s-selectivity filter.
+    1/s-selectivity filter — and the same NULL semantics: a NULL in a
+    match column on either side matches nothing (equi-join), so a
+    query with a NULL attribute gets zero neighbors; coalesce NULLs
+    to a sentinel before save/probe if they should participate.
     """
     import numpy as np
     from concurrent.futures import ThreadPoolExecutor
@@ -1670,15 +1683,25 @@ def save_ivfpq_index(
     enforces equality on them inside the candidate join.  The
     payload-column design production vector stores use — the filter
     attribute lives next to the posting, so a filtered probe never
-    joins an external metadata table at candidate volume.  Appends
-    project the same columns from the incoming batch
-    (:func:`append_to_ivfpq_index` reads the base schema and refuses
-    a batch that lacks them); compaction rewrites them verbatim."""
+    joins an external metadata table at candidate volume.  The list
+    is PERSISTED as a control table (``attrs.parquet``) and read back
+    by :func:`index_attr_cols` — appends project the same columns
+    from the incoming batch (:func:`append_to_ivfpq_index` refuses a
+    batch that lacks them); compaction rewrites them verbatim."""
     from concurrent.futures import ThreadPoolExecutor
 
     from . import index_store as IS
 
     spark = embs.sparkSession
+    colliding = sorted(
+        set(attr_cols) & {"n_id", "cell", "codes", "recon_nsq"}
+    )
+    if colliding:
+        raise ValueError(
+            f"save_ivfpq_index: attr_cols {colliding} collide with the "
+            "codes table's own columns ('n_id', 'cell', 'codes', "
+            "'recon_nsq') — rename the attribute columns before saving"
+        )
     # a fresh save owns the whole dir: clear any store state a prior
     # lifecycle left behind (a stale generation pointer would shadow
     # the flat tables written below)
@@ -1746,13 +1769,46 @@ def save_ivfpq_index(
             "m int, cell int, cv array<bigint>",
         ).write.mode("overwrite").parquet(f"{path}/codebook.parquet")
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
+    def _write_attrs():
+        # the EXPLICIT filterable-attribute list (round-10 ADVICE:
+        # appends used to infer it as "codes schema minus a hardcoded
+        # name set", so any future codes column would silently become
+        # a required attribute); written even when empty so readers
+        # never fall back to inference on a round-11+ index
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(attr_cols)],
+            "pos int, name string",
+        ).write.mode("overwrite").parquet(f"{path}/attrs.parquet")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
         futs = [
             ex.submit(w)
-            for w in (_write_codes, _write_centroids, _write_codebook)
+            for w in (_write_codes, _write_centroids, _write_codebook,
+                      _write_attrs)
         ]
         for f in futs:
             f.result()
+
+
+def index_attr_cols(spark, path: str) -> tuple[str, ...]:
+    """The filterable attribute columns a persisted IVFADC index
+    carries in its codes table, from the ``attrs.parquet`` control
+    table :func:`save_ivfpq_index` writes.  Legacy indexes (saved
+    before the control table existed) fall back to schema inference —
+    every codes column that is not one of the four structural names —
+    which matches what their save actually persisted."""
+    from . import index_store as IS
+
+    p = IS.table_path(path, "attrs")
+    if os.path.exists(p):
+        rows = spark.read.parquet(p).orderBy("pos").collect()
+        return tuple(r["name"] for r in rows)
+    base_cols = spark.read.parquet(
+        IS.table_path(path, "codes")
+    ).schema.fieldNames()
+    return tuple(
+        c for c in base_cols if c not in ("n_id", "cell", "codes", "recon_nsq")
+    )
 
 
 def append_to_ivfpq_index(
@@ -1828,13 +1884,11 @@ def append_to_ivfpq_index(
     # a filterable index (save_ivfpq_index attr_cols) persists
     # metadata columns in codes — appended batches must carry the
     # SAME columns or filtered probes would silently drop every
-    # appended vector (null never equals the query's attribute)
-    base_cols = spark.read.parquet(
-        IS.table_path(path, "codes")
-    ).schema.fieldNames()
-    attr_cols = tuple(
-        c for c in base_cols if c not in ("n_id", "cell", "codes", "recon_nsq")
-    )
+    # appended vector (null never equals the query's attribute).  The
+    # list comes from the index's attrs control table (round-10
+    # ADVICE: schema inference made any future codes column a
+    # silently-required attribute), legacy inference as fallback.
+    attr_cols = index_attr_cols(spark, path)
     lacking = [c for c in attr_cols if c not in new_vecs.columns]
     if lacking:
         raise ValueError(
@@ -1949,11 +2003,16 @@ def compact_ivfpq_index(
             "writer crashed mid-append: re-append the affected batch "
             "or re-save the index"
         )
+    control: tuple[str, ...] = ("centroids", "codebook")
+    if os.path.exists(IS.table_path(path, "attrs")):
+        # round-11 indexes persist the filterable-attribute list;
+        # legacy indexes have no attrs table and keep their inference
+        control += ("attrs",)
     return IS.promote_generation(
         spark,
         path,
         {"codes": codes, "vectors": matched},
-        control_tables=("centroids", "codebook"),
+        control_tables=control,
         target_files=target_files,
     )
 
