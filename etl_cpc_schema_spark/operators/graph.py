@@ -40,6 +40,32 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterutils import iter_checkpoint, release
+
+#: Normal operation (True): each operator materializes its (small,
+#: node-sized) result and RELEASES its persisted loop-invariant frames
+#: before returning, so a long-lived bench/serving session does not
+#: accumulate block-manager entries per call (round-10 ADVICE — persist
+#: registers in the CacheManager and is NEVER GC-collected, while a
+#: localCheckpoint'ed result IS context-cleaned once unreferenced).
+#: Plan-inspection tools (tools/explain_plans.py) set this to False to
+#: dump the full lazy plan — the checkpoint would otherwise hide the
+#: join strategy behind a Scan ExistingRDD and execute the job during
+#: explain.  Not a user knob: with False the persisted frames leak
+#: until session end.
+MATERIALIZE = True
+
+
+def _finish(result: DataFrame, *invariants: DataFrame) -> DataFrame:
+    """Materialize-and-release epilogue shared by the iterative
+    operators (see :data:`MATERIALIZE`)."""
+    if not MATERIALIZE:
+        return result
+    out = iter_checkpoint(result, eager=True)
+    for df in invariants:
+        release(df)
+    return out
+
 __all__ = [
     "cooccurrence_edges",
     "label_propagation",
@@ -170,7 +196,11 @@ def pagerank(
                 + F.expr(f"({damping_milli} * coalesce(_c, 0L)) div 1000")
             ).cast("bigint").alias("rank"),
         )
-    return ranks
+    # materialize the (node-sized) result, then drop the loop-invariant
+    # blocks — without the release every call leaks e/nodes block-
+    # manager entries for the session lifetime (round-10 ADVICE; the
+    # accumulation iterutils.release exists to prevent).
+    return _finish(ranks, nodes, e)
 
 
 def label_propagation(
@@ -240,7 +270,10 @@ def label_propagation(
                 )["_n"]
             ).alias("community")
         )
-    return labels
+    # node-sized result materialized, loop-invariant arcs released —
+    # the pagerank/triangle_counts storage-hygiene rule (round-10
+    # ADVICE: persisted frames leaked block-manager entries per call)
+    return _finish(labels, arcs)
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -304,8 +337,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     closing = arcs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tri = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
-    return (
+    counts = (
         tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("triangles"))
     )
+    # vertex-sized result materialized, then e/arcs released — same
+    # storage-hygiene rule as pagerank/label_propagation (round-10
+    # ADVICE): a long-lived bench/serving session must not accumulate
+    # per-call persisted blocks and rely on LRU eviction
+    return _finish(counts, arcs, e)
