@@ -40,31 +40,38 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .iterutils import iter_checkpoint, release
+from .iterutils import release
 
-#: Normal operation (True): each operator materializes its (small,
-#: node-sized) result and RELEASES its persisted loop-invariant frames
-#: before returning, so a long-lived bench/serving session does not
-#: accumulate block-manager entries per call (round-10 ADVICE — persist
-#: registers in the CacheManager and is NEVER GC-collected, while a
-#: localCheckpoint'ed result IS context-cleaned once unreferenced).
-#: Plan-inspection tools (tools/explain_plans.py) set this to False to
-#: dump the full lazy plan — the checkpoint would otherwise hide the
-#: join strategy behind a Scan ExistingRDD and execute the job during
-#: explain.  Not a user knob: with False the persisted frames leak
-#: until session end.
-MATERIALIZE = True
+def _release_all(frames: tuple) -> None:
+    for df in frames:
+        release(df)
 
 
 def _finish(result: DataFrame, *invariants: DataFrame) -> DataFrame:
-    """Materialize-and-release epilogue shared by the iterative
-    operators (see :data:`MATERIALIZE`)."""
-    if not MATERIALIZE:
-        return result
-    out = iter_checkpoint(result, eager=True)
-    for df in invariants:
-        release(df)
-    return out
+    """Storage-hygiene epilogue shared by the graph operators: tie the
+    persisted loop-invariant frames' lifetime to the RESULT frame.
+
+    ``df.persist`` registers in the CacheManager and is never released
+    by GC, so without cleanup every call leaks block-manager entries
+    for the session lifetime (round-10 ADVICE).  Eagerly checkpointing
+    the result and unpersisting before return was measurably worse
+    (text_textrank +70%: it materializes a corpus-token-scale ranks
+    table and breaks pipelining into the caller's composition) — and
+    unpersisting any earlier forfeits the loop-invariant reuse the
+    persists exist for, because nothing is cached until the caller's
+    action runs.  A ``weakref.finalize`` on the returned DataFrame
+    releases the invariants the moment the caller drops it (CPython
+    refcounting: right after the collect in a bench/driver loop),
+    which is safe at ANY point — unpersist on a persisted frame only
+    drops cache registration, lineage stays replayable — the worst
+    case being a recompute if a derived frame outlives the returned
+    handle.  Plans stay fully lazy, so .explain shows the real join
+    strategy and PLANS.md needs no special casing."""
+    import weakref
+
+    if invariants:
+        weakref.finalize(result, _release_all, tuple(invariants))
+    return result
 
 __all__ = [
     "cooccurrence_edges",
@@ -196,10 +203,9 @@ def pagerank(
                 + F.expr(f"({damping_milli} * coalesce(_c, 0L)) div 1000")
             ).cast("bigint").alias("rank"),
         )
-    # materialize the (node-sized) result, then drop the loop-invariant
-    # blocks — without the release every call leaks e/nodes block-
-    # manager entries for the session lifetime (round-10 ADVICE; the
-    # accumulation iterutils.release exists to prevent).
+    # e/nodes release when the caller drops the result (round-10
+    # ADVICE: without it every call leaks block-manager entries for
+    # the session lifetime) — see _finish for why not any earlier
     return _finish(ranks, nodes, e)
 
 
@@ -270,9 +276,8 @@ def label_propagation(
                 )["_n"]
             ).alias("community")
         )
-    # node-sized result materialized, loop-invariant arcs released —
-    # the pagerank/triangle_counts storage-hygiene rule (round-10
-    # ADVICE: persisted frames leaked block-manager entries per call)
+    # arcs release when the caller drops the result — the shared
+    # storage-hygiene epilogue (round-10 ADVICE)
     return _finish(labels, arcs)
 
 
@@ -342,7 +347,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("triangles"))
     )
-    # vertex-sized result materialized, then e/arcs released — same
+    # e/arcs release when the caller drops the result — same
     # storage-hygiene rule as pagerank/label_propagation (round-10
     # ADVICE): a long-lived bench/serving session must not accumulate
     # per-call persisted blocks and rely on LRU eviction

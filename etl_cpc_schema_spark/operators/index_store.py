@@ -123,7 +123,12 @@ def writer_lock(path: str, ttl_s: float = LOCK_TTL_S):
     :class:`WriterContention` is raised with the holder named.
     Re-entrant within one process (the holder may nest mutating calls,
     e.g. a compaction driving ``promote_generation`` after its own
-    ``append_tombstones``)."""
+    ``append_tombstones``).  Re-entrancy is pid-granular, not
+    thread-granular: two THREADS of one process both pass the
+    holder-is-me check — concurrent same-process mutators were already
+    outside the single-writer contract, and the lease guards the
+    cross-process case that can actually arise from overlapping
+    maintenance jobs."""
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, LOCK)
     me = f"{os.getpid()}@{socket.gethostname()}"

@@ -104,6 +104,19 @@ def record_processed(spark: SparkSession, watermark_path: str, version: str) -> 
 
 
 def load_processed(spark: SparkSession, watermark_path: str) -> DataFrame:
+    """The processed-version watermark table; empty when no version
+    has ever completed.  First-run existence is checked through the
+    Hadoop FileSystem API (works on URI-addressed storage) instead of
+    catching the read's failure — a caught missing-path read still
+    makes the JVM log a full stack trace at ERROR, polluting job logs
+    (the round-11 _batch_dirs finding).  The except stays only for a
+    corrupt/empty directory, where an empty watermark (re-process
+    everything, idempotent) beats failing the scheduled tick."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(watermark_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return spark.createDataFrame([], "version string")
     try:
         return spark.read.parquet(watermark_path)
     except Exception:

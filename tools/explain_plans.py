@@ -145,13 +145,6 @@ CHECKS = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    # dump the FULL lazy plans of the graph operators: their normal
-    # materialize-and-release epilogue (storage hygiene, round-10
-    # ADVICE) would hide the join strategy behind a checkpoint's Scan
-    # ExistingRDD and execute the job during explain
-    from etl_cpc_schema_spark.operators import graph
-
-    graph.MATERIALIZE = False
     spark = get_spark(app_name="explain_plans", cpus=8)
     out = ["# PLANS — physical-plan review of headline queries", ""]
     out.append(f"Generated against `{sf_dir}`. Checks: broadcast joins for")
