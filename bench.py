@@ -315,12 +315,37 @@ def main() -> None:
         # trustworthy round-over-round reference the waivers lacked.
         # dedup_embedding_cosine stays high-variance even in isolation
         # (raw 0.95-5.28 s) — its medians should be read with that
-        # envelope, not as engine movement.
+        # envelope, not as engine movement.  text_textrank's isolate
+        # predates the final graph-release design; see the r11 note
+        # below for its current reference.
         "spread_waiver_isolates_r11": {
             "dedup_embedding_cosine": 1.88,
             "docs_corpus_drift": 1.25,
             "text_textrank": 6.63,
         },
+        # Round 11 in-repo, DELIBERATE movement with a named cause:
+        # q82_triangle_counts / q83_label_propagation / text_textrank
+        # medians RISE this round because the round-10 storage leak
+        # (graph operators persisted loop-invariant frames and never
+        # released them — ADVICE r10) accidentally served as a
+        # cross-run cache: the CacheManager matches canonicalized
+        # plans, so bench runs 2-3 of an identical call read run 1's
+        # leaked blocks and the r10 medians measured warm-cache cost.
+        # The fix (operators/graph.py::_finish — invariants released
+        # when the caller drops the result) makes every run pay the
+        # honest per-call cost; a serving loop that HOLDS the result
+        # handle across probes keeps the cached tier.  Same-code
+        # control: multimodal_dedup measured 1.05 and 2.40 s in two
+        # local sf0.1 bench runs 40 min apart this round — the host
+        # noise envelope, not engine movement.
+        # 7-run isolate mid3 medians on the final r11 tree (the cold
+        # per-call references; ISOLATES_r11.jsonl "graph_isolates_
+        # r11_final_tree"): q82 9.72, q83 3.01, text_textrank 4.30 s.
+        "graph_medians_r11": (
+            "deliberate: r10 leak doubled as cross-run plan cache; "
+            "r11 releases it, so graph medians are now cold per-call "
+            "cost (isolate refs: q82 9.72 / q83 3.01 / textrank 4.30 s)"
+        ),
         "sf_dir": sf_dir,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
