@@ -543,3 +543,15 @@ def test_ivfpq_attrs_persisted_and_validated(spark, tmp_path):
     assert SIM.index_attr_cols(spark, path) == ("label",)
     root = IS.active_root(path)
     assert os.path.exists(os.path.join(root, "attrs.parquet"))
+
+
+def test_writer_lock_released_on_exception(tmp_path):
+    """A writer that dies mid-mutation must not leave its lease
+    behind for the TTL window — the context manager releases it on
+    ANY exit path."""
+    path = str(tmp_path / "idx")
+    with pytest.raises(RuntimeError, match="boom"):
+        with IS.writer_lock(path):
+            assert os.path.exists(os.path.join(path, IS.LOCK))
+            raise RuntimeError("boom")
+    assert not os.path.exists(os.path.join(path, IS.LOCK))
