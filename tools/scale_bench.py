@@ -130,6 +130,15 @@ OPERATORS = [
     # the same filter at the IVFADC tier (extra candidate-join keys,
     # label as a payload column in the codes side)
     "ann_ivfpq_filtered_scaled",
+    # round-11: the MAINTENANCE passes — generational compaction of
+    # both persisted indexes (fold base + committed deltas −
+    # tombstones into a fresh generation behind the pointer swap).
+    # The 100 TB story prices every probe as batch-sized BECAUSE this
+    # fold runs on the maintenance cadence; these curves pin the fold
+    # itself as linear (it is a rewrite of corpus-sized tables, never
+    # a re-derivation)
+    "ann_ivfpq_compacted_scaled",
+    "dedup_index_compacted_scaled",
 ]
 FACTORS = [1, 10, 100]
 RUNS = 2
@@ -575,6 +584,100 @@ def main() -> int:
             outs.append(res)
         return outs[0].unionByName(outs[1])
 
+    def _ivfpq_compacted_scaled(spark, sf_dir):
+        """Maintenance-cost curve (round 11): generational compaction
+        is the ONE corpus-sized pass of the IVFADC index lifecycle —
+        the 100 TB story prices every probe as batch-sized BECAUSE the
+        fold runs on the maintenance cadence, so the fold itself needs
+        a measured linear curve.  The build (save on half with
+        n_centroids ∝ n, staged delta append of the other half, 10%
+        tombstoned) is memoized per scale dir outside the timed
+        region; each timed call runs compact_ivfpq_index on the
+        current live state — run 1 folds base + delta − tombstones,
+        later runs re-fold the already-folded generation, and both are
+        the same corpus-sized rewrite the curve pins.  The returned
+        frame is the live codes table, so the noop sink re-scans what
+        the fold wrote and the row counts evidence the fold volume."""
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators import index_store as IS
+        from etl_cpc_schema_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            compact_ivfpq_index,
+            remove_from_ivfpq_index,
+            save_ivfpq_index,
+        )
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        key = f"ivfpq_cmp:{sf_dir}"
+        path = _stream_saved.get(key)
+        if path is None:
+            n = embs.count()
+            path = tempfile.mkdtemp(prefix="spark_scale_ivfpq_cmp_")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            half = n // 2
+            save_ivfpq_index(
+                embs.filter(F.col("vec_id") < half),
+                path,
+                n_centroids=max(32, n // 64),
+                m_subspaces=16,
+                ksub=16,
+                ivf_lloyd_iters=1,
+                pq_lloyd_iters=1,
+            )
+            append_to_ivfpq_index(
+                embs.filter(F.col("vec_id") >= half), path,
+                batch_key="day1",
+            )
+            remove_from_ivfpq_index(
+                embs.filter(F.col("vec_id") % 10 == 7).select("vec_id"),
+                path,
+            )
+            _stream_saved[key] = path
+        compact_ivfpq_index(spark, path)
+        return IS.read_table(spark, path, "codes")
+
+    def _dedup_index_compacted_scaled(spark, sf_dir):
+        """The dedup-index twin of _ivfpq_compacted_scaled: fold the
+        fingerprint/band/shingle tables (base + committed delta −
+        tombstoned docs) into a fresh generation.  Table volume is
+        docs × shingles — strictly linear — so a super-linear curve
+        here would mean the fold re-derives something it should only
+        rewrite."""
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from etl_cpc_schema_spark.operators import dedup as DD
+        from etl_cpc_schema_spark.operators import index_store as IS
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        key = f"dedup_cmp:{sf_dir}"
+        path = _stream_saved.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="spark_scale_dedup_cmp_")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            DD.save_dedup_index(
+                docs.filter(F.col("doc_id") % 10 != 0), path, n=3
+            )
+            DD.append_to_dedup_index(
+                docs.filter(F.col("doc_id") % 10 == 0), path,
+                batch_key="day1",
+            )
+            DD.remove_from_dedup_index(
+                docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+                path,
+            )
+            _stream_saved[key] = path
+        DD.compact_dedup_index(spark, path)
+        return IS.read_table(spark, path, "bands")
+
     def _audio_dedup_scaled(spark, sf_dir):
         # the audio composition with the sub-fingerprint WIDTH as the
         # occupancy lever (the PHASH_BITS pattern): rows in the
@@ -688,6 +791,8 @@ def main() -> int:
         "ann_filtered_topk_scaled": _filtered_topk_scaled,
         "ann_ivfpq_filtered_scaled": _ivfpq_filtered_scaled,
         "multimodal_audio_dedup_scaled": _audio_dedup_scaled,
+        "ann_ivfpq_compacted_scaled": _ivfpq_compacted_scaled,
+        "dedup_index_compacted_scaled": _dedup_index_compacted_scaled,
         "stream_incremental_dedup_scaled": _stream_dedup_scaled,
         "stream_ann_probe_scaled": _stream_ann_probe_scaled,
         "multimodal_video_dedup_scaled": _video_dedup_scaled,
