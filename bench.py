@@ -315,9 +315,14 @@ def main() -> None:
         # trustworthy round-over-round reference the waivers lacked.
         # dedup_embedding_cosine stays high-variance even in isolation
         # (raw 0.95-5.28 s) — its medians should be read with that
-        # envelope, not as engine movement.  text_textrank's isolate
-        # predates the final graph-release design; see the r11 note
-        # below for its current reference.
+        # envelope, not as engine movement.  Mechanism (profiled in a
+        # single session, 8 back-to-back runs: 3.14 s first, then
+        # 0.71-1.02 s flat): the steady-state cost is ~0.8 s and the
+        # spikes are python-worker spawn + numpy/BLAS first-touch and
+        # host transients — the PLAN (one Arrow map pass over a
+        # broadcast corpus matrix) is stable; nothing to fix in-repo.
+        # text_textrank's isolate predates the final graph-release
+        # design; see the r11 note below for its current reference.
         "spread_waiver_isolates_r11": {
             "dedup_embedding_cosine": 1.88,
             "docs_corpus_drift": 1.25,

@@ -546,15 +546,19 @@ def save_dedup_index(
     from . import index_store as IS
 
     spark = corpus.sparkSession
-    # a fresh save owns the whole dir: clear any store state a prior
-    # lifecycle left behind (a stale generation pointer would shadow
-    # the flat tables written below)
-    IS.reset(path)
-    spark.createDataFrame(
-        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
-    ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
-    _write_index_tables(corpus, path, "overwrite", n, num_hashes, bands,
-                        id_col, text_col)
+    # a save is a writer like any other (round 11: the lease covers
+    # EVERY mutating entry point, not just the store functions — a
+    # save racing a maintenance job used to corrupt silently)
+    with IS.writer_lock(path):
+        # a fresh save owns the whole dir: clear any store state a
+        # prior lifecycle left behind (a stale generation pointer
+        # would shadow the flat tables written below)
+        IS.reset(path)
+        spark.createDataFrame(
+            [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+        ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+        _write_index_tables(corpus, path, "overwrite", n, num_hashes,
+                            bands, id_col, text_col)
 
 
 def append_to_dedup_index(
@@ -593,12 +597,16 @@ def append_to_dedup_index(
     from . import index_store as IS
 
     spark = new_docs.sparkSession
-    meta = spark.read.parquet(
-        os.path.join(IS.active_root(path), "meta.parquet")
-    ).collect()[0]
-    n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
-    _write_index_tables(new_docs, path, "append", n, num_hashes, bands,
-                        id_col, text_col, batch_key=batch_key)
+    # held across meta-read AND write: a compaction swapping the
+    # pointer in between would strand the rows in a swept generation
+    # (the staged path's write_delta re-acquires re-entrantly)
+    with IS.writer_lock(path):
+        meta = spark.read.parquet(
+            os.path.join(IS.active_root(path), "meta.parquet")
+        ).collect()[0]
+        n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
+        _write_index_tables(new_docs, path, "append", n, num_hashes,
+                            bands, id_col, text_col, batch_key=batch_key)
 
 
 def remove_from_dedup_index(
@@ -663,20 +671,26 @@ def compact_dedup_index(
     """
     from . import index_store as IS
 
-    tomb = IS.tombstones(spark, path)
-    frames: dict[str, DataFrame] = {}
-    for table in ("fingerprints", "bands", "shingles"):
-        df = IS.read_table(spark, path, table)
-        if "doc_id" in df.columns:
-            if tomb is not None:
-                df = df.join(tomb, "doc_id", "left_anti")
-        else:
-            df = df.distinct()
-        frames[table] = df
-    return IS.promote_generation(
-        spark, path, frames, control_tables=("meta",),
-        target_files=target_files,
-    )
+    # the lease spans the WHOLE fold, not just the promote: read_table
+    # resolves its file list here, and a delta committed between this
+    # listing and the pointer swap would be folded-out AND swept —
+    # silent data loss.  With the lock held end-to-end, a concurrent
+    # appender fails loudly instead (promote re-acquires re-entrantly).
+    with IS.writer_lock(path):
+        tomb = IS.tombstones(spark, path)
+        frames: dict[str, DataFrame] = {}
+        for table in ("fingerprints", "bands", "shingles"):
+            df = IS.read_table(spark, path, table)
+            if "doc_id" in df.columns:
+                if tomb is not None:
+                    df = df.join(tomb, "doc_id", "left_anti")
+            else:
+                df = df.distinct()
+            frames[table] = df
+        return IS.promote_generation(
+            spark, path, frames, control_tables=("meta",),
+            target_files=target_files,
+        )
 
 
 def load_dedup_index(spark, path: str, meta: dict | None = None) -> dict:

@@ -58,8 +58,13 @@ the read path needs no changes because readers list through
 
 Writers are single-process, and since round 11 the contract is
 ENFORCED, not just documented (VERDICT r10 "What's missing" #2): every
-mutating entry point (:func:`write_delta`, :func:`append_tombstones`,
-:func:`promote_generation`) runs under :func:`writer_lock` — an
+mutating entry point — the store functions (:func:`write_delta`,
+:func:`append_tombstones`, :func:`rollback_delta`,
+:func:`promote_generation`) AND the index-level writers (both saves,
+both appends, both compactions in operators/dedup.py and
+operators/similarity.py, which hold the lease across their
+read-then-write spans so a pointer swap cannot strand their rows) —
+runs under :func:`writer_lock`, an
 O_CREAT|O_EXCL ``_writer.lock`` lease holding ``pid@host``.  A second
 concurrent writer fails LOUDLY with :class:`WriterContention` instead
 of silently interleaving sweeps (the corruption mode two overlapping

@@ -1688,11 +1688,8 @@ def save_ivfpq_index(
     by :func:`index_attr_cols` — appends project the same columns
     from the incoming batch (:func:`append_to_ivfpq_index` refuses a
     batch that lacks them); compaction rewrites them verbatim."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from . import index_store as IS
 
-    spark = embs.sparkSession
     colliding = sorted(
         set(attr_cols) & {"n_id", "cell", "codes", "recon_nsq"}
     )
@@ -1702,6 +1699,27 @@ def save_ivfpq_index(
             "codes table's own columns ('n_id', 'cell', 'codes', "
             "'recon_nsq') — rename the attribute columns before saving"
         )
+    # a save is a writer like any other (round 11: the lease covers
+    # every mutating entry point — a save racing a maintenance job
+    # used to corrupt silently); the context spans training too, which
+    # is harmless: geometry work holds no store state, and a
+    # concurrent writer would have to be refused at SOME point anyway
+    with IS.writer_lock(path):
+        _save_ivfpq_index_locked(
+            embs, path, n_centroids, m_subspaces, ksub, id_col, vec_col,
+            ivf_lloyd_iters, pq_lloyd_iters, attr_cols,
+        )
+
+
+def _save_ivfpq_index_locked(
+    embs, path, n_centroids, m_subspaces, ksub, id_col, vec_col,
+    ivf_lloyd_iters, pq_lloyd_iters, attr_cols,
+) -> None:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import index_store as IS
+
+    spark = embs.sparkSession
     # a fresh save owns the whole dir: clear any store state a prior
     # lifecycle left behind (a stale generation pointer would shadow
     # the flat tables written below)
@@ -1881,47 +1899,51 @@ def append_to_ivfpq_index(
             f"was trained on {dims} — geometry is frozen at save "
             "time; re-save to change it"
         )
-    # a filterable index (save_ivfpq_index attr_cols) persists
-    # metadata columns in codes — appended batches must carry the
-    # SAME columns or filtered probes would silently drop every
-    # appended vector (null never equals the query's attribute).  The
-    # list comes from the index's attrs control table (round-10
-    # ADVICE: schema inference made any future codes column a
-    # silently-required attribute), legacy inference as fallback.
-    attr_cols = index_attr_cols(spark, path)
-    lacking = [c for c in attr_cols if c not in new_vecs.columns]
-    if lacking:
-        raise ValueError(
-            f"append_to_ivfpq_index: the index at {path!r} persists "
-            f"attribute columns {list(attr_cols)} in its codes table "
-            f"but the batch lacks {lacking} — filtered probes would "
-            "silently never match appended vectors; supply the "
-            "columns or re-save the index without attr_cols"
+    # the lease is held from the attr-schema read through the writes:
+    # a compaction swapping the pointer in between would strand the
+    # rows in a swept generation (write_delta re-acquires re-entrantly)
+    with IS.writer_lock(path):
+        # a filterable index (save_ivfpq_index attr_cols) persists
+        # metadata columns in codes — appended batches must carry the
+        # SAME columns or filtered probes would silently drop every
+        # appended vector (null never equals the query's attribute).
+        # The list comes from the index's attrs control table
+        # (round-10 ADVICE: schema inference made any future codes
+        # column a silently-required attribute), legacy fallback.
+        attr_cols = index_attr_cols(spark, path)
+        lacking = [c for c in attr_cols if c not in new_vecs.columns]
+        if lacking:
+            raise ValueError(
+                f"append_to_ivfpq_index: the index at {path!r} persists "
+                f"attribute columns {list(attr_cols)} in its codes table "
+                f"but the batch lacks {lacking} — filtered probes would "
+                "silently never match appended vectors; supply the "
+                "columns or re-save the index without attr_cols"
+            )
+        assigned = (
+            _ivf_rank_cells(
+                new_vecs, cells, Civf, 1, id_col, vec_col,
+                passthrough=attr_cols,
+            )
+            .filter(F.col("cell_rank") == 1)
+            .select(F.col("vid").alias("n_id"), "cell", *attr_cols)
         )
-    assigned = (
-        _ivf_rank_cells(
-            new_vecs, cells, Civf, 1, id_col, vec_col,
-            passthrough=attr_cols,
+        codes = pq_encode(new_vecs, Cpq, id_col, vec_col).withColumnRenamed(
+            "vid", "n_id"
         )
-        .filter(F.col("cell_rank") == 1)
-        .select(F.col("vid").alias("n_id"), "cell", *attr_cols)
-    )
-    codes = pq_encode(new_vecs, Cpq, id_col, vec_col).withColumnRenamed(
-        "vid", "n_id"
-    )
-    vecs = quantized(new_vecs, id_col, vec_col)
-    if batch_key is not None:
-        IS.write_delta(
-            path,
-            batch_key,
-            {"codes": assigned.join(codes, "n_id"), "vectors": vecs},
+        vecs = quantized(new_vecs, id_col, vec_col)
+        if batch_key is not None:
+            IS.write_delta(
+                path,
+                batch_key,
+                {"codes": assigned.join(codes, "n_id"), "vectors": vecs},
+            )
+            return
+        root = IS.active_root(path)
+        vecs.write.mode("append").parquet(f"{root}/vectors.parquet")
+        assigned.join(codes, "n_id").write.mode("append").parquet(
+            f"{root}/codes.parquet"
         )
-        return
-    root = IS.active_root(path)
-    vecs.write.mode("append").parquet(f"{root}/vectors.parquet")
-    assigned.join(codes, "n_id").write.mode("append").parquet(
-        f"{root}/codes.parquet"
-    )
 
 
 def remove_from_ivfpq_index(
@@ -1990,31 +2012,36 @@ def compact_ivfpq_index(
     by dropping them in the fold."""
     from . import index_store as IS
 
-    codes, vecs = _index_data_tables(spark, path)
-    matched = vecs.join(
-        codes.select(F.col("n_id").alias("vid")), "vid", "left_semi"
-    )
-    n_codes, n_matched = codes.count(), matched.count()
-    if n_matched < n_codes:
-        raise ValueError(
-            f"compact_ivfpq_index: {n_codes - n_matched} codes rows "
-            f"at {path!r} have no vectors twin — the exact rerank "
-            "would silently drop those neighbors; a non-staged "
-            "writer crashed mid-append: re-append the affected batch "
-            "or re-save the index"
+    # the lease spans the WHOLE fold (the compact_dedup_index rule):
+    # a delta committed between this file listing and the pointer
+    # swap would be folded-out AND swept — with the lock held
+    # end-to-end a concurrent appender fails loudly instead
+    with IS.writer_lock(path):
+        codes, vecs = _index_data_tables(spark, path)
+        matched = vecs.join(
+            codes.select(F.col("n_id").alias("vid")), "vid", "left_semi"
         )
-    control: tuple[str, ...] = ("centroids", "codebook")
-    if os.path.exists(IS.table_path(path, "attrs")):
-        # round-11 indexes persist the filterable-attribute list;
-        # legacy indexes have no attrs table and keep their inference
-        control += ("attrs",)
-    return IS.promote_generation(
-        spark,
-        path,
-        {"codes": codes, "vectors": matched},
-        control_tables=control,
-        target_files=target_files,
-    )
+        n_codes, n_matched = codes.count(), matched.count()
+        if n_matched < n_codes:
+            raise ValueError(
+                f"compact_ivfpq_index: {n_codes - n_matched} codes rows "
+                f"at {path!r} have no vectors twin — the exact rerank "
+                "would silently drop those neighbors; a non-staged "
+                "writer crashed mid-append: re-append the affected batch "
+                "or re-save the index"
+            )
+        control: tuple[str, ...] = ("centroids", "codebook")
+        if os.path.exists(IS.table_path(path, "attrs")):
+            # round-11 indexes persist the filterable-attribute list;
+            # legacy indexes keep their schema inference
+            control += ("attrs",)
+        return IS.promote_generation(
+            spark,
+            path,
+            {"codes": codes, "vectors": matched},
+            control_tables=control,
+            target_files=target_files,
+        )
 
 
 def load_ivfpq_index(spark, path: str):

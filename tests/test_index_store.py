@@ -443,6 +443,12 @@ def test_writer_lock_live_contention_refuses(spark, tmp_path):
         IS.append_tombstones(d.select("doc_id").limit(1), path)
     with pytest.raises(IS.WriterContention):
         DD.compact_dedup_index(spark, path)
+    # the index-level writers refuse too — the lease covers every
+    # mutating entry point, not just the store functions
+    with pytest.raises(IS.WriterContention):
+        DD.save_dedup_index(d, path, n=3)
+    with pytest.raises(IS.WriterContention):
+        DD.append_to_dedup_index(d.limit(1), path, batch_key="b2")
     # the contender must not have released someone else's lease
     assert os.path.exists(os.path.join(path, IS.LOCK))
     os.remove(os.path.join(path, IS.LOCK))
