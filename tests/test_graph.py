@@ -273,38 +273,49 @@ def test_edges_then_triangles_composition(spark):
     assert {r.node: r.triangles for r in out.collect()} == {1: 1, 2: 1, 3: 1}
 
 
-def test_invariants_released_when_result_dropped(spark):
+def test_invariants_bounded_by_eviction_registry(spark):
     """The persisted loop-invariant frames (edges/nodes/arcs) must not
-    outlive the returned result — round-10 ADVICE: without a release,
-    every call leaks block-manager entries for the session lifetime.
-    The release rides a weakref finalizer on the result, so it fires
-    when the caller drops the handle (refcounting: immediately after a
-    bench/driver collect) and never before the caller's action."""
-    import gc
+    accumulate per call for the session lifetime (round-10 ADVICE).
+    They stay cached across the caller's action — callers derive and
+    drop the operator's handle before collecting, so any
+    result-lifetime scheme releases too early — and are released
+    oldest-first once more than _RETAIN_SETS calls have run."""
     import time
 
-    from etl_cpc_schema_spark.operators.graph import label_propagation
+    from etl_cpc_schema_spark.operators import graph as G
 
     sc = spark.sparkContext
 
     def n_cached():
         return len(sc._jsc.sc().getRDDStorageInfo())
 
-    gc.collect()
+    G.release_retained()
     time.sleep(0.2)
     base = n_cached()
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "u bigint, v bigint"
     )
-    out = label_propagation(edges, iterations=2)
+    # the caller pattern every registry query uses: derive from the
+    # operator result, DROP the handle, then act — the invariants must
+    # still be cached at action time
+    out = G.label_propagation(edges, iterations=2).orderBy("node")
     assert len(out.collect()) == 5
-    # invariants are cached while the result handle is alive
-    assert n_cached() > base
-    del out
-    gc.collect()
-    # unpersist is async (blocking=False) — poll briefly
+    assert n_cached() > base  # newest set live during/after the action
+
+    # run well past the retention window; storage stays bounded
+    for _ in range(G._RETAIN_SETS + 3):
+        G.label_propagation(edges, iterations=2).orderBy("node").collect()
+    # LPA retains one frame per call: at most _RETAIN_SETS sets live
+    for _ in range(50):  # unpersist is async — poll briefly
+        if n_cached() <= base + G._RETAIN_SETS:
+            break
+        time.sleep(0.1)
+    assert n_cached() <= base + G._RETAIN_SETS
+    assert len(G._live_invariants) == G._RETAIN_SETS
+
+    G.release_retained()
     for _ in range(50):
         if n_cached() <= base:
             break
         time.sleep(0.1)
-    assert n_cached() <= base
+    assert n_cached() <= base and not G._live_invariants
