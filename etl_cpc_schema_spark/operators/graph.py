@@ -35,6 +35,7 @@ family next to connected components (operators/components.py).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -64,20 +65,36 @@ from .iterutils import release
 _RETAIN_SETS = 4
 _live_invariants: list = []
 
+#: registry mutations are lock-guarded (round-11 ADVICE #4): in the
+#: multi-threaded serving loop the registry exists for, concurrent
+#: _finish/release_retained calls raced append/pop and could over- or
+#: under-release — correctness survives (lineage recomputes) but the
+#: _RETAIN_SETS memory bound does not.  The unpersist calls themselves
+#: run OUTSIDE the lock: they are JVM round-trips and holding a Python
+#: lock across them would serialize every caller on storage cleanup.
+_registry_mu = threading.Lock()
+
 
 def release_retained() -> None:
     """Release every retained invariant set now (deterministic
     cleanup for tests and session teardown)."""
-    while _live_invariants:
-        for df in _live_invariants.pop(0):
+    with _registry_mu:
+        doomed = list(_live_invariants)
+        _live_invariants.clear()
+    for invariants in doomed:
+        for df in invariants:
             release(df)
 
 
 def _finish(result: DataFrame, *invariants: DataFrame) -> DataFrame:
     if invariants:
-        _live_invariants.append(tuple(invariants))
-        while len(_live_invariants) > _RETAIN_SETS:
-            for df in _live_invariants.pop(0):
+        doomed = []
+        with _registry_mu:
+            _live_invariants.append(tuple(invariants))
+            while len(_live_invariants) > _RETAIN_SETS:
+                doomed.append(_live_invariants.pop(0))
+        for evicted in doomed:
+            for df in evicted:
                 release(df)
     return result
 

@@ -319,3 +319,39 @@ def test_invariants_bounded_by_eviction_registry(spark):
             break
         time.sleep(0.1)
     assert n_cached() <= base and not G._live_invariants
+
+
+def test_eviction_registry_threadsafe(spark):
+    """Concurrent _finish/release_retained calls (the multi-threaded
+    serving-loop scenario the registry exists for) must keep the
+    _RETAIN_SETS bound — the unsynchronized append/pop race could
+    over- or under-release (round-11 ADVICE #4)."""
+    import threading
+
+    from etl_cpc_schema_spark.operators import graph as G
+
+    G.release_retained()
+    errors: list[Exception] = []
+
+    def hammer(worker: int) -> None:
+        try:
+            for i in range(12):
+                df = spark.range(worker * 100 + i + 1).persist()
+                df.count()  # materialize so release has blocks to drop
+                G._finish(df.selectExpr("id + 1 as id"), df)
+                if i % 5 == 4:
+                    G.release_retained()
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=hammer, args=(w,)) for w in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(G._live_invariants) <= G._RETAIN_SETS
+    G.release_retained()
+    assert not G._live_invariants
