@@ -9548,71 +9548,17 @@ def stream_incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
 #: driver samples a 50-row subset of the registry per round; this list
-#: points the sample at the current evidence gap.  Round-11 rotation
-#: (VERDICT r10 "Next round" #1): Tier 1 is the complete 28-name
-#: r7-stale block (the oldest driver evidence in the ledger — after
-#: this round no query's latest driver row is older than r8).  Tier 2
-#: is the round-11 additions (names appended as each lands; the
-#: registry test rejects dead entries).  Tier 3 is the 50-name r8
-#: block; the families round 11 touches lead it (similarity.py gains
-#: persisted attr_cols metadata feeding ann_ivfpq_indexed; the
-#: multimodal/dedup sketch families carry the r10 weak-flag profiling
-#: and deserve a fresh driver row), then the rest.  Names past the
-#: 50-row cutoff lead the r12 rotation.
+#: points the sample at the current evidence gap.  Round-12 rotation
+#: (VERDICT r11 "Next round" #1): Tier 1 is the complete 28-name
+#: r8-stale block — the oldest driver evidence in the ledger (every
+#: other query has an r9+ row); after this round no query's latest
+#: driver row is older than r9.  Tier 2 is the 50-name r9 block; the
+#: first ~22 of it also fit the 50-row sample, and the remainder is
+#: the staged head of the r13 rotation.  The evidence ledger (latest
+#: CORRECTNESS_r*.json round per query) is recomputed each round; see
+#: tools/ledger.py.
 _DRIVER_PRIORITY: list[str] = [
-    # Tier 1 — the r7-stale block, complete (VERDICT r10 #1).
-    "docs_corpus_build",
-    "docs_hard_negatives",
-    "docs_modern_corpus",
-    "docs_quality_logreg",
-    "docs_triplets",
-    "q17_pricing_summary",
-    "q21_running_window",
-    "q22_sessionize",
-    "q23_asof_join",
-    "q44_asof_forward",
-    "q45_salted_join",
-    "q62_nation_trade_volume",
-    "q65_custdist",
-    "q73_supplier_part_counts",
-    "q74_dominant_suppliers",
-    "q75_recursive_closure",
-    "q76_profile_events",
-    "q77_integrity_checks",
-    "q78_lateral_topk",
-    "q79_sliding_window",
-    "q80_bag_set_ops",
-    "q81_fuzzy_join",
-    "q82_triangle_counts",
-    "q83_label_propagation",
-    "text_bm25_topk",
-    "text_rare_tokens",
-    "text_textrank",
-    "text_winnowing",
-    # Tier 2 — round-11 additions (appended as each lands).
-    # Tier 3 — the r8 block; touched/profiled families first.
-    "ann_ivfpq_indexed",
-    "multimodal_dedup",
-    "multimodal_dedup_clustered",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_lsh_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "docs_incremental_dedup",
-    "docs_dedup_clustered",
-    "ann_knn_join",
-    "docs_winnow_pairs",
-    "docs_corpus_drift",
-    "docs_domain_mix",
-    "docs_global_shuffle",
-    "docs_leakage_safe_split",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "q07_distinct_sort",
+    # Tier 1 — the r8-stale block, complete (VERDICT r11 #1).
     "q08_max_per_group",
     "q09_group_count",
     "q10_topn_rank",
@@ -9641,6 +9587,60 @@ _DRIVER_PRIORITY: list[str] = [
     "q47_udtf_enumerate",
     "q48_resample_gapfill",
     "q49_snapshot_diff",
+    # Tier 2 — the r9 block; ~22 fit this round's sample, the rest
+    # stage the r13 rotation.  Streaming + index-backed families lead
+    # (they carry the r11/r12 perf-attribution work and deserve the
+    # freshest driver rows), then the remainder alphabetically.
+    "stream_ann_probe",
+    "stream_incremental_dedup",
+    "stream_dedup_counts",
+    "stream_static_join",
+    "stream_user_counts_stateful",
+    "stream_windowed_topk",
+    "ann_cosine_topk",
+    "ann_ivfpq_appended",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "approx_distinct_users",
+    "dedup_embedding_lsh",
+    "docs_chunk",
+    "docs_contamination",
+    "docs_dsir_weights",
+    "docs_pack_sequences",
+    "docs_pipeline",
+    "docs_stratified_sample",
+    "docs_temperature_sample",
+    "docs_train_split",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_video_dedup",
+    "q01_regex_parse",
+    "q02_filter_predicates",
+    "q03_project_cast_lit",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_left_join_default",
+    "q14_pipeline_composite",
+    "q27_json_extract",
+    "q31_ancestor_paths",
+    "q34_udaf_geomean",
+    "q35_full_outer",
+    "q36_intersect",
+    "q43_variant_extract",
+    "q50_map_type",
+    "q51_regex_rewrite",
+    "q52_union_by_name",
+    "q53_try_cast",
+    "q54_exists_subquery",
+    "q55_funnel",
+    "q56_cohort_retention",
+    "q57_scd2_merge",
+    "q60_expectations",
+    "q61_returned_items",
+    "q64_large_volume",
+    "text_keywords",
+    "text_lm_perplexity",
 ]
 
 
