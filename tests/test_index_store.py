@@ -692,3 +692,38 @@ def test_footer_row_count_partitioned_and_empty(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(ValueError, match="did not land"):
         IS._footer_row_count(empty)
+
+
+def test_long_hold_is_not_stolen_by_contender(tmp_path):
+    """End-to-end heartbeat contract: a mutation held LONGER than the
+    lease TTL must still refuse a real cross-process contender — the
+    heartbeat keeps the mtime fresh, so the contender's staleness
+    check fails instead of letting it steal the lease mid-write."""
+    import subprocess
+    import sys
+    import time
+
+    path = str(tmp_path / "idx")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    contender = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from etl_cpc_schema_spark.operators import index_store as IS\n"
+        "try:\n"
+        "    with IS.writer_lock(%r, ttl_s=2.0):\n"
+        "        print('ACQUIRED')\n"
+        "except IS.WriterContention as e:\n"
+        "    print('REFUSED:', e)\n"
+    ) % (repo, path)
+    with IS.writer_lock(path, ttl_s=2.0):  # heartbeat every 1 s
+        time.sleep(2.6)  # outlive the TTL while holding
+        holder, age = IS._read_holder(os.path.join(path, IS.LOCK))
+        assert age < 2.0, "heartbeat did not refresh the held mtime"
+        out = subprocess.run(
+            [sys.executable, "-c", contender],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        assert "REFUSED" in out.stdout, out.stdout + out.stderr
+        assert "ACQUIRED" not in out.stdout
+    assert not os.path.exists(os.path.join(path, IS.LOCK))
