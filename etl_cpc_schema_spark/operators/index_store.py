@@ -312,6 +312,17 @@ def writer_lock(path: str, ttl_s: float = LOCK_TTL_S):
             f"index at {path!r}: could not acquire _writer.lock after takeover"
         )
     if took_over and not _confirm_held(lock, me):
+        # a racing contender transiently displaced our fresh lock; it
+        # restores on mismatch, so a lock NAMING US may still land on
+        # disk after our last read — best-effort removal so the failed
+        # acquisition cannot strand a lease that blocks other writers
+        # until the TTL
+        holder, _age = _read_holder(lock)
+        if holder == me:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
         raise WriterContention(
             f"index at {path!r}: lease lost to a racing takeover during the "
             "settle window; retry the mutation"
