@@ -727,3 +727,96 @@ def test_long_hold_is_not_stolen_by_contender(tmp_path):
         assert "REFUSED" in out.stdout, out.stdout + out.stderr
         assert "ACQUIRED" not in out.stdout
     assert not os.path.exists(os.path.join(path, IS.LOCK))
+
+
+def test_lease_stress_never_two_holders(tmp_path):
+    """Randomized cross-process stress of the full lease protocol:
+    8 contender processes x repeated acquire/hold/release cycles with
+    a short TTL, a pre-planted stale lock, and a crash-injected cohort
+    (every 4th worker dies INSIDE its 3rd hold without releasing, so
+    survivors must take over its stale lease via the rename path).
+    The invariant under test is the single-writer contract itself: at
+    no instant do two LIVE processes sit inside the critical section.
+    Each holder appends enter/exit events (pid + monotonic ns — the
+    monotonic clock is system-wide per boot, so cross-process order
+    is meaningful; O_APPEND writes of this size are atomic) to a
+    shared ledger; the replay asserts sections never nest, tolerating
+    ONLY a crashed worker's final dangling enter (its exit never
+    comes and its lease is legitimately taken over)."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "idx")
+    ledger = str(tmp_path / "ledger.txt")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _plant_lock(path, "999999999@nowhere")  # first acquires race takeover
+    worker = r"""
+import os, random, sys, time
+sys.path.insert(0, %(repo)r)
+from etl_cpc_schema_spark.operators import index_store as IS
+
+path, ledger = %(path)r, %(ledger)r
+seed, crash = int(sys.argv[1]), sys.argv[2] == "1"
+rng = random.Random(seed)
+done = 0
+deadline = time.time() + 20
+while done < 6 and time.time() < deadline:
+    try:
+        with IS.writer_lock(path, ttl_s=1.0):
+            fd = os.open(ledger, os.O_CREAT | os.O_WRONLY | os.O_APPEND)
+            os.write(fd, f"enter {os.getpid()} {time.monotonic_ns()}\n".encode())
+            os.close(fd)
+            time.sleep(rng.uniform(0.005, 0.05))
+            if crash and done == 2:
+                os._exit(0)  # die INSIDE the lease: no release, no exit event
+            fd = os.open(ledger, os.O_CREAT | os.O_WRONLY | os.O_APPEND)
+            os.write(fd, f"exit {os.getpid()} {time.monotonic_ns()}\n".encode())
+            os.close(fd)
+            done += 1
+    except IS.WriterContention:
+        time.sleep(rng.uniform(0.002, 0.03))
+""" % {"repo": repo, "path": path, "ledger": ledger}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(i), "1" if i % 4 == 3 else "0"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(8)
+    ]
+    for pr in procs:
+        pr.wait(timeout=120)
+    crash_cohort = {pr.pid for i, pr in enumerate(procs) if i % 4 == 3}
+
+    events = []
+    with open(ledger) as fh:
+        for line in fh:
+            kind, pid, ts = line.split()
+            events.append((int(ts), kind, int(pid)))
+    events.sort()
+    last_event_idx = {}
+    for i, (_ts, _k, pid) in enumerate(events):
+        last_event_idx[pid] = i
+
+    inside: list[int] = []
+    for i, (_ts, kind, pid) in enumerate(events):
+        if kind == "enter":
+            for prev in list(inside):
+                # the ONLY legal overlap: prev crashed mid-hold (its
+                # dangling FINAL enter — no later events exist for it)
+                # and its lease was taken over
+                dangling_crash = (
+                    prev in crash_cohort and last_event_idx[prev] < i
+                )
+                assert dangling_crash, (
+                    f"two live holders overlapped: {prev} and {pid}\n"
+                    + open(ledger).read()
+                )
+                inside.remove(prev)
+            inside.append(pid)
+        else:
+            assert inside and inside[-1] == pid, f"exit without enter: {pid}"
+            inside.pop()
+    total_cycles = sum(1 for _t, k, _p in events if k == "exit")
+    assert total_cycles >= 12, f"too little contention exercised: {total_cycles}"
