@@ -57,4 +57,62 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _configure_log_hygiene(spark)
     return spark
+
+
+_LOG_HYGIENE_DONE = False
+
+
+def _configure_log_hygiene(spark: SparkSession) -> None:
+    """Drop exactly two known-benign log artifacts that otherwise
+    splatter multi-line ERROR/WARN stacks into clean run logs:
+
+    * ``AccumulatorContext: Attempted to access garbage collected
+      accumulator`` (WARN) and
+    * ``DAGScheduler: Failed to update accumulator ... (Unknown
+      class)`` (ERROR)
+
+    — both sides of the same race: a task-completion event reporting
+    SQLMetrics for a query whose Python handles were already dropped
+    and whose accumulators the ContextCleaner/JVM GC removed.  Task
+    ACCOUNTING only — results were already returned by the blocking
+    action; no correctness surface.  Observed as single-instant
+    clusters during the streaming entries of full bench runs (see
+    bench.py detail key ``accumulator_gc_race_r12``).  The DAGScheduler
+    suppression is a message-REGEX filter, not a level change — every
+    other DAGScheduler error stays visible.  Best-effort: any log4j2
+    API drift leaves logging untouched (the artifact is cosmetic)."""
+    global _LOG_HYGIENE_DONE
+    if _LOG_HYGIENE_DONE:
+        return
+    _LOG_HYGIENE_DONE = True
+    try:
+        jvm = spark._jvm
+        LogManager = jvm.org.apache.logging.log4j.LogManager
+        Level = jvm.org.apache.logging.log4j.Level
+        Configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        Configurator.setLevel(
+            "org.apache.spark.util.AccumulatorContext", Level.ERROR
+        )
+        ctx = LogManager.getContext(False)
+        cfg = ctx.getConfiguration()
+        Result = jvm.org.apache.logging.log4j.core.Filter.Result
+        RegexFilter = jvm.org.apache.logging.log4j.core.filter.RegexFilter
+        filt = RegexFilter.createFilter(
+            ".*Failed to update accumulator.*\\(Unknown class\\).*",
+            None,
+            False,
+            Result.DENY,
+            Result.NEUTRAL,
+        )
+        name = "org.apache.spark.scheduler.DAGScheduler"
+        lc = cfg.getLoggerConfig(name)
+        if lc.getName() != name:  # inherits root: make a dedicated config
+            LoggerConfig = jvm.org.apache.logging.log4j.core.config.LoggerConfig
+            lc = LoggerConfig(name, Level.ERROR, True)
+            cfg.addLogger(name, lc)
+        lc.addFilter(filt)
+        ctx.updateLoggers()
+    except Exception:  # pragma: no cover - log4j version drift
+        pass
