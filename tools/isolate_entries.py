@@ -1,0 +1,69 @@
+"""Generic quiet-host isolate: 7 fresh-process timed runs of the
+named registry entries, after bench.py's full warm-up (JVM + python
+workers + INDEX_WARMED).  Generalizes tools/isolate_r12.py so future
+rounds record waiver references without writing a new script.
+
+Usage: python tools/isolate_entries.py <entry> [<entry> ...]
+Prints one JSON line (the ISOLATES_r*.jsonl record format).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from etl_cpc_schema_spark import queries as Q  # noqa: E402
+from etl_cpc_schema_spark.session import get_spark  # noqa: E402
+
+names = sys.argv[1:]
+if not names:
+    raise SystemExit("usage: isolate_entries.py <entry> [<entry> ...]")
+unknown = [n for n in names if n not in Q.SPARK_QUERIES]
+if unknown:
+    raise SystemExit(f"unknown entries: {unknown}")
+
+spark = get_spark(app_name="isolate_entries")
+sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+load0 = os.getloadavg()[0]
+Q.SPARK_QUERIES["q09_group_count"](spark, sf).collect()
+
+
+def _warm_workers(batches):
+    import numpy  # noqa: F401
+
+    yield from batches
+
+
+spark.range(256).repartition(64).mapInPandas(
+    _warm_workers, schema="id long"
+).collect()
+for w in (
+    "ann_ivfpq_appended",
+    "ann_ivfpq_compacted",
+    "ann_ivfpq_filtered",
+    "stream_ann_probe",
+):
+    Q.SPARK_QUERIES[w](spark, sf).collect()
+
+res = {}
+for name in names:
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        Q.SPARK_QUERIES[name](spark, sf).collect()
+        ts.append(round(time.perf_counter() - t0, 3))
+    res[name] = ts
+print(
+    json.dumps(
+        {
+            "arm": "isolate_entries",
+            "sf_dir": sf,
+            "loadavg_start": load0,
+            "loadavg_end": os.getloadavg()[0],
+            "runs": res,
+        }
+    ),
+    flush=True,
+)
+spark.stop()
