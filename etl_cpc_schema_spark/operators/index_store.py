@@ -201,34 +201,72 @@ def _confirm_held(lock: str, me: str) -> bool:
     return False
 
 
+def _hb_interval(ttl_s: float) -> float:
+    """Heartbeat period: ``ttl_s / 4`` clamped into ``[0.05, ttl_s/2]``
+    so the refresh always lands well inside the TTL — the old
+    ``max(1.0, ttl_s/4)`` floor let short test TTLs (<= ~1.3s) cross
+    the TTL between beats, making a LIVE lease legally stealable
+    (round-12 ADVICE)."""
+    return min(max(0.05, ttl_s / 4.0), ttl_s / 2.0)
+
+
 def _start_heartbeat(lock: str, me: str, ttl_s: float):
-    """Refresh the held lease's mtime every ``ttl_s / 4`` so a
+    """Refresh the held lease's mtime every :func:`_hb_interval` so a
     mutation that legitimately outlives the TTL (a compaction folding
     corpus-sized tables through full Spark jobs) is never presumed
     crashed and stolen mid-write (round-11 ADVICE #2).  The beat
-    re-reads the holder first and stops silently if the lease no
-    longer names us — refreshing a thief's lock would extend THEIR
-    lease.  Returns the stop event; the daemon thread exits on set()
-    or on any filesystem error."""
+    re-reads the holder first and stops if the lease names a DIFFERENT
+    non-empty holder — refreshing a thief's lock would extend THEIR
+    lease.  A ``None`` read is NOT a stop signal: it happens
+    transiently while a slow contender rename-displaces the live lock
+    (the exact window the ``_confirm_held``/``_steal_stale`` restore
+    handles), so it is retried over a few short sleeps before the
+    thread gives up (round-12 ADVICE); likewise a transient
+    ``os.utime`` OSError is retried on the next beat and only stops
+    the refresh after three consecutive failures.  Returns the stop
+    event; the daemon thread exits on set()."""
     import threading
 
     stop = threading.Event()
-    interval = max(1.0, ttl_s / 4.0)
+    interval = _hb_interval(ttl_s)
 
     def beat() -> None:
+        utime_misses = 0
         while not stop.wait(interval):
-            holder, _age = _read_holder(lock)
-            if holder != me:
+            holder = None
+            for _ in range(4):  # ride out the displace→restore window
+                holder, _age = _read_holder(lock)
                 if holder is not None:
-                    log.warning(
-                        "index writer_lock heartbeat: lease at %r now "
-                        "names %r — stopping refresh", lock, holder,
-                    )
+                    break
+                if stop.wait(0.05):
+                    return
+            if holder is None:
+                log.warning(
+                    "index writer_lock heartbeat: lease at %r unreadable "
+                    "across retries — stopping refresh", lock,
+                )
+                return
+            if holder == "":
+                continue  # contender mid-create; next beat re-reads
+            if holder != me:
+                log.warning(
+                    "index writer_lock heartbeat: lease at %r now "
+                    "names %r — stopping refresh", lock, holder,
+                )
                 return
             try:
                 os.utime(lock)
+                utime_misses = 0
             except OSError:
-                return
+                utime_misses += 1
+                if utime_misses >= 3:
+                    log.warning(
+                        "index writer_lock heartbeat: mtime refresh failed "
+                        "%d consecutive beats at %r — stopping refresh; a "
+                        "TTL-long mutation may be presumed stale",
+                        utime_misses, lock,
+                    )
+                    return
 
     threading.Thread(
         target=beat, daemon=True, name="index-writer-lock-heartbeat"
@@ -243,8 +281,9 @@ def writer_lock(path: str, ttl_s: float = LOCK_TTL_S):
     exit removes it ONLY if it still names this process (a lease that
     was somehow taken over mid-write must not have the new holder's
     lock deleted out from under it by our cleanup).  While held, a
-    daemon heartbeat refreshes the lock's mtime every ``ttl_s / 4`` so
-    long mutations are never TTL-stolen mid-write.  If the lock
+    daemon heartbeat refreshes the lock's mtime every
+    :func:`_hb_interval` seconds so long mutations are never
+    TTL-stolen mid-write.  If the lock
     exists, the lease is taken over ONLY when provably stale — the
     recorded pid is dead on this host, or the lock's mtime is older
     than ``ttl_s`` — and takeover is serialized by an atomic rename
@@ -333,6 +372,16 @@ def writer_lock(path: str, ttl_s: float = LOCK_TTL_S):
     finally:
         hb_stop.set()
         holder, _age = _read_holder(lock)
+        if holder is None:
+            # Transient displacement at the instant of exit: a
+            # contender mid-_steal_stale has the lock renamed to its
+            # temp and will os.link-restore it on content mismatch.
+            # One beat, then re-read (mirroring the empty-holder
+            # re-read on acquire) — otherwise the restored lease
+            # naming this finished writer is stranded until the TTL,
+            # blocking cross-host writers (round-12 ADVICE).
+            time.sleep(0.05)
+            holder, _age = _read_holder(lock)
         if holder == me:
             try:
                 os.remove(lock)

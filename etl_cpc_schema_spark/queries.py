@@ -9548,71 +9548,17 @@ def stream_incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 
 #: Names enumerated FIRST in ``queries()``/``oracle_sql()``.  The round
 #: driver samples a 50-row subset of the registry per round; this list
-#: points the sample at the current evidence gap.  Round-12 rotation
-#: (VERDICT r11 "Next round" #1): Tier 1 is the complete 28-name
-#: r8-stale block — the oldest driver evidence in the ledger (every
-#: other query has an r9+ row); after this round no query's latest
-#: driver row is older than r9.  Tier 2 is the 50-name r9 block; the
+#: points the sample at the current evidence gap.  Round-13 rotation
+#: (VERDICT r12 "Next round" #1): Tier 1 is the complete 28-name
+#: r9-stale block — the oldest driver evidence in the ledger (every
+#: other query has an r10+ row); after this round no query's latest
+#: driver row is older than r10.  Tier 2 is the 50-name r10 block; the
 #: first ~22 of it also fit the 50-row sample, and the remainder is
-#: the staged head of the r13 rotation.  The evidence ledger (latest
+#: the staged head of the r14 rotation.  The evidence ledger (latest
 #: CORRECTNESS_r*.json round per query) is recomputed each round; see
 #: tools/ledger.py.
 _DRIVER_PRIORITY: list[str] = [
-    # Tier 1 — the r8-stale block, complete (VERDICT r11 #1).
-    "q08_max_per_group",
-    "q09_group_count",
-    "q10_topn_rank",
-    "q11_conditional_status",
-    "q12_parent_lookup",
-    "q13_normalize_split",
-    "q15_tumbling_window",
-    "q16_dedup_last_wins",
-    "q19_rollup",
-    "q20_set_ops",
-    "q24_pivot_counts",
-    "q25_cube",
-    "q26_distinct_exact",
-    "q28_unpivot",
-    "q29_interval_join",
-    "q30_skewed_agg",
-    "q32_quantiles",
-    "q33_grouped_topk",
-    "q37_range_window",
-    "q38_window_misc",
-    "q39_grouping_sets",
-    "q40_stats_agg",
-    "q41_string_funcs",
-    "q42_datetime_funcs",
-    "q46_nullsafe_join",
-    "q47_udtf_enumerate",
-    "q48_resample_gapfill",
-    "q49_snapshot_diff",
-    # Tier 2 — the r9 block; ~22 fit this round's sample, the rest
-    # stage the r13 rotation.  Streaming + index-backed families lead
-    # (they carry the r11/r12 perf-attribution work and deserve the
-    # freshest driver rows), then the remainder alphabetically.
-    "stream_ann_probe",
-    "stream_incremental_dedup",
-    "stream_dedup_counts",
-    "stream_static_join",
-    "stream_user_counts_stateful",
-    "stream_windowed_topk",
-    "ann_cosine_topk",
-    "ann_ivfpq_appended",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "approx_distinct_users",
-    "dedup_embedding_lsh",
-    "docs_chunk",
-    "docs_contamination",
-    "docs_dsir_weights",
-    "docs_pack_sequences",
-    "docs_pipeline",
-    "docs_stratified_sample",
-    "docs_temperature_sample",
-    "docs_train_split",
-    "multimodal_frames",
-    "multimodal_meta",
+    # Tier 1 — the r9-stale block, complete (VERDICT r12 #1).
     "multimodal_resize",
     "multimodal_video_dedup",
     "q01_regex_parse",
@@ -9641,6 +9587,62 @@ _DRIVER_PRIORITY: list[str] = [
     "q64_large_volume",
     "text_keywords",
     "text_lm_perplexity",
+    # Tier 2 — the r10 block; ~22 fit this round's sample, the rest
+    # stage the r14 rotation.  Streaming + index-backed families and
+    # the perf-watchlist entries (docs_semdedup, docs_bloom_contamination,
+    # text_gopher_filters) lead — they carry the r11/r12 attribution
+    # work and deserve the freshest driver rows — then the remainder
+    # alphabetically.
+    "stream_approx_distinct",
+    "stream_bloom_gate",
+    "stream_hourly_counts",
+    "stream_outer_join",
+    "stream_sessionize",
+    "stream_stream_join",
+    "ann_filtered_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_compacted",
+    "ann_ivfpq_deleted",
+    "ann_ivfpq_filtered",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk_probed",
+    "ann_pq_topk",
+    "docs_semdedup",
+    "docs_bloom_contamination",
+    "docs_dedup_index_maintained",
+    "text_gopher_filters",
+    "multimodal_audio_dedup",
+    "approx_heavy_hitters",
+    "approx_hll_mergeable",
+    "approx_quantiles_bounded",
+    "docs_ccnet_buckets",
+    "docs_cdc_chunk",
+    "docs_cdc_dedup",
+    "docs_dup_spans",
+    "docs_kmeans_prune",
+    "docs_scrub_dup_spans",
+    "docs_source_overlap",
+    "q18_join_agg",
+    "q58_shipping_priority",
+    "q59_local_supplier_volume",
+    "q63_promo_share",
+    "q66_avg_quantity_outliers",
+    "q67_waiting_suppliers",
+    "q68_sales_opportunity",
+    "q69_top_supplier",
+    "q70_nation_value_share",
+    "q71_disjunctive_revenue",
+    "q72_market_share",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality_filter",
+    "text_repetition",
+    "text_rolling_hash",
+    "text_stats",
+    "text_token_bpe",
+    "text_token_freq",
+    "text_url_domains",
 ]
 
 

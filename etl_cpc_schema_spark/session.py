@@ -14,6 +14,7 @@ configuration knobs are the ones that matter on a real cluster:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
@@ -80,9 +81,17 @@ def _configure_log_hygiene(spark: SparkSession) -> None:
     action; no correctness surface.  Observed as single-instant
     clusters during the streaming entries of full bench runs (see
     bench.py detail key ``accumulator_gc_race_r12``).  The DAGScheduler
-    suppression is a message-REGEX filter, not a level change — every
-    other DAGScheduler error stays visible.  Best-effort: any log4j2
-    API drift leaves logging untouched (the artifact is cosmetic)."""
+    suppression is a message-REGEX filter, not a level change: when a
+    dedicated LoggerConfig has to be created (the normal case — the
+    DAGScheduler inherits root), it is created at the EFFECTIVE
+    INHERITED level (the root logger's), so every other DAGScheduler
+    WARN/ERROR ('Broadcasting large task binary', stage-retry
+    warnings, real failures) still passes; only the regex-matched
+    message is DENY-filtered.  Best-effort: any log4j2 API drift
+    leaves logging untouched (the artifact is cosmetic) but is
+    reported as one Python-side WARNING rather than swallowed, so a
+    future Spark upgrade that breaks the filter is visible in the
+    first run log instead of re-surfacing as mystery GC-race noise."""
     global _LOG_HYGIENE_DONE
     if _LOG_HYGIENE_DONE:
         return
@@ -110,9 +119,19 @@ def _configure_log_hygiene(spark: SparkSession) -> None:
         lc = cfg.getLoggerConfig(name)
         if lc.getName() != name:  # inherits root: make a dedicated config
             LoggerConfig = jvm.org.apache.logging.log4j.core.config.LoggerConfig
-            lc = LoggerConfig(name, Level.ERROR, True)
+            # Inherit the effective level (root's — WARN after the
+            # setLogLevel above) instead of pinning ERROR: the filter,
+            # not the level, is the suppression mechanism (ADVICE r12).
+            lc = LoggerConfig(name, cfg.getRootLogger().getLevel(), True)
             cfg.addLogger(name, lc)
         lc.addFilter(filt)
         ctx.updateLoggers()
-    except Exception:  # pragma: no cover - log4j version drift
-        pass
+    except Exception as exc:  # pragma: no cover - exercised via monkeypatch
+        # Loud-but-harmless (VERDICT r12 #4): the session still builds,
+        # but the operator learns the benign GC-race cluster may appear.
+        logging.getLogger(__name__).warning(
+            "accumulator-GC log filter not installed (%s: %s); run logs "
+            "may carry the known-benign accumulator GC race messages",
+            type(exc).__name__,
+            exc,
+        )

@@ -820,3 +820,114 @@ while done < 6 and time.time() < deadline:
             inside.pop()
     total_cycles = sum(1 for _t, k, _p in events if k == "exit")
     assert total_cycles >= 12, f"too little contention exercised: {total_cycles}"
+
+
+def test_hb_interval_always_inside_ttl():
+    """The heartbeat period must land well inside the TTL for ANY
+    ttl_s, including the short ones tests use — the old
+    ``max(1.0, ttl/4)`` floor let a held lease's mtime age cross
+    ttl_s between beats for ttl_s <= ~1.3s, making a LIVE lease
+    legally stealable (round-12 ADVICE)."""
+    for ttl in (0.1, 0.5, 1.0, 1.3, 2.0, 4.0, 3600.0):
+        iv = IS._hb_interval(ttl)
+        assert iv <= ttl / 2.0, (ttl, iv)
+        assert iv >= 0.05, (ttl, iv)
+
+
+def test_heartbeat_survives_transient_displacement(tmp_path):
+    """A slow contender rename-displaces the live lock and then
+    os.link-restores it on content mismatch (see _steal_stale) — the
+    heartbeat must ride out that None-read window instead of
+    permanently stopping, or a long compaction silently loses TTL
+    protection (round-12 ADVICE)."""
+    import time
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    lock = os.path.join(path, IS.LOCK)
+    me = "123@hb-host"
+    with open(lock, "w") as fh:
+        fh.write(me)
+    stop = IS._start_heartbeat(lock, me, ttl_s=0.2)  # interval 0.05 s
+    try:
+        displaced = lock + ".displaced"
+        os.rename(lock, displaced)  # >=1 beat reads None in this gap
+        time.sleep(0.12)  # inside the 4 x 50 ms retry budget
+        os.rename(displaced, lock)
+        old = time.time() - 3600
+        os.utime(lock, (old, old))
+        deadline = time.time() + 3.0
+        while (
+            time.time() < deadline
+            and time.time() - os.path.getmtime(lock) > 60
+        ):
+            time.sleep(0.02)
+        assert time.time() - os.path.getmtime(lock) < 60, (
+            "heartbeat stopped after a transient lock displacement"
+        )
+    finally:
+        stop.set()
+
+
+def test_heartbeat_retries_transient_utime_failure(tmp_path, monkeypatch):
+    """A transient utime OSError (e.g. a momentary FS hiccup) must not
+    permanently stop the refresh — only 3 CONSECUTIVE failures do
+    (round-12 ADVICE)."""
+    import time
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    lock = os.path.join(path, IS.LOCK)
+    me = "123@hb-host"
+    with open(lock, "w") as fh:
+        fh.write(me)
+    real_utime = os.utime
+    fails = {"n": 0}
+
+    def flaky(p, *a, **k):
+        # only the heartbeat's bare utime(lock) call fails, twice
+        if p == lock and not a and not k and fails["n"] < 2:
+            fails["n"] += 1
+            raise OSError("transient refresh failure")
+        return real_utime(p, *a, **k)
+
+    monkeypatch.setattr(IS.os, "utime", flaky)
+    old = time.time() - 3600
+    real_utime(lock, (old, old))
+    stop = IS._start_heartbeat(lock, me, ttl_s=0.2)  # interval 0.05 s
+    try:
+        deadline = time.time() + 3.0
+        while (
+            time.time() < deadline
+            and time.time() - os.path.getmtime(lock) > 60
+        ):
+            time.sleep(0.02)
+        assert fails["n"] == 2, "the injected transient failures never hit"
+        assert time.time() - os.path.getmtime(lock) < 60, (
+            "heartbeat stopped on a transient utime failure"
+        )
+    finally:
+        stop.set()
+
+
+def test_release_rereads_transient_displacement(tmp_path):
+    """If a contender has the lock rename-displaced at the instant of
+    exit, the holder read is None and removal would be skipped — the
+    contender's os.link restore then strands a lease naming a finished
+    writer until the TTL.  Release re-reads once after a beat
+    (mirroring the empty-holder re-read on acquire) so the restored
+    lease is removed (round-12 ADVICE)."""
+    import threading
+
+    path = str(tmp_path / "idx")
+    lock = os.path.join(path, IS.LOCK)
+    restorer = None
+    with IS.writer_lock(path, ttl_s=30.0):
+        displaced = lock + ".displaced"
+        os.rename(lock, displaced)
+        restorer = threading.Timer(0.02, lambda: os.link(displaced, lock))
+        restorer.start()
+    restorer.join()
+    assert not os.path.exists(lock), (
+        "release stranded a lease naming a finished writer"
+    )

@@ -1,0 +1,85 @@
+"""Log-hygiene contract for the session builder (session.py).
+
+Two properties, both ordered by round-12 review:
+
+* the DAGScheduler suppression is a message-REGEX filter, not a level
+  change — when a dedicated LoggerConfig has to be created it inherits
+  the root logger's effective level, so every OTHER DAGScheduler
+  WARN/ERROR still passes (ADVICE r12 medium);
+* a log4j2 API failure while installing the filter is loud-but-
+  harmless: the session still builds, and one Python-side WARNING says
+  the benign accumulator-GC race may appear in logs (VERDICT r12 #4).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pytest
+
+from etl_cpc_schema_spark import session as sess
+
+DAG = "org.apache.spark.scheduler.DAGScheduler"
+
+
+def test_log_hygiene_failure_is_loud_and_harmless(monkeypatch, caplog):
+    """If the log4j2 handle raises (API drift on a future Spark), the
+    hygiene step must swallow the error — the session build proceeds —
+    but emit one WARNING naming the consequence, not fail silently."""
+    monkeypatch.setattr(sess, "_LOG_HYGIENE_DONE", False)
+
+    class BoomSession:
+        @property
+        def _jvm(self):
+            raise RuntimeError("log4j2 api drift")
+
+    with caplog.at_level(logging.WARNING, logger=sess.__name__):
+        result = sess._configure_log_hygiene(BoomSession())
+    assert result is None  # no exception escaped: the session builds
+    assert "accumulator-GC log filter not installed" in caplog.text
+    assert "RuntimeError" in caplog.text
+
+
+def test_dagscheduler_logger_inherits_root_level(spark):
+    """The dedicated DAGScheduler LoggerConfig created by the hygiene
+    step must sit at the root logger's effective level (WARN after
+    setLogLevel) — NOT Level.ERROR, which silently dropped all
+    DAGScheduler WARN/INFO ('Broadcasting large task binary',
+    stage-retry warnings) — and carry the DENY RegexFilter as the only
+    suppression mechanism."""
+    jvm = spark._jvm
+    ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+    cfg = ctx.getConfiguration()
+    lc = cfg.getLoggerConfig(DAG)
+    if lc.getName() != DAG:
+        pytest.skip("hygiene step did not run in this JVM (log4j drift)")
+    root_level = cfg.getRootLogger().getLevel().toString()
+    assert lc.getLevel().toString() == root_level, (
+        f"DAGScheduler config at {lc.getLevel()} hides WARNs the root "
+        f"({root_level}) would show"
+    )
+    assert lc.getFilter() is not None, "DENY RegexFilter not installed"
+
+
+def test_dagscheduler_other_errors_still_pass(spark):
+    """The filter is message-targeted: a DAGScheduler ERROR that does
+    not match the accumulator-GC regex must reach the appenders (the
+    filter returns NEUTRAL for it), and the known-benign message must
+    be DENYed."""
+    jvm = spark._jvm
+    ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+    cfg = ctx.getConfiguration()
+    lc = cfg.getLoggerConfig(DAG)
+    if lc.getName() != DAG:
+        pytest.skip("hygiene step did not run in this JVM (log4j drift)")
+    filt = lc.getFilter()
+    Level = jvm.org.apache.logging.log4j.Level
+    logger = jvm.org.apache.logging.log4j.LogManager.getLogger(DAG)
+    benign = (
+        "Failed to update accumulator 42 (Unknown class) for task 7"
+    )
+    real = "Stage 3 failed: executor lost"
+    deny = filt.filter(logger, Level.ERROR, None, benign).toString()
+    neutral = filt.filter(logger, Level.ERROR, None, real).toString()
+    assert deny == "DENY", f"benign GC-race message not filtered: {deny}"
+    assert neutral == "NEUTRAL", f"real DAGScheduler error filtered: {neutral}"

@@ -57,7 +57,7 @@ for name in names:
 print(
     json.dumps(
         {
-            "arm": "isolate_entries",
+            "arm": os.environ.get("SPARK_GRAFT_ISOLATE_ARM", "isolate_entries"),
             "sf_dir": sf,
             "loadavg_start": load0,
             "loadavg_end": os.getloadavg()[0],
