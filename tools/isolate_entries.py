@@ -23,9 +23,20 @@ unknown = [n for n in names if n not in Q.SPARK_QUERIES]
 if unknown:
     raise SystemExit(f"unknown entries: {unknown}")
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — hypervisor CPU steal
+    is the actual interference mechanism on this host (loadavg decays
+    minutes after a steal wave and implicates nothing)."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()[1:]
+    vals = [int(x) for x in parts[:8]]
+    return sum(vals), vals[7]
+
+
 spark = get_spark(app_name="isolate_entries")
 sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 load0 = os.getloadavg()[0]
+tot0, steal0 = _cpu_jiffies()
 Q.SPARK_QUERIES["q09_group_count"](spark, sf).collect()
 
 
@@ -61,6 +72,12 @@ print(
             "sf_dir": sf,
             "loadavg_start": load0,
             "loadavg_end": os.getloadavg()[0],
+            "steal_pct": round(
+                100.0
+                * (_cpu_jiffies()[1] - steal0)
+                / max(1, _cpu_jiffies()[0] - tot0),
+                3,
+            ),
             "runs": res,
         }
     ),
