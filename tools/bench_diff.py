@@ -19,15 +19,57 @@ import sys
 
 NOISE_PCT = 30.0
 
+#: Entries whose TIMED REGION changed in a given round: a delta whose
+#: window spans the change round measures the measurement, not the
+#: engine (r12 ADVICE), so it is annotated instead of percent-flagged.
+#: name -> (change_round, note)
+MEASUREMENT_CHANGES = {
+    "stream_ann_probe": (
+        12,
+        "r12 moved the k-means save to warm-up; only the recorded "
+        "isolate anchors (r13: 7.583s mid-3) are comparable across it",
+    ),
+}
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _round_of(path: str) -> int | None:
+    import re
+
+    m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
 def load(path: str) -> dict:
-    """Accept either bench.py's raw one-line JSON or the driver's
-    BENCH_r*.json wrapper (bench line under 'parsed')."""
+    """Accept bench.py's raw one-line JSON, a BENCH_DETAIL.json, or
+    the driver's BENCH_r*.json wrapper (bench line under 'parsed').
+    Since round 7 the stdout line carries no per-query map (it points
+    at BENCH_DETAIL.json), so for a wrapper we recover the graded
+    per-query timings from the BENCH_DETAIL.json committed by that
+    round's driver commit ("round N: ...")."""
     with open(path) as f:
         doc = json.load(f)
-    return doc.get("parsed", doc)
+    doc = doc.get("parsed", doc)
+    rnd = _round_of(path)
+    if "queries" not in doc and rnd is not None:
+        import subprocess
+
+        try:
+            sha = subprocess.run(
+                ["git", "-C", REPO, "log", "--format=%H", "-1",
+                 "--grep", f"^round {rnd}:"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            if sha:
+                blob = subprocess.run(
+                    ["git", "-C", REPO, "show", f"{sha}:BENCH_DETAIL.json"],
+                    capture_output=True, text=True, check=True,
+                ).stdout
+                doc["queries"] = json.loads(blob).get("queries", {})
+        except (subprocess.CalledProcessError, json.JSONDecodeError):
+            pass  # totals-only diff still works
+    return doc
 
 
 def main() -> None:
@@ -50,6 +92,12 @@ def main() -> None:
             continue
         pct = (b - a) / a * 100 if a else 0.0
         flag = "~" if abs(pct) < NOISE_PCT else (f"{pct:+.0f}%")
+        ro, rn = _round_of(old_p), _round_of(new_p)
+        chg = MEASUREMENT_CHANGES.get(name)
+        if chg and ro is not None and rn is not None and ro < chg[0] <= rn:
+            flag = f"measurement changed ({chg[1]})"
+            rows.append((0.0, name, a, b, flag))
+            continue
         rows.append((abs(pct), name, a, b, flag))
     for _, name, a, b, flag in sorted(rows, reverse=True):
         print(f"  {name:32s} {a if a is not None else '-':>8} -> "
