@@ -119,3 +119,39 @@ def test_streaming_aqe_notice_denied_other_warns_pass(spark):
     )
     assert filt.filter(logger, Level.WARN, None, benign).toString() == "DENY"
     assert filt.filter(logger, Level.WARN, None, real).toString() == "NEUTRAL"
+
+
+@pytest.mark.parametrize(
+    ("name", "benign", "real"),
+    [
+        (
+            "org.apache.spark.sql.execution.CacheManager",
+            "Asked to cache already cached data.",
+            "Data has already been cached but with different storage level",
+        ),
+        (
+            "org.apache.spark.storage.BlockManager",
+            "Block rdd_11907_0 already exists on this machine; "
+            "not re-adding it",
+            "Persisting block rdd_3_0 to disk instead.",
+        ),
+    ],
+)
+def test_noop_notice_denied_real_warns_pass(spark, name, benign, real):
+    """The cache/block no-op notices the invariant-retention pattern
+    produces by design are DENYed; anything else from the same
+    loggers (storage-level conflicts, disk-spill notices) passes."""
+    jvm = spark._jvm
+    ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+    cfg = ctx.getConfiguration()
+    lc = cfg.getLoggerConfig(name)
+    if lc.getName() != name:
+        pytest.skip("hygiene step did not run in this JVM (log4j drift)")
+    root_level = cfg.getRootLogger().getLevel().toString()
+    assert lc.getLevel().toString() == root_level
+    filt = lc.getFilter()
+    assert filt is not None
+    Level = jvm.org.apache.logging.log4j.Level
+    logger = jvm.org.apache.logging.log4j.LogManager.getLogger(name)
+    assert filt.filter(logger, Level.WARN, None, benign).toString() == "DENY"
+    assert filt.filter(logger, Level.WARN, None, real).toString() == "NEUTRAL"
