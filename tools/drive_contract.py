@@ -31,14 +31,21 @@ import __spark_entry__ as E
 # vanilla session — deliberately NOT the engine's tuned factory.
 # CPUS/PARTS env overrides let the sweep re-run under a different
 # parallelism to catch partition-order-sensitive nondeterminism
-# (the driver's own session config is unknown).
+# (the driver's own session config is unknown).  MEM sizes the JVM
+# heap only: the cross-SF arm at sf0.1 OOMs under Spark's 1g default
+# (8 concurrent SMJ sorts' spill-reader buffers in a 128MB/thread
+# heap — round 13 reproduced the q82 heap death in a fresh JVM; any
+# real deployment sizes executors in GB).  Heap size is harness
+# infrastructure, not engine tuning — SQL semantics stay vanilla.
 import os as _os
 
 _cpus = _os.environ.get("SPARK_GRAFT_DRIVE_CPUS", "8")
 _parts = _os.environ.get("SPARK_GRAFT_DRIVE_PARTS", "8")
+_mem = _os.environ.get("SPARK_GRAFT_DRIVE_MEM", "4g")
 spark = (
     SparkSession.builder.master(f"local[{_cpus}]")
     .config("spark.sql.shuffle.partitions", _parts)
+    .config("spark.driver.memory", _mem)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
