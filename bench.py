@@ -319,6 +319,7 @@ def main() -> None:
     # truncated string — VERDICT r6 #1).  Keep stdout to the medians
     # only, at 3 decimals, and write the diagnostic detail (spread,
     # run policy) to a side file the judge can read from the repo.
+    bench_tot1, bench_steal1 = _cpu_jiffies()
     detail = {
         "spread": spread,
         "mid3_spread": mid3_spread,
@@ -339,10 +340,14 @@ def main() -> None:
         # host idles at ~0.03-0.15% steal; waves of 3-10%+ arrive for
         # minutes at a time and elevate every control entry.
         "steal_pct_per_query": steal_pct,
+        # one snapshot for numerator AND denominator: two reads would
+        # let jiffies accrued between them (worst mid-steal-wave, the
+        # very thing being measured) inflate the denominator and
+        # understate the figure
         "steal_pct_total": round(
             100.0
-            * (_cpu_jiffies()[1] - bench_steal0)
-            / max(1, _cpu_jiffies()[0] - bench_tot0),
+            * (bench_steal1 - bench_steal0)
+            / max(1, bench_tot1 - bench_tot0),
             2,
         ),
         "aggregation": "median_of_middle3",

@@ -107,11 +107,28 @@ def _semantic_key(df: DataFrame):
     same hash resolve to the same CacheManager entry, so registering
     both as separate sets would make eviction of one drop the other's
     cache.  Falls back to object identity (no dedup, the pre-r13
-    behavior) if the JVM plan handle is unavailable."""
+    behavior) if the API is unavailable."""
     try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:  # pragma: no cover - py4j API drift
+        return df.semanticHash()
+    except Exception:  # pragma: no cover - API drift
         return id(df)
+
+
+def _same_set(stored: tuple, new: tuple) -> bool:
+    """Exact plan equality for a hash-matched registry entry.  The
+    32-bit-per-frame hash tuple narrows to one candidate; this
+    confirms with ``sameSemantics`` so a hash collision between
+    DISTINCT plan-sets cannot silently merge them (which would leave
+    the new set's persisted frames unregistered — the exact unbounded
+    leak the registry exists to bound).  Unconfirmable → treated as
+    distinct: appending a duplicate set is bounded by the window,
+    while wrongly merging leaks."""
+    if len(stored) != len(new):
+        return False
+    try:
+        return all(a.sameSemantics(b) for a, b in zip(stored, new))
+    except Exception:  # pragma: no cover - API drift
+        return False
 
 
 def _finish(result: DataFrame, *invariants: DataFrame) -> DataFrame:
@@ -120,7 +137,7 @@ def _finish(result: DataFrame, *invariants: DataFrame) -> DataFrame:
         doomed = []
         with _registry_mu:
             for i, (k, _s) in enumerate(_live_invariants):
-                if k == key:
+                if k == key and _same_set(_s, invariants):
                     # identical repeat: LRU-refresh the existing set —
                     # the new call's persist() was a CacheManager no-op
                     # on the same entry, so the old handles stay the

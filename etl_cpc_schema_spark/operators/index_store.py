@@ -372,14 +372,18 @@ def writer_lock(path: str, ttl_s: float = LOCK_TTL_S):
     finally:
         hb_stop.set()
         holder, _age = _read_holder(lock)
-        if holder is None:
-            # Transient displacement at the instant of exit: a
-            # contender mid-_steal_stale has the lock renamed to its
-            # temp and will os.link-restore it on content mismatch.
-            # One beat, then re-read (mirroring the empty-holder
-            # re-read on acquire) — otherwise the restored lease
-            # naming this finished writer is stranded until the TTL,
-            # blocking cross-host writers (round-12 ADVICE).
+        # Transient displacement at the instant of exit: a contender
+        # mid-_steal_stale has the lock renamed to its temp and will
+        # os.link-restore it on content mismatch.  Ride the window out
+        # with the same 4x50ms budget the heartbeat gets (a contender
+        # descheduled >50ms between its rename and restore — plausible
+        # under this host's CPU-steal waves — defeated a single
+        # re-read) — otherwise the restored lease naming this finished
+        # writer is stranded until the TTL, blocking cross-host
+        # writers (round-12 ADVICE).
+        for _ in range(4):
+            if holder is not None:
+                break
             time.sleep(0.05)
             holder, _age = _read_holder(lock)
         if holder == me:

@@ -102,13 +102,18 @@ def _configure_log_hygiene(spark: SparkSession) -> None:
       DAGScheduler broadcast-size / stage-retry warnings and
       WindowExec's no-partition warning — those carry real signal.
 
-    All suppressions are message-REGEX filters, not level changes:
+    All the suppressions above are message-REGEX filters, not level
+    changes — with ONE deliberate exception: AccumulatorContext is
+    level-pinned to ERROR, because its only WARN-level output in
+    Spark's source is the GC-race message itself (the WARN half of
+    the DAGScheduler pair), so the pin and a regex are equivalent
+    there and the pin is cheaper.  For the regex-filtered loggers,
     when a dedicated LoggerConfig has to be created (the normal case —
-    these loggers inherit root), it is created at the EFFECTIVE
-    INHERITED level (the root logger's), so every other WARN/ERROR
-    from the same logger ('Broadcasting large task binary',
-    stage-retry warnings, temp-checkpoint notices, real failures)
-    still passes; only the regex-matched messages are DENY-filtered.
+    they inherit root), it is created at the EFFECTIVE INHERITED
+    level (the root logger's), so every other WARN/ERROR from the
+    same logger ('Broadcasting large task binary', stage-retry
+    warnings, temp-checkpoint notices, real failures) still passes;
+    only the regex-matched messages are DENY-filtered.
     Best-effort: any log4j2 API drift leaves logging untouched (the
     artifacts are cosmetic) but is reported as one Python-side
     WARNING rather than swallowed, so a future Spark upgrade that
@@ -150,30 +155,48 @@ def _configure_log_hygiene(spark: SparkSession) -> None:
                 ".*already exists on this machine; not re-adding it.*",
             ),
         )
+        failed: list = []
         for name, regex in deny:
-            filt = RegexFilter.createFilter(
-                regex,
-                None,
-                False,
-                Result.DENY,
-                Result.NEUTRAL,
-            )
-            lc = cfg.getLoggerConfig(name)
-            if lc.getName() != name:  # inherits root: dedicated config
-                LoggerConfig = (
-                    jvm.org.apache.logging.log4j.core.config.LoggerConfig
+            # per-entry isolation: one failing install (the API-drift
+            # case this handler exists for) must not abandon the
+            # entries already added NOR the updateLoggers() publish
+            # below — a half-installed state whose warning claimed
+            # "not installed" would misreport what is active
+            try:
+                filt = RegexFilter.createFilter(
+                    regex,
+                    None,
+                    False,
+                    Result.DENY,
+                    Result.NEUTRAL,
                 )
-                # Inherit the effective level (root's — WARN after the
-                # setLogLevel above) instead of pinning ERROR: the
-                # filter, not the level, is the suppression mechanism
-                # (ADVICE r12).
-                lc = LoggerConfig(name, cfg.getRootLogger().getLevel(), True)
-                cfg.addLogger(name, lc)
-            lc.addFilter(filt)
+                lc = cfg.getLoggerConfig(name)
+                if lc.getName() != name:  # inherits root: own config
+                    LoggerConfig = (
+                        jvm.org.apache.logging.log4j.core.config.LoggerConfig
+                    )
+                    # Inherit the effective level (root's — WARN after
+                    # the setLogLevel above) instead of pinning ERROR:
+                    # the filter, not the level, is the suppression
+                    # mechanism (ADVICE r12).
+                    lc = LoggerConfig(
+                        name, cfg.getRootLogger().getLevel(), True
+                    )
+                    cfg.addLogger(name, lc)
+                lc.addFilter(filt)
+            except Exception as exc:  # pragma: no cover - log4j drift
+                failed.append(f"{name} ({type(exc).__name__}: {exc})")
         ctx.updateLoggers()
+        if failed:
+            logging.getLogger(__name__).warning(
+                "log-hygiene DENY filter install failed for %s; the "
+                "corresponding known-benign messages may appear in "
+                "run logs (other filters are active)",
+                "; ".join(failed),
+            )
     except Exception as exc:  # pragma: no cover - exercised via monkeypatch
         # Loud-but-harmless (VERDICT r12 #4): the session still builds,
-        # but the operator learns the benign GC-race cluster may appear.
+        # but the operator learns the benign noise may appear.
         logging.getLogger(__name__).warning(
             "log-hygiene DENY filters not installed (%s: %s); run logs "
             "may carry the known-benign accumulator GC race and "

@@ -94,10 +94,24 @@ def main() -> None:
         flag = "~" if abs(pct) < NOISE_PCT else (f"{pct:+.0f}%")
         ro, rn = _round_of(old_p), _round_of(new_p)
         chg = MEASUREMENT_CHANGES.get(name)
-        if chg and ro is not None and rn is not None and ro < chg[0] <= rn:
-            flag = f"measurement changed ({chg[1]})"
-            rows.append((0.0, name, a, b, flag))
-            continue
+        if chg:
+            if ro is not None and rn is not None:
+                if ro < chg[0] <= rn:
+                    rows.append(
+                        (0.0, name, a, b, f"measurement changed ({chg[1]})")
+                    )
+                    continue
+                # both rounds known and on the same side of the change:
+                # the delta is a real comparison, no caveat
+            else:
+                # a raw bench line / BENCH_DETAIL input carries no
+                # round — can't prove the window avoids the change, so
+                # carry the caveat with the flag instead of silently
+                # re-exposing the bogus percent (r12 ADVICE)
+                flag += (
+                    f"  [timed region changed in r{chg[0]} — "
+                    f"ignore unless both sides are r{chg[0]}+]"
+                )
         rows.append((abs(pct), name, a, b, flag))
     for _, name, a, b, flag in sorted(rows, reverse=True):
         print(f"  {name:32s} {a if a is not None else '-':>8} -> "

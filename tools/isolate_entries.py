@@ -23,15 +23,11 @@ unknown = [n for n in names if n not in Q.SPARK_QUERIES]
 if unknown:
     raise SystemExit(f"unknown entries: {unknown}")
 
-def _cpu_jiffies() -> tuple[int, int]:
-    """(total, steal) jiffies from /proc/stat — hypervisor CPU steal
-    is the actual interference mechanism on this host (loadavg decays
-    minutes after a steal wave and implicates nothing)."""
-    with open("/proc/stat") as fh:
-        parts = fh.readline().split()[1:]
-    vals = [int(x) for x in parts[:8]]
-    return sum(vals), vals[7]
-
+# hypervisor CPU steal is the actual interference mechanism on this
+# host (loadavg decays minutes after a steal wave and implicates
+# nothing); one shared parser so the /proc/stat handling cannot drift
+# between the bench and the isolate tool
+from bench import _cpu_jiffies  # noqa: E402
 
 spark = get_spark(app_name="isolate_entries")
 sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +61,7 @@ for name in names:
         Q.SPARK_QUERIES[name](spark, sf).collect()
         ts.append(round(time.perf_counter() - t0, 3))
     res[name] = ts
+tot1, steal1 = _cpu_jiffies()  # one snapshot: paired num/denominator
 print(
     json.dumps(
         {
@@ -73,9 +70,7 @@ print(
             "loadavg_start": load0,
             "loadavg_end": os.getloadavg()[0],
             "steal_pct": round(
-                100.0
-                * (_cpu_jiffies()[1] - steal0)
-                / max(1, _cpu_jiffies()[0] - tot0),
+                100.0 * (steal1 - steal0) / max(1, tot1 - tot0),
                 3,
             ),
             "runs": res,
