@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .iterutils import iter_checkpoint, release
+from .iterutils import checkpoint_with_probe, iter_checkpoint, release
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -95,16 +95,24 @@ def connected_components_star(
             F.col("u") != F.col("v")
         )
     )
+    n_prev: int | None = None
     for _ in range(max_rounds):
-        new_e = iter_checkpoint(_small_star(_large_star(e)))
-        # fixpoint probe: the edge set is stable when nothing is new in
-        # either direction; counts first (cheap) short-circuits exceptAll
+        # the count that materializes the round IS the first half of
+        # the fixpoint probe (checkpoint_with_probe, round 13), and
+        # the previous round's count is carried forward instead of
+        # re-counted — one action per round on the converging path
+        new_e, n_new = checkpoint_with_probe(
+            _small_star(_large_star(e)), lambda d: d.count()
+        )
+        if n_prev is None:
+            n_prev = e.count()
+        # counts first (cheap) short-circuits exceptAll
         stable = (
-            new_e.count() == e.count()
-            and new_e.exceptAll(e).limit(1).count() == 0
+            n_new == n_prev and new_e.exceptAll(e).limit(1).count() == 0
         )
         release(e)
         e = new_e
+        n_prev = n_new
         if stable:
             break
     else:
@@ -162,18 +170,21 @@ def connected_components(
         )
         # the convergence flag is computed DURING the update (labels
         # only ever decrease, so changed ⟺ a neighbor label was
-        # smaller) — probing it is a filter over the checkpointed
-        # round, not a second old-vs-new shuffle join per round
-        new_ckpt = iter_checkpoint(
+        # smaller), and the probe aggregation is the SAME action that
+        # materializes the round (checkpoint_with_probe, round 13):
+        # one driver round-trip per round instead of two
+        new_ckpt, changed = checkpoint_with_probe(
             labels.join(nb_min, labels.node == nb_min.src, "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
                 ).alias("label"),
                 (F.col("nb_label") < F.col("label")).alias("changed"),
-            )
+            ),
+            lambda d: d.agg(
+                F.count(F.when(F.col("changed"), True))
+            ).collect()[0][0],
         )
-        changed = new_ckpt.filter(F.col("changed")).limit(1).count()
         release(ckpt)  # release the materialized round, not a projection
         ckpt = new_ckpt
         labels = new_ckpt.select("node", "label")

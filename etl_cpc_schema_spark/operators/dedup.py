@@ -28,7 +28,7 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .iterutils import iter_checkpoint
+from .iterutils import fan_out, iter_checkpoint
 
 from ..functions import hashing as H
 from ..functions import text as TX
@@ -130,7 +130,10 @@ def shingle_table(
         distinct=True,
         mapping=(("doc_id", "ids"), ("shingles", "grams"), ("n_sh", "cnt")),
     )
-    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+    # fan the narrow scan out BEFORE the Arrow pass (round 13): with a
+    # single-partition input the whole tokenize+shingle cost runs in
+    # one Python worker; no-op when the input is already parallel
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(gen, out_schema)
 
 
 def span_table(
@@ -158,7 +161,8 @@ def span_table(
         distinct=False,
         mapping=(("doc_id", "ids"), ("n_spans", "cnt"), ("grams", "grams")),
     )
-    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+    # same single-worker fan-out as shingle_table (round 13)
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(gen, out_schema)
 
 
 def ngram_jaccard_pairs(

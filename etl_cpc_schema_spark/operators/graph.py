@@ -259,22 +259,49 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    outdeg = e.groupBy(*gc, "u").agg(F.count("*").alias("_od"))
+    # e ⋈ outdeg is LOOP-INVARIANT (round 13, guide §1.2 "remove
+    # unnecessary passes"): the arc list and its out-degrees never
+    # change across iterations, so joining them inside the loop paid
+    # one extra join (and its exchange) per iteration.  Hoist and
+    # persist the joined frame once; each iteration then joins ONLY
+    # the ranks that actually changed.
+    e_od = e.join(
+        e.groupBy(*gc, "u").agg(F.count("*").alias("_od")), [*gc, "u"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     base = unit * (1000 - damping_milli) // 1000
     ranks = nodes.withColumn("rank", F.lit(unit).cast("bigint"))
-    for _ in range(iterations):
-        contrib = (
-            e.join(outdeg, [*gc, "u"])
-            .join(
-                ranks.withColumnRenamed("node", "u").withColumnRenamed(
-                    "rank", "_ru"
-                ),
-                [*gc, "u"],
+    for it in range(iterations):
+        if it == 0:
+            # iteration 1 collapses algebraically (round 13, the
+            # label_propagation round-0 precedent): every rank is
+            # still the literal ``unit``, so the ranks join is an
+            # identity lookup — each arc's share is unit div outdeg
+            # with no join at all
+            contrib = (
+                e_od.select(
+                    *gc,
+                    F.col("v").alias("node"),
+                    F.expr(f"CAST({unit} AS BIGINT) div _od").alias("_sh"),
+                )
+                .groupBy(*gc, "node")
+                .agg(F.sum("_sh").alias("_c"))
             )
-            .select(*gc, F.col("v").alias("node"), F.expr("_ru div _od").alias("_sh"))
-            .groupBy(*gc, "node")
-            .agg(F.sum("_sh").alias("_c"))
-        )
+        else:
+            contrib = (
+                e_od.join(
+                    ranks.withColumnRenamed("node", "u").withColumnRenamed(
+                        "rank", "_ru"
+                    ),
+                    [*gc, "u"],
+                )
+                .select(
+                    *gc,
+                    F.col("v").alias("node"),
+                    F.expr("_ru div _od").alias("_sh"),
+                )
+                .groupBy(*gc, "node")
+                .agg(F.sum("_sh").alias("_c"))
+            )
         ranks = nodes.join(contrib, [*gc, "node"], "left").select(
             *gc,
             "node",
@@ -283,10 +310,10 @@ def pagerank(
                 + F.expr(f"({damping_milli} * coalesce(_c, 0L)) div 1000")
             ).cast("bigint").alias("rank"),
         )
-    # e/nodes release when the caller drops the result (round-10
+    # e/nodes/e_od release when the caller drops the result (round-10
     # ADVICE: without it every call leaks block-manager entries for
     # the session lifetime) — see _finish for why not any earlier
-    return _finish(ranks, nodes, e)
+    return _finish(ranks, nodes, e, e_od)
 
 
 def label_propagation(
@@ -404,8 +431,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
     ranked = e.join(du, "u").join(dv, "v")
-    fwd = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
-        F.col("dv").alias("d"), F.col("v").alias("n")
+    # (degree, id) lexicographic order spelled as plain boolean
+    # arithmetic rather than struct comparison (round 13, guide
+    # §1.2 per-task work): the wedge filter below evaluates this
+    # predicate once per WEDGE (Σ outdeg² rows — ~35M at sf0.1), and
+    # codegen builds two InternalRow allocations per struct compare;
+    # the boolean form is branch + integer compares, no allocation.
+    # Identical ordering — columns are non-null by construction.
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     arcs = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
@@ -417,11 +451,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     e1 = arcs.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
     e2 = arcs.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
     wedges = e1.join(e2, "a").filter(
-        F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
-        < F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
     )
     closing = arcs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
+    # explicit projection before the closing join: dx/dy are dead past
+    # the filter and must not ride the wedge-sized exchange when the
+    # planner keeps one (guide §2.3 "project before the exchange")
+    tri = wedges.select("a", "x", "y").join(closing, ["x", "y"])
     counts = (
         tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
         .groupBy("node")

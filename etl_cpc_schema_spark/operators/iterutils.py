@@ -56,6 +56,74 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def checkpoint_with_probe(df: DataFrame, probe):
+    """Materialize one iteration round AND evaluate ``probe`` (a
+    callable ``DataFrame -> scalar``, e.g. a convergence count) with
+    the fewest actions the durability tier allows (round 13, guide
+    §1.2/§5: iterative operators paid two driver round-trips per
+    round — one eager checkpoint job plus one probe job — and on a
+    32-core local master each job round-trip costs ~0.1-0.15 s, which
+    dominates small-graph rounds).
+
+    * local tier: ``localCheckpoint(eager=False)`` — the probe's ONE
+      action computes every partition (a full aggregation), which
+      both persists the checkpoint blocks and returns the scalar.
+    * reliable tier: ``checkpoint(eager=True)`` then the probe reads
+      the checkpointed data.  A lazy RELIABLE checkpoint would
+      re-run the round's lineage a second time to write the files
+      (the documented RDD.checkpoint recompute), so two actions are
+      the cheaper shape there.
+
+    The probe MUST be a full-scan aggregation (no ``limit``) so the
+    lazy local tier materializes every partition, not a prefix.
+    Returns ``(materialized_df, probe_result)``.
+    """
+    try:
+        reliable = df.sparkSession.sparkContext.getCheckpointDir() is not None
+    except Exception:  # Spark Connect: local tier only
+        reliable = False
+    out = df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+        eager=False
+    )
+    return out, probe(out)
+
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread a narrow-partitioned input across the session's
+    parallelism before a compute-heavy map pass (round 13, guide
+    §2.5 "input skew": one unsplittable file → repartition right
+    after the read).
+
+    The local bench inputs are single-row-group parquet files, so
+    every scan is ONE task and Spark cannot split it further; any
+    expensive per-row work fused into that scan stage (Arrow
+    shingling, fingerprint hash chains, tokenize explodes) runs on
+    one core of 32.  Round-robin repartitioning the few input
+    megabytes is orders of magnitude cheaper than serializing the
+    map pass (measured: multimodal_audio_dedup's fingerprint job
+    3.0 s single-task → sub-second at 32 tasks).
+
+    Scale safety: a 100 TB input arrives already split, so this is a
+    NO-OP whenever the plan has at least ``target`` partitions (and
+    for streaming frames, where micro-batch splits are the planner's
+    job) — the repartition only fires for the narrow-input case it
+    exists for.  ``target`` defaults to the session's default
+    parallelism, so the driver's lower-core bench arm scales down
+    automatically.
+    """
+    if df.isStreaming:
+        return df
+    try:
+        sc = df.sparkSession.sparkContext
+        target = target or sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no sparkContext/RDD on the client
+        return df
+    if n < target:
+        return df.repartition(target)
+    return df
+
+
 def release(df: DataFrame) -> None:
     """Drop a superseded checkpoint's storage.
 

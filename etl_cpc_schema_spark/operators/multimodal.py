@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterutils import fan_out
+
 META_SCHEMA = "doc_id bigint, byte_len bigint, fake_width bigint, fake_height bigint"
 RESIZE_SCHEMA = "doc_id bigint, out_width bigint, out_height bigint, thumb binary"
 FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame_payload binary"
@@ -126,7 +128,7 @@ def extract_meta(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return with_payload.select(id_col, "payload").mapInPandas(run, META_SCHEMA)
+    return fan_out(with_payload.select(id_col, "payload")).mapInPandas(run, META_SCHEMA)
 
 
 def resize_images(
@@ -184,7 +186,7 @@ def resize_images(
                 {"doc_id": ids, "out_width": ws, "out_height": hs, "thumb": thumbs}
             )
 
-    return with_payload.select(id_col, "payload").mapInPandas(run, RESIZE_SCHEMA)
+    return fan_out(with_payload.select(id_col, "payload")).mapInPandas(run, RESIZE_SCHEMA)
 
 
 PHASH_SCHEMA = "doc_id bigint, phash bigint"
@@ -307,7 +309,7 @@ def dhash_table(
                 out.append(fallback_phash(buf) if h is None else h)
             yield _pd.DataFrame({"doc_id": pdf[id_col].values, "phash": out})
 
-    return with_payload.select(id_col, "payload").mapInPandas(run, PHASH_SCHEMA)
+    return fan_out(with_payload.select(id_col, "payload")).mapInPandas(run, PHASH_SCHEMA)
 
 
 def sample_frames(
@@ -339,7 +341,7 @@ def sample_frames(
                 {"doc_id": ids, "frame_idx": idxs, "frame_payload": frames}
             )
 
-    return with_payload.select(id_col, "payload").mapInPandas(run, FRAMES_SCHEMA)
+    return fan_out(with_payload.select(id_col, "payload")).mapInPandas(run, FRAMES_SCHEMA)
 
 
 #: chromaprint-shaped audio fingerprint geometry: 32-sample frames,
@@ -409,9 +411,15 @@ def audio_subfingerprints(
     nf = F.least(
         F.lit(max_frames), (F.length(s) / frame_chars).cast("int")
     )
+    # fan the narrow scan out before the explode (round 13): the
+    # 2×bands md5 chain per frame row all fuses into the scan stage,
+    # which on a single-row-group input is ONE task — measured 3.0 s
+    # single-threaded at sf0.1, the whole query's dominant job
     frames = (
-        with_payload.select(
-            F.col(id_col).alias("doc_id"), s.alias("s"), nf.alias("nf")
+        fan_out(
+            with_payload.select(
+                F.col(id_col).alias("doc_id"), s.alias("s"), nf.alias("nf")
+            )
         )
         .filter(F.col("nf") >= 2)
         .select(

@@ -43,3 +43,62 @@ def test_reliable_tier_with_checkpoint_dir(spark, tmp_path):
         # session outlives this test); None maps to null -> Option.empty
         sc._jsc.sc().setCheckpointDir(None)
     assert sc.getCheckpointDir() is None
+
+
+def test_checkpoint_with_probe_local_tier(spark):
+    """One helper call materializes the round AND returns the probe
+    scalar; the returned frame is usable (persisted blocks) and the
+    probe result matches a direct aggregation (round 13)."""
+    from pyspark.sql import functions as F
+
+    from etl_cpc_schema_spark.operators.iterutils import (
+        checkpoint_with_probe,
+    )
+
+    df = spark.range(100).withColumn("flag", F.col("id") % 10 == 0)
+    out, n = checkpoint_with_probe(
+        df, lambda d: d.agg(F.count(F.when(F.col("flag"), True))).collect()[0][0]
+    )
+    assert n == 10
+    assert out.count() == 100
+    release(out)
+
+
+def test_checkpoint_with_probe_reliable_tier(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_cpc_schema_spark.operators.iterutils import (
+        checkpoint_with_probe,
+    )
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt2"))
+    try:
+        out, n = checkpoint_with_probe(
+            spark.range(50), lambda d: d.agg(F.count("*")).collect()[0][0]
+        )
+        assert n == 50
+        assert out.count() == 50
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+
+
+def test_fan_out_spreads_narrow_input(spark):
+    """A 1-partition input is spread to the session parallelism; an
+    already-parallel input passes through unchanged (no extra
+    exchange at scale) and rows survive both ways (round 13)."""
+    from etl_cpc_schema_spark.operators.iterutils import fan_out
+
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = fan_out(narrow)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert spread.count() == 1000
+
+    wide = spark.range(1000).repartition(64)
+    same = fan_out(wide, target=8)
+    # already past the target: identical plan object, no repartition
+    assert same is wide
