@@ -129,11 +129,20 @@ def connected_components_star(
     )
 
 
+def _changed_probe(d: DataFrame):
+    """Full-scan convergence probe: rows whose label decreased this
+    round.  A full aggregation (no ``limit``) so the probe action both
+    materializes the lazy local checkpoint and returns the count —
+    the :func:`~.iterutils.checkpoint_with_probe` contract."""
+    return d.agg(F.count(F.when(F.col("changed"), True))).collect()[0][0]
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "d1",
     b_col: str = "d2",
     max_iter: int = 20,
+    hashmin_rounds: int = 6,
 ) -> DataFrame:
     """(node, component): component = min node id reachable from node.
 
@@ -142,10 +151,19 @@ def connected_components(
     left-join the full node set afterwards if singleton clusters are
     needed.
 
-    Runs hash-min propagation (cheapest per round, O(diameter)
-    rounds); if the graph's diameter exceeds ``max_iter`` the call
-    falls back to :func:`connected_components_star` instead of
-    failing, so adversarial long chains still converge.
+    Runs hash-min propagation (cheapest per round) while the graph is
+    shallow — the overwhelmingly common near-dup-clique case — but
+    only for ``hashmin_rounds`` rounds: hash-min moves the minimum
+    ONE hop per round, so a long-diameter graph (semantic-embedding
+    chains measured diameter 14 at sf0.1, round 13) would otherwise
+    pay O(diameter) driver round-trips.  Past the budget the
+    remaining work is handed to :func:`connected_components_star` on
+    the QUOTIENT graph (edges contracted through the current labels —
+    already much smaller and shallower than the input), whose
+    O(log n) rounds close any diameter; the two label maps compose.
+    Round 0 needs no join at all: labels start as the identity, so
+    the first neighbor-min is ``least(src, min(dst))`` straight off
+    the edge list.
     """
     # checkpoint the symmetrized edge list ONCE: every propagation round
     # joins against it, and without this each round would re-execute the
@@ -156,49 +174,77 @@ def connected_components(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
     )
-    ckpt = iter_checkpoint(
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # round 0 collapses algebraically (round 13): every label is still
+    # its own node id, so neighbor-min is min(dst) per src — one
+    # groupBy over the checkpointed edges, no nodes table, no join.
+    # sym is symmetric, so groupBy(src) covers every non-isolated node.
+    ckpt, changed = checkpoint_with_probe(
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nb"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "nb").alias("label"),
+            (F.col("nb") < F.col("src")).alias("changed"),
+        ),
+        _changed_probe,
     )
-    labels = ckpt
-    for _ in range(max_iter):
-        nb_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_label"))
+    labels = ckpt.select("node", "label")
+    rounds = 1
+    while changed and rounds < min(hashmin_rounds, max_iter):
+        # one round = one join + one groupBy (round 13): neighbor
+        # labels and own labels meet in a single aggregation (the
+        # union adds no exchange), the old label rides the same agg so
+        # ``changed`` needs no second join, and the probe aggregation
+        # is the SAME action that materializes the round
+        # (checkpoint_with_probe) — one driver round-trip per round
+        contrib = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), "label", F.lit(False).alias("own")
         )
-        # the convergence flag is computed DURING the update (labels
-        # only ever decrease, so changed ⟺ a neighbor label was
-        # smaller), and the probe aggregation is the SAME action that
-        # materializes the round (checkpoint_with_probe, round 13):
-        # one driver round-trip per round instead of two
         new_ckpt, changed = checkpoint_with_probe(
-            labels.join(nb_min, labels.node == nb_min.src, "left").select(
+            labels.withColumn("own", F.lit(True))
+            .unionByName(contrib)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("cand"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("old"),
+            )
+            .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nb_label") < F.col("label")).alias("changed"),
+                F.col("cand").alias("label"),
+                (F.col("cand") < F.col("old")).alias("changed"),
             ),
-            lambda d: d.agg(
-                F.count(F.when(F.col("changed"), True))
-            ).collect()[0][0],
+            _changed_probe,
         )
         release(ckpt)  # release the materialized round, not a projection
         ckpt = new_ckpt
         labels = new_ckpt.select("node", "label")
-        if changed == 0:
-            break
-    else:
-        # diameter > max_iter: fall back to the O(log n) star-contraction
-        # path, feeding it the already-checkpointed symmetrized edges so
-        # the full upstream pair-generation lineage (e.g. LSH candidate
-        # emission) is not re-executed.  Star's first iter_checkpoint is
-        # eager and the convergence loop runs entirely inside the call,
-        # so sym is safe to release once it returns.
-        release(ckpt)
-        result = connected_components_star(sym, "src", "dst")
+        rounds += 1
+    if changed:
+        # diameter exceeds the hash-min budget: contract the progress
+        # so far into the quotient graph and close it with the
+        # O(log n) star path.  Each label-group is one quotient node
+        # (named by its label, which is a real node id), so the star
+        # result's min-id components ARE the true component minima and
+        # final(v) = star_component(label(v)).  Star eagerly
+        # checkpoints its input, so qcomp does not pin sym's lineage.
+        lu = labels.select(F.col("node").alias("qu"), F.col("label").alias("lu"))
+        lv = labels.select(F.col("node").alias("qv"), F.col("label").alias("lv"))
+        q_edges = (
+            sym.join(lu, sym.src == lu.qu)
+            .join(lv, sym.dst == lv.qv)
+            .select(F.col("lu").alias("qa"), F.col("lv").alias("qb"))
+            .filter(F.col("qa") != F.col("qb"))
+            .distinct()
+        )
+        qcomp = connected_components_star(q_edges, "qa", "qb")
         release(sym)
-        return result
+        # fully-converged sub-components are all-self-loop in the
+        # quotient and absent from qcomp — their label already IS the
+        # component minimum (left join + coalesce)
+        return labels.join(
+            qcomp, labels.label == qcomp.node, "left"
+        ).select(
+            labels.node.alias("node"),
+            F.coalesce("component", "label").alias("component"),
+        )
     return labels.select("node", F.col("label").alias("component"))

@@ -105,3 +105,21 @@ def test_star_matches_hashmin_on_random_graph(spark):
         for r in connected_components_star(edges).collect()
     }
     assert hm == st and len(hm) > 100
+
+
+def test_default_budget_quotient_fallback_long_chain(spark):
+    """A chain deeper than the default hash-min budget takes the
+    quotient-graph star fallback (round 13) and still produces the
+    exact min-label components, including a separate shallow clique
+    that the hash-min prefix already finished (all-self-loop in the
+    quotient -> absent from the star result -> coalesce path)."""
+    chain = [(i, i + 1) for i in range(1, 40)]  # diameter 39 >> budget 6
+    clique = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(chain + clique, "d1 bigint, d2 bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    want = {i: 1 for i in range(1, 41)}
+    want.update({100: 100, 101: 100, 102: 100})
+    assert got == want
