@@ -28,7 +28,7 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .iterutils import fan_out, iter_checkpoint
+from .iterutils import iter_checkpoint
 
 from ..functions import hashing as H
 from ..functions import text as TX
@@ -130,10 +130,13 @@ def shingle_table(
         distinct=True,
         mapping=(("doc_id", "ids"), ("shingles", "grams"), ("n_sh", "cnt")),
     )
-    # fan the narrow scan out BEFORE the Arrow pass (round 13): with a
-    # single-partition input the whole tokenize+shingle cost runs in
-    # one Python worker; no-op when the input is already parallel
-    return fan_out(docs.select(id_col, text_col)).mapInPandas(gen, out_schema)
+    # NOT fanned out (round 13, measured): the per-row tokenize+hash
+    # here is too light for a repartition to pay for itself — an
+    # interleaved A/B read the fanned save_dedup_index ~20% SLOWER
+    # (extra exchange + 32 task commits per table write); contrast the
+    # multimodal fingerprint passes, where per-row work is heavy and
+    # fan_out wins big
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def span_table(
@@ -161,8 +164,7 @@ def span_table(
         distinct=False,
         mapping=(("doc_id", "ids"), ("n_spans", "cnt"), ("grams", "grams")),
     )
-    # same single-worker fan-out as shingle_table (round 13)
-    return fan_out(docs.select(id_col, text_col)).mapInPandas(gen, out_schema)
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def ngram_jaccard_pairs(
@@ -932,10 +934,16 @@ def _bloom_might_contain(
     return pred
 
 
-#: Above this word count the bitmap stops being a plan literal
-#: (codegen chokes on six-figure literal arrays) and ships as a task
-#: broadcast consumed by a vectorized Arrow kernel instead.
-BLOOM_LITERAL_MAX_WORDS = 4096  # 2^18 bits = 32 KiB
+#: Above this word count the bitmap stops being a plan literal and
+#: ships as a task broadcast consumed by a vectorized Arrow kernel
+#: instead.  Round 13 measurement (guide §1.1): the literal path is
+#: not just a codegen-crash guard at six-figure arrays — already at
+#: the DEFAULT 1024 words the k=4 × element_at(1024-literal) probe
+#: made docs_bloom_contamination 2.5-3× slower than the broadcast
+#: kernel on identical results (plan/compile cost per run dominates:
+#: the query's executor time is under 1 s while its wall was not).
+#: Keep the literal only for genuinely tiny bitmaps.
+BLOOM_LITERAL_MAX_WORDS = 128  # 2^13 bits = 1 KiB
 
 
 def _bloom_prefilter(

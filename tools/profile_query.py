@@ -83,7 +83,13 @@ def main() -> None:
                     "desc": (j.get("description") or j.get("name", ""))[:120],
                 }
             )
-        # per-stage shuffle volumes for the big jobs
+        # per-stage metrics RESTRICTED to the profiled run's own jobs
+        # (round 13: the session-wide stage list mixed every previously
+        # profiled query into stages_top_runtime, which mis-attributed
+        # the single-task-scan diagnosis)
+        run_stage_ids = {
+            sid for j in jobs for sid in (j.get("stageIds") or [])
+        }
         stages = _api(4055, f"/applications/{app_id}/stages?status=complete")
         stage_rows = [
             {
@@ -96,11 +102,18 @@ def main() -> None:
                 "name": s.get("name", "")[:80],
             }
             for s in stages
+            if s["stageId"] in run_stage_ids
         ]
+        single_task_sec = round(
+            sum(r["sec"] for r in stage_rows if r["tasks"] == 1), 2
+        )
+        total_exec_sec = round(sum(r["sec"] for r in stage_rows), 2)
         report = {
             "query": name,
             "wall_sec": round(wall, 3),
             "n_jobs": len(jobs),
+            "exec_sec_total": total_exec_sec,
+            "exec_sec_single_task_stages": single_task_sec,
             "jobs": out,
             "stages_top_runtime": sorted(
                 stage_rows, key=lambda r: -r["sec"]
