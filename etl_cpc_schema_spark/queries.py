@@ -1538,7 +1538,15 @@ def approx_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
     """
     from .functions.hashing import portable_hash64
 
-    d = _t(spark, sf, "documents")
+    from .operators.iterutils import fan_out
+
+    # fan the narrow scan out before tokenizing (round 13, guide
+    # §2.5): the token table is consumed by THREE branches (exact
+    # counts, the D×md5-per-token sketch build, the total) and each
+    # re-runs tokenize+hash fused into the single-task scan stage —
+    # profiled 9.4 s of executor time all in 1-task stages; no-op on
+    # pre-split inputs at scale
+    d = fan_out(_t(spark, sf, "documents"))
     tok = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
     ex = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("n_exact"))
     # orderBy+limit, NOT a global row_number window: Spark plans this
@@ -1661,10 +1669,15 @@ def kmv_source_overlap(d: DataFrame, k: int = KMV_K) -> DataFrame:
     frame — parameterized so the accuracy test can drive it with a
     corpus of KNOWN overlap."""
     from .functions.hashing import portable_hash64
-    from .operators.iterutils import iter_checkpoint
+    from .operators.iterutils import fan_out, iter_checkpoint
     from .operators.skew import grouped_bottomk
 
-    ex = d.select(
+    # fan the narrow scan out before the shingle explode (round 13,
+    # guide §2.5): shingle + md5-per-shingle is the one corpus-sized
+    # pass and it was fused into the single-task scan stage
+    # (profiled: the 1-task sketch-build stage is the operator's
+    # dominant cost); no-op on pre-split inputs at scale
+    ex = fan_out(d).select(
         "source", F.explode(TX.word_shingles(F.col("text"), 3)).alias("s")
     )
     dist = ex.select(
@@ -6535,12 +6548,21 @@ def text_lm_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
     bg = DD.span_table(d, n=2).select(
         "doc_id", F.explode("grams").alias("bigram")
     )
-    uni = (
+    from .operators.iterutils import checkpoint_with_probe
+
+    # the unigram table is referenced twice (the vocab scalar and the
+    # log-prob join) — without materialization the final action would
+    # re-run the whole tokenize+explode+groupBy pass (round 13, guide
+    # §1.2).  One fused action returns the vocab count AND persists
+    # the table; it is vocab-bounded (distinct tokens), so holding it
+    # is safe at any corpus scale — unlike the bigram table below,
+    # which stays unmaterialized per the round-10 big-string rule.
+    uni, vocab = checkpoint_with_probe(
         d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
-        .agg(F.count("*").alias("c1"))
+        .agg(F.count("*").alias("c1")),
+        lambda u: u.count(),
     )
-    vocab = uni.count()  # control-plane scalar (distinct-token count)
     c2 = bg.groupBy("bigram").agg(F.count("*").alias("cnt"))
     lp = (
         c2.withColumn("w1", F.split(F.col("bigram"), " ")[0])
@@ -6852,8 +6874,14 @@ def docs_dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     sort.
     """
     from .functions.hashing import portable_hash64
+    from .operators.iterutils import fan_out
 
-    d = _t(spark, sf, "documents")
+    # fan the narrow scan out before tokenize+hash (round 13, guide
+    # §2.5): both corpus passes (histogram build and scoring) re-run
+    # the tokenize + md5-per-token feature hash fused into the
+    # single-task scan stage — profiled 2.2 s of executor time all in
+    # 1-task stages; no-op on pre-split inputs at scale
+    d = fan_out(_t(spark, sf, "documents"))
     bt = d.select(
         "doc_id",
         "source",

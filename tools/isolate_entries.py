@@ -11,7 +11,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# resolve the repo from this file's location so interleaved A/B arms
+# can run the tool from a second checkout (git worktree) of another
+# commit — a hard-coded /root/repo would silently time the wrong tree
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_cpc_schema_spark import queries as Q  # noqa: E402
 from etl_cpc_schema_spark.session import get_spark  # noqa: E402
