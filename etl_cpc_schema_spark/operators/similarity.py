@@ -74,15 +74,21 @@ def _collect_matrix(
     """
     import numpy as np
 
-    n = embs.count()
-    if n > MAX_BUILD_ROWS:
+    cols = [id_col, vec_col] + ([attr_col] if attr_col is not None else [])
+    # guard + collect in ONE action (round 13, guide §1.2): the old
+    # count()-then-toPandas shape paid a separate guard job at every
+    # call site (two driver round-trips per collect).  limit(MAX+1)
+    # bounds the driver transfer to the same cap the count enforced —
+    # a 1-row overflow sentinel instead of an exact count — and the
+    # failure stays loud; callers are order-insensitive or re-sort by
+    # id, so the LocalLimit/CollectLimit plan change is invisible.
+    pdf = embs.select(*cols).limit(MAX_BUILD_ROWS + 1).toPandas()
+    if len(pdf) > MAX_BUILD_ROWS:
         raise ValueError(
-            f"similarity build side has {n} rows (> {MAX_BUILD_ROWS}); "
+            f"similarity build side has > {MAX_BUILD_ROWS} rows; "
             "use hyperplane_lsh_buckets / lsh_topk to bucket the corpus "
             "instead of brute-force broadcasting it"
         )
-    cols = [id_col, vec_col] + ([attr_col] if attr_col is not None else [])
-    pdf = embs.select(*cols).toPandas()
     ids = pdf[id_col].to_numpy()
     if attr_col is not None:
         import pandas as pd
@@ -779,11 +785,20 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 0,
+    _seed=None,
 ):
     """(cells, C) — the trained IVF centroid set (quantized-integer
     coordinates), extracted from :func:`ivf_assign` so an index can be
     trained ONCE, persisted (:func:`save_ivfpq_index`), and probed by
-    later jobs without retraining."""
+    later jobs without retraining.
+
+    ``_seed`` is an already-collected ``(ids, mat)`` pair from
+    ``_collect_matrix(embs.orderBy(id_col).limit(m))`` with
+    ``m >= n_centroids`` — the IVFADC composition collects ONE seed
+    prefix and slices it for both training chains (round 13, guide
+    §1.2: the two TakeOrdered collects were duplicate driver jobs
+    over the same lowest-id rows).  Sorting + slicing here yields
+    exactly the rows the unseeded collect produced."""
     import numpy as np
 
     # "the n_centroids lowest-id vectors" literally: orderBy+limit is
@@ -793,7 +808,7 @@ def ivf_train(
     # and crashed in np.vstack (round-7 ADVICE).  For dense-from-0 ids
     # (every graded input) the seed set is identical, so the SQL
     # oracles' ``id < n`` filter remains bit-equal.
-    ids, C = _collect_matrix(
+    ids, C = _seed if _seed is not None else _collect_matrix(
         embs.orderBy(id_col).limit(n_centroids), id_col, vec_col
     )
     if len(ids) == 0:
@@ -801,7 +816,7 @@ def ivf_train(
             "ivf_train: corpus is empty — cannot seed "
             f"{n_centroids} centroids from id column {id_col!r}"
         )
-    order = np.argsort(ids)
+    order = np.argsort(ids)[:n_centroids]
     cells, C = ids[order].astype(np.int64), C[order]
     for _ in range(lloyd_iters):
         part = (
@@ -1083,6 +1098,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
+    _seed=None,
 ):
     """Deterministic PQ codebook: per subspace, seed the ``ksub``
     centroids from the lowest-id vectors' subvectors (the same
@@ -1095,13 +1111,16 @@ def pq_train(
     integers.  Control-plane cost: one guarded ksub-row collect plus
     one Arrow/BLAS corpus pass per Lloyd round whose reduce output is
     codebook-sized (M × ksub × subdim rows).
-    """
+
+    ``_seed``: see :func:`ivf_train` — a shared lowest-id prefix
+    collect (``m >= ksub``), sorted and sliced here to exactly the
+    rows the unseeded ksub-row collect produced."""
     import numpy as np
 
     # lowest-id seeding without the dense-from-0 id assumption (same
     # fix as ivf_assign — round-7 ADVICE): identical seed set for
     # dense ids, so the unrolled SQL oracle stays bit-equal.
-    ids, X = _collect_matrix(
+    ids, X = _seed if _seed is not None else _collect_matrix(
         embs.orderBy(id_col).limit(ksub), id_col, vec_col
     )
     if len(ids) == 0:
@@ -1109,7 +1128,7 @@ def pq_train(
             "pq_train: corpus is empty — cannot seed "
             f"{ksub} codewords from id column {id_col!r}"
         )
-    order = np.argsort(ids)
+    order = np.argsort(ids)[:ksub]
     X = X[order]
     dims = X.shape[1]
     if dims % m_subspaces:
@@ -1170,15 +1189,24 @@ def pq_topk(
     engine).
     """
     import numpy as np
-
-    C = pq_train(embs, m_subspaces, ksub, id_col, vec_col, lloyd_iters)
-    M, _, sub = C.shape
-    Cm = C.astype(np.float64)
+    from concurrent.futures import ThreadPoolExecutor
 
     qdf = embs
     if query_pred is not None:
         qdf = qdf.filter(query_pred)
-    q_ids, Q = _collect_matrix(qdf, id_col, vec_col)
+    # the PQ training chain and the query-matrix collect are
+    # independent — overlap them (round 13, guide §2.6) instead of
+    # paying the query collect as a blocking round-trip after
+    # training; same results, the chains share no state
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_C = ex.submit(
+            pq_train, embs, m_subspaces, ksub, id_col, vec_col, lloyd_iters
+        )
+        fut_q = ex.submit(_collect_matrix, qdf, id_col, vec_col)
+        C = fut_C.result()
+        q_ids, Q = fut_q.result()
+    M, _, sub = C.shape
+    Cm = C.astype(np.float64)
     if len(q_ids) == 0:
         # empty query selection → empty result, not a vstack crash;
         # branching on the collect (not rdd.isEmpty()) avoids running
@@ -1469,10 +1497,25 @@ def ivfpq_topk(
             "persisted index and only makes sense with index_path= "
             "(the data tables still come from the index)"
         )
+    qdf = embs
+    if query_pred is not None:
+        qdf = qdf.filter(query_pred)
     if index_path is None:
         n_centroids = 32 if n_centroids is None else n_centroids
         m_subspaces = 16 if m_subspaces is None else m_subspaces
         ksub = 16 if ksub is None else ksub
+        # ONE seed collect serves both training chains (round 13,
+        # guide §1.2): ivf_train wants the n_centroids lowest-id
+        # vectors, pq_train the ksub lowest — both are prefixes of
+        # the same sorted lowest-id set, so collecting
+        # max(n_centroids, ksub) once and slicing inside each train
+        # call (``_seed``) replaces two duplicate TakeOrdered driver
+        # jobs with one.
+        seed = _collect_matrix(
+            embs.orderBy(id_col).limit(max(n_centroids, ksub)),
+            id_col,
+            vec_col,
+        )
         # IVF centroid training and PQ codebook training are
         # INDEPENDENT corpus passes (each is a Lloyd chain of
         # blocking dimension-sized collects) — submit them from two
@@ -1481,18 +1524,23 @@ def ivfpq_topk(
         # concurrent independent jobs keep executors busy instead of
         # serializing control-plane latency.  Results are the same
         # arrays the sequential calls produced — determinism is
-        # per-chain, not cross-chain.
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        # per-chain, not cross-chain.  The query-matrix collect is
+        # independent of BOTH chains (it only reads qdf), so it rides
+        # the same pool instead of paying its own blocking
+        # round-trip after training (round 13, guide §2.6).
+        with ThreadPoolExecutor(max_workers=3) as ex:
             fut_ivf = ex.submit(
                 ivf_train, embs, n_centroids, id_col, vec_col,
-                ivf_lloyd_iters,
+                ivf_lloyd_iters, seed,
             )
             fut_pq = ex.submit(
                 pq_train, embs, m_subspaces, ksub, id_col, vec_col,
-                pq_lloyd_iters,
+                pq_lloyd_iters, seed,
             )
+            fut_q = ex.submit(_collect_matrix, qdf, id_col, vec_col)
             cells_t, Civf_t = fut_ivf.result()
             C = fut_pq.result()
+            q_ids, Q = fut_q.result()
         ranked = iter_checkpoint(
             _ivf_rank_cells(
                 embs,
@@ -1519,8 +1567,19 @@ def ivfpq_topk(
         # in-session path, identical results — test-pinned)
         if geometry is not None:
             cells, Civf, C = geometry
+            q_ids, Q = _collect_matrix(qdf, id_col, vec_col)
         else:
-            cells, Civf, C = load_ivfpq_index(embs.sparkSession, index_path)
+            # the geometry load (two control-plane collects) and the
+            # query-matrix collect are independent — overlap them
+            # (round 13, guide §2.6), the same pattern as the
+            # in-session training pool
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fut_geo = ex.submit(
+                    load_ivfpq_index, embs.sparkSession, index_path
+                )
+                fut_q = ex.submit(_collect_matrix, qdf, id_col, vec_col)
+                cells, Civf, C = fut_geo.result()
+                q_ids, Q = fut_q.result()
         for name, passed, loaded in (
             ("n_centroids", n_centroids, len(cells)),
             ("m_subspaces", m_subspaces, C.shape[0]),
@@ -1558,11 +1617,7 @@ def ivfpq_topk(
     Cm = C.astype(np.float64)
     M, _, sub = C.shape
 
-    qdf = embs
-    if query_pred is not None:
-        qdf = qdf.filter(query_pred)
     out_schema = "q_id long, neighbor_id long, rank int"
-    q_ids, Q = _collect_matrix(qdf, id_col, vec_col)
     if len(q_ids) == 0:
         # empty query selection → empty result, not a vstack crash;
         # the collect doubles as the emptiness check — the former
@@ -1731,13 +1786,20 @@ def _save_ivfpq_index_locked(
     # batches; the index must be self-contained, the same reason
     # FAISS's rerank variants keep a raw copy alongside the codes).
     # Only the codes write needs both trained geometries.
+    # one lowest-id seed collect feeds both chains (the ivfpq_topk
+    # shared-seed pattern, round 13) — the two TakeOrdered jobs were
+    # duplicates over the same prefix
+    seed = _collect_matrix(
+        embs.orderBy(id_col).limit(max(n_centroids, ksub)), id_col, vec_col
+    )
     with ThreadPoolExecutor(max_workers=3) as ex:
         fut_ivf = ex.submit(
-            ivf_train, embs, n_centroids, id_col, vec_col, ivf_lloyd_iters
+            ivf_train, embs, n_centroids, id_col, vec_col, ivf_lloyd_iters,
+            seed,
         )
         fut_pq = ex.submit(
             pq_train, embs, m_subspaces, ksub, id_col, vec_col,
-            pq_lloyd_iters,
+            pq_lloyd_iters, seed,
         )
         fut_vecs = ex.submit(
             lambda: quantized(embs, id_col, vec_col)

@@ -765,6 +765,42 @@ def test_ivf_pq_seeding_tolerates_sparse_ids(spark):
         SIM.pq_train(empty)
 
 
+def test_shared_seed_prefix_matches_per_train_collects(spark):
+    """The IVFADC composition collects ONE lowest-id prefix and slices
+    it for both training chains (round 13, ``_seed``): seeded
+    ivf_train/pq_train must return bit-identical arrays to their own
+    per-call collects — on SPARSE ids (the round-7 regression shape),
+    and with the prefix longer than either chain's own seed count."""
+    import random
+
+    import numpy as np
+
+    random.seed(5)
+    rows = [
+        (500 + 13 * i, [round(random.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(30)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    n_centroids, ksub = 6, 4
+    seed = SIM._collect_matrix(
+        embs.orderBy("vec_id").limit(max(n_centroids, ksub)),
+        "vec_id",
+        "embedding",
+    )
+    for lloyd in (0, 1):
+        own_cells, own_C = SIM.ivf_train(embs, n_centroids, lloyd_iters=lloyd)
+        sh_cells, sh_C = SIM.ivf_train(
+            embs, n_centroids, lloyd_iters=lloyd, _seed=seed
+        )
+        np.testing.assert_array_equal(own_cells, sh_cells)
+        np.testing.assert_array_equal(own_C, sh_C)
+    own_pq = SIM.pq_train(embs, m_subspaces=2, ksub=ksub, lloyd_iters=1)
+    sh_pq = SIM.pq_train(
+        embs, m_subspaces=2, ksub=ksub, lloyd_iters=1, _seed=seed
+    )
+    np.testing.assert_array_equal(own_pq, sh_pq)
+
+
 def test_bloom_bitmap_no_false_negatives_and_prunes(spark):
     """The Bloom prefilter's contract: every member probes TRUE (no
     false negatives — this is what makes the exact oracle valid for
