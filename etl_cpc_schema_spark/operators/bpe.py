@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from .iterutils import iter_checkpoint, release
+from .iterutils import iter_checkpoint, local_df, release
 
 #: default number of learned merges for the registry queries.
 N_MERGES = 10
@@ -143,9 +143,10 @@ def _train_driver(
         for row in rows:
             dbl = " " + row[2].replace(" ", "  ") + " "
             row[2] = _re.sub(" +", " ", dbl.replace(pat, rep)).strip(" ")
-    final = spark.createDataFrame(
-        [tuple(r) for r in rows], _VOCAB_SCHEMA
-    )
+    # one Arrow batch, not a pickled 32-slice RDD: the vocab feeds
+    # joins in encode_counts and every consuming stage used to pay 32
+    # Python-worker tasks to unpickle it (iterutils.local_df)
+    final = local_df(spark, [tuple(r) for r in rows], _VOCAB_SCHEMA)
     return merges, final
 
 
@@ -201,8 +202,13 @@ def merge_table(
 ) -> DataFrame:
     """(merge_rank, lhs, rhs, pair_count) — the learned merge table."""
     merges, _ = bpe_train(docs, n_merges)
-    return spark.createDataFrame(
-        merges, "merge_rank bigint, lhs string, rhs string, pair_count bigint"
+    # local_df: the profiled orderBy over the pickled 10-row RDD ran
+    # TWO 32-task Python stages (range-sample + sort) — the Arrow
+    # batch needs no Python workers at all
+    return local_df(
+        spark,
+        merges,
+        "merge_rank bigint, lhs string, rhs string, pair_count bigint",
     )
 
 

@@ -28,7 +28,7 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .iterutils import iter_checkpoint
+from .iterutils import iter_checkpoint, local_df
 
 from ..functions import hashing as H
 from ..functions import text as TX
@@ -560,8 +560,8 @@ def save_dedup_index(
         # prior lifecycle left behind (a stale generation pointer
         # would shadow the flat tables written below)
         IS.reset(path)
-        spark.createDataFrame(
-            [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+        local_df(
+            spark, [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
         ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
         _write_index_tables(corpus, path, "overwrite", n, num_hashes,
                             bands, id_col, text_col)
@@ -1007,8 +1007,8 @@ def save_bloom_bitmap(spark, words: list[int], path: str) -> None:
     words are elided; :func:`load_bloom_bitmap` restores them."""
     n_words = len(words)
     rows = [(i, w, n_words) for i, w in enumerate(words) if w]
-    spark.createDataFrame(
-        rows or [(0, 0, n_words)], "widx int, w long, n_words int"
+    local_df(
+        spark, rows or [(0, 0, n_words)], "widx int, w long, n_words int"
     ).write.mode("overwrite").parquet(path)
 
 

@@ -351,10 +351,29 @@ def label_propagation(
     )
     # every round joins arcs against the previous labels — persist so
     # the caller's edge derivation expands once, not once per round
-    # (the pagerank/triangle_counts materialization rule)
-    arcs = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # (the pagerank/triangle_counts materialization rule).  Both
+    # directions come from ONE explode rather than a self-union
+    # (round 13, guide §1.2): the union's two legs each expand the
+    # caller's edge derivation — for q83's basket self-join the
+    # per-job profile showed the full C(g,2) derivation running TWICE
+    # (two 64-task stages, ~14 s executor time each) because the two
+    # leg stages launch concurrently before the persist is populated.
+    # One explode = one derivation pass; rows are identical (u≠v and
+    # e is distinct, so the two directions are disjoint).
+    arcs = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("_arc")
+        )
+        .select(F.col("_arc.u").alias("u"), F.col("_arc.v").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = arcs.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("community", F.col("node"))
     for rnd in range(iterations):

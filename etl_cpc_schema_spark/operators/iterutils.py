@@ -124,6 +124,45 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def local_df(spark, rows, schema: str) -> DataFrame:
+    """Driver-local rows → DataFrame through ONE Arrow batch (round
+    13, guide §6 "Arrow for driver transfers" + §4 "the Python
+    boundary").  The default list path pickles the rows into a
+    defaultParallelism-sliced Python RDD — so even a 1-row meta table
+    costs 32 tasks, each acquiring a Python worker to unpickle its
+    slice, and pays that again in EVERY consuming stage (measured:
+    two ~7 s 32-task zero-I/O stages under text_bpe_train's final
+    collect were the merge table's pickled RDD being re-scanned for
+    the orderBy sample + sort).  The pandas/Arrow path ships one
+    JVM-local Arrow batch instead: no Python workers in any
+    downstream stage, one partition, identical rows/schema.
+
+    Falls back to the classic list path when pandas is unavailable or
+    the Arrow conversion rejects the rows (exotic cell types) — the
+    fallback raises-or-matches, never silently coerces differently,
+    because the explicit ``schema`` drives both paths' casts and an
+    un-castable Arrow value errors (caught → list path) rather than
+    nulling.
+    """
+    rows = list(rows)
+    if rows:
+        try:
+            import pandas as pd
+
+            from pyspark.sql.types import StructType
+
+            names = (
+                schema.fieldNames()
+                if isinstance(schema, StructType)
+                else StructType.fromDDL(schema).fieldNames()
+            )
+            pdf = pd.DataFrame(rows, columns=names)
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def release(df: DataFrame) -> None:
     """Drop a superseded checkpoint's storage.
 

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .iterutils import iter_checkpoint
+from .iterutils import iter_checkpoint, local_df
 from pyspark.sql.window import Window
 
 from ..functions import vectors as VE
@@ -1640,8 +1640,13 @@ def ivfpq_topk(
         (int(q_ids[i]), lut_np[i].tolist(), int(q_nsq[i]))
         for i in range(len(q_ids))
     ]
-    lut = embs.sparkSession.createDataFrame(
-        lut_rows, "q_id long, lut array<array<bigint>>, q_nsq long"
+    # local_df (round 13): the LUT is a per-query-batch broadcast
+    # build side — as a pickled RDD every consuming stage paid 32
+    # Python-worker tasks to unpickle it; one Arrow batch needs none
+    lut = local_df(
+        embs.sparkSession,
+        lut_rows,
+        "q_id long, lut array<array<bigint>>, q_nsq long",
     )
 
     # restrict probes to the QUERY SET before the cell join (broadcast
@@ -1831,7 +1836,8 @@ def _save_ivfpq_index_locked(
         )
 
     def _write_centroids():
-        spark.createDataFrame(
+        local_df(
+            spark,
             [
                 (int(cells[i]), [int(v) for v in Civf[i]])
                 for i in range(len(cells))
@@ -1840,7 +1846,8 @@ def _save_ivfpq_index_locked(
         ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
 
     def _write_codebook():
-        spark.createDataFrame(
+        local_df(
+            spark,
             [
                 (mi, c, [int(v) for v in Cpq[mi][c]])
                 for mi in range(M)
@@ -1855,7 +1862,8 @@ def _save_ivfpq_index_locked(
         # name set", so any future codes column would silently become
         # a required attribute); written even when empty so readers
         # never fall back to inference on a round-11+ index
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(i, c) for i, c in enumerate(attr_cols)],
             "pos int, name string",
         ).write.mode("overwrite").parquet(f"{path}/attrs.parquet")

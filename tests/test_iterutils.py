@@ -102,3 +102,55 @@ def test_fan_out_spreads_narrow_input(spark):
     same = fan_out(wide, target=8)
     # already past the target: identical plan object, no repartition
     assert same is wide
+
+
+def test_local_df_matches_list_path(spark):
+    """local_df (round 13) must produce the same rows, types, and
+    order as the classic list createDataFrame for every cell shape
+    the engine ships through it — the Arrow batch is a transport
+    change, never a semantic one."""
+    from etl_cpc_schema_spark.operators.iterutils import local_df
+
+    cases = [
+        # scalars incl. a None string (q31's ROOT row)
+        ([("ROOT", None), ("a", "ROOT")], "symbol string, parent string"),
+        # bpe merge table
+        ([(1, "a", "b", 7)], "merge_rank bigint, lhs string, rhs string, pair_count bigint"),
+        # the ivfpq LUT's nested arrays
+        (
+            [(5, [[1, 2], [3, 4]], 9), (6, [[0, 0], [1, 1]], 2)],
+            "q_id long, lut array<array<bigint>>, q_nsq long",
+        ),
+    ]
+    for rows, schema in cases:
+        got = local_df(spark, rows, schema)
+        want = spark.createDataFrame(rows, schema)
+        assert got.schema == want.schema, schema
+        assert got.collect() == want.collect(), schema
+    # empty rows fall back to the list path and keep the schema
+    empty = local_df(spark, [], "a int, b string")
+    assert empty.count() == 0 and len(empty.schema) == 2
+
+
+def test_local_df_structtype_schema(spark):
+    """StructType schemas (the stream sentinel path) resolve names
+    without a DDL parse."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_cpc_schema_spark.operators.iterutils import local_df
+
+    st = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+        ]
+    )
+    got = local_df(spark, [(1, "x"), (2, None)], st)
+    assert got.collect() == spark.createDataFrame(
+        [(1, "x"), (2, None)], st
+    ).collect()
