@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .iterutils import iter_checkpoint
+from .iterutils import checkpoint_with_probe, iter_checkpoint
 
 
 def ancestor_paths(edges: DataFrame, max_depth: int = 16) -> DataFrame:
@@ -25,15 +25,21 @@ def ancestor_paths(edges: DataFrame, max_depth: int = 16) -> DataFrame:
     depth 1 = parent, 2 = grandparent, …  Stops early when a level
     produces no rows.
 
-    Each level is eagerly checkpointed (``iterutils.iter_checkpoint`` —
-    reliable tier on a cluster, local in tests): the per-depth
-    emptiness probe and the next hop's join read the materialized
-    level instead of re-running the whole join chain (round 1 this was
-    up to ``max_depth`` blocking mini-jobs each recomputing every
-    prior hop), and the returned union is a flat scan of checkpointed
-    levels — no join re-execution at action time.  Levels are
-    dimension-sized (they live on the edge table), so the checkpoint
-    storage is trivial.
+    Each level is checkpointed (``iterutils`` — reliable tier on a
+    cluster, local in tests): the per-depth emptiness probe and the
+    next hop's join read the materialized level instead of re-running
+    the whole join chain (round 1 this was up to ``max_depth``
+    blocking mini-jobs each recomputing every prior hop), and the
+    returned union is a flat scan of checkpointed levels — no join
+    re-execution at action time.  Levels are dimension-sized (they
+    live on the edge table), so the checkpoint storage is trivial.
+
+    Round 13 (guide §1.2, the connected-components precedent): each
+    level's materialization and its emptiness probe are ONE action
+    (``checkpoint_with_probe`` — the count both persists the level
+    and answers the probe), halving the loop's driver round-trips
+    (2 jobs/level → 1; a ~15-level walk on local[32] paid
+    ~0.1-0.15 s per job).
     """
     level = iter_checkpoint(
         edges.filter(F.col("parent").isNotNull())
@@ -45,15 +51,16 @@ def ancestor_paths(edges: DataFrame, max_depth: int = 16) -> DataFrame:
         F.col("symbol").alias("ancestor"), F.col("parent").alias("next_ancestor")
     )
     for depth in range(2, max_depth + 1):
-        level = iter_checkpoint(
+        level, n_rows = checkpoint_with_probe(
             level.join(F.broadcast(parent_of), "ancestor")
             .select(
                 "symbol",
                 F.col("next_ancestor").alias("ancestor"),
                 F.lit(depth).alias("depth"),
-            )
+            ),
+            lambda d: d.count(),
         )
-        if level.isEmpty():
+        if n_rows == 0:
             break
         out = out.unionByName(level)
     return out

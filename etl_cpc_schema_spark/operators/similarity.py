@@ -2088,13 +2088,23 @@ def compact_ivfpq_index(
     # end-to-end a concurrent appender fails loudly instead
     with IS.writer_lock(path):
         codes, vecs = _index_data_tables(spark, path)
+        # matched (vectors with a codes twin) is what the fold WRITES:
+        # orphan vectors rows are healed by dropping them here
         matched = vecs.join(
             codes.select(F.col("n_id").alias("vid")), "vid", "left_semi"
         )
-        n_codes, n_matched = codes.count(), matched.count()
-        if n_matched < n_codes:
+        # ONE anti-join count instead of two table counts (round 13,
+        # guide §1.2): the orphan set is the invariant stated
+        # directly — codes rows with no vectors twin — and the single
+        # aggregation job also closes the counts formulation's blind
+        # spot (a duplicate-vid vectors row could mask a genuinely
+        # orphaned code under count arithmetic)
+        n_orphan = codes.join(
+            vecs.select(F.col("vid").alias("n_id")), "n_id", "left_anti"
+        ).count()
+        if n_orphan > 0:
             raise ValueError(
-                f"compact_ivfpq_index: {n_codes - n_matched} codes rows "
+                f"compact_ivfpq_index: {n_orphan} codes rows "
                 f"at {path!r} have no vectors twin — the exact rerank "
                 "would silently drop those neighbors; a non-staged "
                 "writer crashed mid-append: re-append the affected batch "
