@@ -592,17 +592,29 @@ def main() -> None:
         ),
         "sf_dir": sf_dir,
     }
+    # Full-precision per-query medians always live in the detail file
+    # (the stdout line below carries them at 2 decimals).
+    detail["queries_3dp"] = {k: round(v, 3) for k, v in timings.items()}
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
+    # Per-query map in the PRIMARY line (VERDICT r13 #1): with 66
+    # entries the pretty-printed 3-decimal form overflowed the
+    # 1900-char guard every round since r6, so the driver saw only the
+    # total (PERF r13: n_common 0, no geomean, no scaling ratios).
+    # Compact separators + 2-decimal values measure ~1768 chars for
+    # the current list — inside both this guard and the driver's
+    # 2000-char stdout capture — restoring per-query grading without
+    # touching the timed region or the estimator.
     line = json.dumps(
         {
             "metric": "headline_queries_total_sec",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": float(m.group(1)) if m else None,
-        }
+        },
+        separators=(",", ":"),
     )
     # hard guard: if the headline list ever grows the line past the
     # driver's capture window again, drop per-query detail to the side

@@ -90,12 +90,15 @@ def connected_components_star(
     :func:`connected_components`: component = min node id, isolated
     nodes absent.
     """
-    e = iter_checkpoint(
+    # the count that materializes the input IS the first round's
+    # fixpoint reference (round 14: the eager checkpoint and the
+    # first-round n_prev count were two separate actions)
+    e, n_prev = checkpoint_with_probe(
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).filter(
             F.col("u") != F.col("v")
-        )
+        ),
+        lambda d: d.count(),
     )
-    n_prev: int | None = None
     for _ in range(max_rounds):
         # the count that materializes the round IS the first half of
         # the fixpoint probe (checkpoint_with_probe, round 13), and
@@ -104,8 +107,6 @@ def connected_components_star(
         new_e, n_new = checkpoint_with_probe(
             _small_star(_large_star(e)), lambda d: d.count()
         )
-        if n_prev is None:
-            n_prev = e.count()
         # counts first (cheap) short-circuits exceptAll
         stable = (
             n_new == n_prev and new_e.exceptAll(e).limit(1).count() == 0

@@ -191,6 +191,23 @@ def ngram_jaccard_pairs(
     ex = sh.select(
         "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
     ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s"))
+    # Pin the pair-explosion stage's parallelism (round 14, guide
+    # §2.5): everything downstream of the shuffle on ``s`` — the
+    # doc-frequency window, the bucket collect, and the QUADRATIC
+    # in-bucket pair emit — runs in one stage whose partition count
+    # AQE coalesces by the shuffle's INPUT bytes.  This stage is
+    # small-input/large-compute (sf0.1: 3.5 MB in → 20.9 MB of pairs
+    # out), so AQE squeezed it onto 3 of 32 cores.  An explicit
+    # repartition-by-number on the SAME key replaces the implicit
+    # exchange (the window and groupBy both reuse it — exchange count
+    # unchanged, asserted in plans/r14) with one AQE will not
+    # coalesce, sized by the session's shuffle-partition setting —
+    # the same conf a cluster deployment already tunes, not a local
+    # constant.
+    ex = ex.repartition(
+        int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "s",
+    )
     if max_doc_freq is not None:
         # Doc frequency == rows per shingle hash (shingles are distinct
         # per doc).  A window count over the same key the pair-emit
@@ -432,6 +449,7 @@ def _write_index_tables(
     id_col: str,
     text_col: str,
     batch_key: str | None = None,
+    frames: dict[str, DataFrame] | None = None,
 ) -> None:
     """Write the three dedup-index data tables for a doc set — the
     shared kernel of :func:`save_dedup_index` (overwrite) and
@@ -462,10 +480,24 @@ def _write_index_tables(
     mixed-schema table; such appends project to the legacy shape
     instead (probes only ever read ``fp``, so answers are identical —
     only deletion support is absent, and remove refuses loudly on
-    those indexes anyway)."""
+    those indexes anyway).
+
+    ``frames`` (round 14) short-circuits :func:`_index_frames` with
+    caller-computed frames — the probe-then-append serving loop hands
+    in the keeper-filtered frames of :func:`incremental_dedup_probe`,
+    whose shared shingle table its barrier write already materialized,
+    so the append re-signs nothing.  The caller guarantees the frames
+    evaluate the ``_index_frames`` expressions over exactly the rows
+    being appended; because their shared upstream is materialized the
+    three writes need no serial grouping."""
     from . import index_store as IS
 
-    frames = _index_frames(docs, n, num_hashes, bands, id_col, text_col)
+    precomputed = frames is not None
+    if precomputed:
+        frames = dict(frames)  # the legacy-fp projection below must
+        # not mutate the caller's dict
+    else:
+        frames = _index_frames(docs, n, num_hashes, bands, id_col, text_col)
     if mode == "append":
         base_fp = docs.sparkSession.read.parquet(
             IS.table_path(path, "fingerprints")
@@ -478,12 +510,17 @@ def _write_index_tables(
         # bands and shingles share the lazily-checkpointed shingle
         # table — keep them serial within one group so a single first
         # action materializes it; fingerprints overlap from the other
-        # group (the same structure as the direct-write path below)
+        # group (the same structure as the direct-write path below).
+        # Precomputed frames arrive with that upstream already
+        # materialized (the probe barrier), so all three writes run
+        # concurrently.
         IS.write_delta(
             path,
             batch_key,
             frames,
-            serial_groups=(("bands", "shingles"), ("fingerprints",)),
+            serial_groups=None
+            if precomputed
+            else (("bands", "shingles"), ("fingerprints",)),
         )
         return
 
@@ -573,6 +610,8 @@ def append_to_dedup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_key: str | None = None,
+    frames: dict[str, DataFrame] | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Upsert an accepted arrival batch into a persisted dedup index —
     the second half of the daily-ingest lifecycle: after
@@ -599,6 +638,14 @@ def append_to_dedup_index(
 
     Test-pinned equivalence: append(corpus_b) onto index(corpus_a) ==
     save(corpus_a ∪ corpus_b), probe-for-probe.
+
+    Serving-loop short-circuits (round 14, guide §1.2): ``meta`` — a
+    ``{'n','num_hashes','bands'}`` mapping, e.g. a
+    :func:`load_dedup_index` handle — skips the per-call meta-row
+    collect (geometry is frozen for an index's lifetime); ``frames``
+    hands in the probe's already-computed index frames for exactly
+    the rows of ``new_docs`` (see :func:`incremental_dedup_probe`),
+    so the append re-signs nothing.
     """
     from . import index_store as IS
 
@@ -607,12 +654,14 @@ def append_to_dedup_index(
     # pointer in between would strand the rows in a swept generation
     # (the staged path's write_delta re-acquires re-entrantly)
     with IS.writer_lock(path):
-        meta = spark.read.parquet(
-            os.path.join(IS.active_root(path), "meta.parquet")
-        ).collect()[0]
+        if meta is None:
+            meta = spark.read.parquet(
+                os.path.join(IS.active_root(path), "meta.parquet")
+            ).collect()[0]
         n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
         _write_index_tables(new_docs, path, "append", n, num_hashes,
-                            bands, id_col, text_col, batch_key=batch_key)
+                            bands, id_col, text_col, batch_key=batch_key,
+                            frames=frames)
 
 
 def remove_from_dedup_index(
@@ -766,6 +815,38 @@ def incremental_dedup_indexed(
     Arrival-vs-arrival duplicates are out of scope by contract (run
     ``docs_dedup_clustered`` on the batch alone).
     """
+    return incremental_dedup_probe(
+        arrivals, index, num, den, id_col, text_col
+    )[0]
+
+
+def incremental_dedup_probe(
+    arrivals: DataFrame,
+    index: dict,
+    num: int = 4,
+    den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """(decision, arrival_frames): the :func:`incremental_dedup_indexed`
+    decision frame PLUS the arrival batch's three index frames
+    (fingerprints / bands / shingles — the :func:`_index_frames`
+    shapes), all hanging off ONE lazily-checkpointed shingle table
+    (round 14, guide §1.2 — fewer passes).
+
+    The probe-then-append serving loop previously paid the arrival
+    tokenize + minhash work twice per batch: once in the probe, then
+    again when ``append_to_dedup_index`` re-signed the keepers from
+    raw text.  A sink that materializes the decision frame (its
+    decide-before-mutate barrier write) can instead semi-join these
+    frames down to the keepers and hand them to
+    ``append_to_dedup_index(frames=...)`` — the barrier action
+    materialized the shared shingle checkpoint, so the keeper writes
+    are filters over cached blocks, not a second signing pass.  The
+    frames evaluate the SAME expressions ``_index_frames`` builds
+    (test-pinned), so the appended rows are bit-identical to the
+    re-signing path.
+    """
     fp = TX.fingerprint(F.col(text_col))
     arr_fp = arrivals.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
     # distinct: appended batches (append_to_dedup_index) may re-add a
@@ -813,7 +894,7 @@ def incremental_dedup_indexed(
     )
     exact = F.coalesce(F.col("hit"), F.lit(False))
     n_near = F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint")
-    return (
+    decision = (
         arr_fp.join(hits, "fp", "left")
         .join(near, "doc_id", "left")
         .select(
@@ -823,6 +904,14 @@ def incremental_dedup_indexed(
             (~exact & (n_near == 0)).alias("keep"),
         )
     )
+    frames = {
+        "fingerprints": arr_fp,
+        "bands": arr_bands,
+        "shingles": sh.select(
+            "doc_id", "n_sh", F.explode("shingles").alias("sh_str")
+        ).select("doc_id", "n_sh", F.xxhash64("sh_str").alias("s")),
+    }
+    return decision, frames
 
 
 def benchmark_contamination(

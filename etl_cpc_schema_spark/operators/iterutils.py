@@ -124,6 +124,23 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def _local_df_safe_cell(c) -> bool:
+    """True iff ``c`` is a cell type whose pandas/Arrow and classic
+    list-path interpretations agree (see :func:`local_df`).  Exact
+    type checks, not isinstance: bool is an int subclass (fine, both
+    paths agree) but datetime is a date subclass and numpy scalars
+    subclass Python numbers — subclasses must NOT ride the pandas
+    path."""
+    if c is None:
+        return True
+    t = type(c)
+    if t in (int, float, str, bool):
+        return True
+    if t in (list, tuple):
+        return all(_local_df_safe_cell(x) for x in c)
+    return False
+
+
 def local_df(spark, rows, schema: str) -> DataFrame:
     """Driver-local rows → DataFrame through ONE Arrow batch (round
     13, guide §6 "Arrow for driver transfers" + §4 "the Python
@@ -137,15 +154,24 @@ def local_df(spark, rows, schema: str) -> DataFrame:
     JVM-local Arrow batch instead: no Python workers in any
     downstream stage, one partition, identical rows/schema.
 
-    Falls back to the classic list path when pandas is unavailable or
-    the Arrow conversion rejects the rows (exotic cell types) — the
-    fallback raises-or-matches, never silently coerces differently,
-    because the explicit ``schema`` drives both paths' casts and an
-    un-castable Arrow value errors (caught → list path) rather than
-    nulling.
+    The pandas path is restricted to the cell types whose pandas and
+    list interpretations provably agree — int / str / float / bool /
+    None and (nested) lists/tuples of them (ADVICE r13): a naive
+    datetime is interpreted HOST-locally by the list path but
+    localized with the UTC session timezone by pandas/Arrow (the high
+    finding — on a host west of UTC a streaming watermark sentinel
+    shifted enough to drop the final null-match emissions), and an
+    exotic cell (Decimal, bytes subclases, numpy scalars from a
+    caller) could coerce differently under Arrow's unsafe casts.
+    Anything outside the allow-list takes the classic list path, same
+    as every pre-round-13 call site; pandas unavailable or an Arrow
+    conversion error also falls back.  (A session-wide
+    ``convertToArrowArraySafely=true`` was measured and rejected: the
+    flag taxes EVERY pandas-UDF output batch engine-wide to guard a
+    driver-local helper.)
     """
     rows = list(rows)
-    if rows:
+    if rows and all(_local_df_safe_cell(c) for r in rows for c in r):
         try:
             import pandas as pd
 

@@ -1906,6 +1906,7 @@ def append_to_ivfpq_index(
     vec_col: str = "embedding",
     batch_key: str | None = None,
     geometry=None,
+    attr_cols: tuple[str, ...] | None = None,
 ) -> None:
     """Upsert a vector batch into a persisted IVFADC index — the
     lifecycle completion the dedup index got first
@@ -1946,7 +1947,10 @@ def append_to_ivfpq_index(
     drifts — the standard ANN maintenance cadence.  ``geometry``
     (a :func:`load_ivfpq_index` tuple) skips the per-call
     control-plane load for serving loops — exact reuse, because
-    geometry is frozen for the index's lifetime.
+    geometry is frozen for the index's lifetime; ``attr_cols`` (a
+    prior :func:`index_attr_cols` result) likewise skips the per-call
+    attrs-table collect — the attribute list is written once at save
+    time and frozen with the geometry (round 14, guide §1.2).
     """
     from . import index_store as IS
 
@@ -1979,8 +1983,10 @@ def append_to_ivfpq_index(
         # appended vector (null never equals the query's attribute).
         # The list comes from the index's attrs control table
         # (round-10 ADVICE: schema inference made any future codes
-        # column a silently-required attribute), legacy fallback.
-        attr_cols = index_attr_cols(spark, path)
+        # column a silently-required attribute), legacy fallback —
+        # or from the caller's frozen cache (serving loops).
+        if attr_cols is None:
+            attr_cols = index_attr_cols(spark, path)
         lacking = [c for c in attr_cols if c not in new_vecs.columns]
         if lacking:
             raise ValueError(

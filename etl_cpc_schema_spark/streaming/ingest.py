@@ -764,16 +764,32 @@ def _incremental_dedup_sink(index_path: str, out_stage: str):
                 {k: idx[k] for k in ("n", "num_hashes", "bands")}
             )
         out_dir = os.path.join(out_stage, f"batch_id={bid}")
-        # this blocking write IS the decide-before-mutate barrier
-        DD.incremental_dedup_indexed(bdf, idx, num=4, den=5).write.mode(
-            "overwrite"
-        ).parquet(out_dir)
-        keepers = bdf.join(
-            s.read.parquet(out_dir).filter(F.col("keep")).select("doc_id"),
-            "doc_id",
-            "left_semi",
+        # ONE probe builds the decision frame AND the arrival-side
+        # index frames off a shared shingle checkpoint (round 14,
+        # guide §1.2): the barrier write below materializes that
+        # checkpoint, so the keeper append filters cached blocks
+        # instead of re-tokenizing + re-signing the keepers from text
+        decision, frames = DD.incremental_dedup_probe(
+            bdf, idx, num=4, den=5
         )
-        DD.append_to_dedup_index(keepers, index_path, batch_key=str(bid))
+        # this blocking write IS the decide-before-mutate barrier
+        decision.write.mode("overwrite").parquet(out_dir)
+        keep_ids = (
+            s.read.parquet(out_dir).filter(F.col("keep")).select("doc_id")
+        )
+        keep_frames = {
+            t: f.join(keep_ids, "doc_id", "left_semi")
+            for t, f in frames.items()
+        }
+        # keepers frame kept for the contract surface (schema checks);
+        # the actual rows written come from keep_frames
+        DD.append_to_dedup_index(
+            bdf.join(keep_ids, "doc_id", "left_semi"),
+            index_path,
+            batch_key=str(bid),
+            frames=keep_frames,
+            meta=meta[0],
+        )
         open(marker, "w").close()
 
     return sink
@@ -901,11 +917,14 @@ def _ann_probe_sink(index_path: str, out_stage: str):
     from ..operators import index_store as IS
     from ..operators.similarity import (
         append_to_ivfpq_index,
+        index_attr_cols,
         ivfpq_topk,
         load_ivfpq_index,
     )
 
     geom = []  # loaded on first batch, frozen for the index lifetime
+    attrs = []  # likewise frozen: the attrs control table is written
+    # once at save time, so one collect serves every batch (round 14)
 
     def sink(bdf, bid):
         marker = os.path.join(out_stage, f"_applied_{bid}")
@@ -914,6 +933,7 @@ def _ann_probe_sink(index_path: str, out_stage: str):
         IS.rollback_delta(index_path, bid)  # crashed attempt, if any
         if not geom:
             geom.append(load_ivfpq_index(bdf.sparkSession, index_path))
+            attrs.append(index_attr_cols(bdf.sparkSession, index_path))
         res = ivfpq_topk(
             bdf,
             k=3,
@@ -929,7 +949,11 @@ def _ann_probe_sink(index_path: str, out_stage: str):
             os.path.join(out_stage, f"batch_id={bid}")
         )
         append_to_ivfpq_index(
-            bdf, index_path, batch_key=str(bid), geometry=geom[0]
+            bdf,
+            index_path,
+            batch_key=str(bid),
+            geometry=geom[0],
+            attr_cols=attrs[0],
         )
         open(marker, "w").close()
 

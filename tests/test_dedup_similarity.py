@@ -1149,6 +1149,65 @@ def test_dedup_index_append_equals_rebuild(spark, tmp_path):
     assert probe(p_inc) == probe(p_full)
 
 
+def test_dedup_index_append_frames_equals_resign(spark, tmp_path):
+    """append_to_dedup_index(frames=...) — the round-14 serving-loop
+    path that reuses the probe's signing work — must write rows
+    bit-identical to the classic re-signing append, table for table,
+    and a follow-up probe must agree."""
+    import random
+
+    from etl_cpc_schema_spark.operators import index_store as IS
+
+    random.seed(29)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(vocab[random.randrange(len(vocab))] for _ in range(18)))
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    corpus_a = d.filter(F.col("doc_id") < 20)
+    corpus_b = d.filter(F.col("doc_id") >= 20)
+
+    p_classic = str(tmp_path / "idx_classic")
+    p_frames = str(tmp_path / "idx_frames")
+    DD.save_dedup_index(corpus_a, p_classic, n=3)
+    DD.save_dedup_index(corpus_a, p_frames, n=3)
+
+    DD.append_to_dedup_index(corpus_b, p_classic, batch_key="b0")
+
+    idx = DD.load_dedup_index(spark, p_frames)
+    decision, frames = DD.incremental_dedup_probe(corpus_b, idx)
+    decision.count()  # the sink's barrier: materializes the shared
+    # shingle checkpoint before the frame writes below consume it
+    DD.append_to_dedup_index(
+        corpus_b,
+        p_frames,
+        batch_key="b0",
+        frames=frames,
+        meta={k: idx[k] for k in ("n", "num_hashes", "bands")},
+    )
+
+    for table in ("fingerprints", "bands", "shingles"):
+        got = sorted(
+            map(tuple, IS.read_table(spark, p_frames, table).collect())
+        )
+        want = sorted(
+            map(tuple, IS.read_table(spark, p_classic, table).collect())
+        )
+        assert got == want, table
+
+    probes = d.filter(F.col("doc_id") % 7 == 0)
+
+    def probe(path):
+        h = DD.load_dedup_index(spark, path)
+        return {
+            tuple(r)
+            for r in DD.incremental_dedup_indexed(probes, h).collect()
+        }
+
+    assert probe(p_frames) == probe(p_classic)
+
+
 def test_dedup_index_and_phash_edge_cases(spark, tmp_path):
     """Empty arrivals probe cleanly; empty/whitespace payloads get a
     zero perceptual hash; dhash_table rejects invalid widths."""

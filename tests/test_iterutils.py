@@ -154,3 +154,31 @@ def test_local_df_structtype_schema(spark):
     assert got.collect() == spark.createDataFrame(
         [(1, "x"), (2, None)], st
     ).collect()
+
+
+def test_local_df_datetime_takes_list_path(spark):
+    """Temporal cells must route through the classic list path
+    (ADVICE r13 high): the pandas/Arrow path localizes a naive
+    datetime with the UTC session timezone while the list path uses
+    host-local time — on a host west of UTC the sentinel row the
+    streaming left join builds would land hours early and the
+    watermark would never pass the last real rows.  Pin: both paths
+    agree on the stored epoch, and local_df matches the list path
+    exactly for datetime and date cells."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_cpc_schema_spark.operators.iterutils import local_df
+
+    ts = dt.datetime(2024, 3, 1, 12, 30, 45)
+    rows = [(1, ts, dt.date(2024, 3, 1)), (2, ts, None)]
+    schema = "id bigint, ts timestamp, d date"
+    got = local_df(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    assert got.collect() == want.collect()
+    # epoch equality (timezone-interpretation pin, not just round-trip)
+    g = got.select(F.unix_timestamp("ts").alias("e")).collect()
+    w = want.select(F.unix_timestamp("ts").alias("e")).collect()
+    assert g == w
