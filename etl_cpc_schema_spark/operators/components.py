@@ -130,6 +130,46 @@ def connected_components_star(
     )
 
 
+#: quotient graphs at or below this edge count close DRIVER-SIDE (one
+#: bounded collect + union-find + one Arrow-batch local table) instead
+#: of paying O(log n) star rounds of ~7-9 driver round-trip jobs each
+#: (round 14, guide §1.2: docs_semdedup's profile showed its wall was
+#: ~65 sub-0.1 s jobs, almost all the quotient star loop).  The
+#: quotient of a near-dup graph after the hash-min budget is already
+#: contracted (one node per label group), so at sf0.1 it is a few
+#: hundred edges; 2^16 edges ≈ a few MB collected — the same bounded
+#: control-plane posture as similarity._collect_matrix.  Above the
+#: bound the star path runs unchanged, so 100 TB graphs whose
+#: quotient is still huge keep the O(log n) distributed guarantee.
+QUOTIENT_LOCAL_MAX_EDGES = 1 << 16
+
+
+def _union_find_components(rows) -> list[tuple]:
+    """(node, component=min of component) for the collected edge list
+    — exact min-label semantics, order-independent result."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve every node to its root's minimum (roots are minima by
+    # the min-attach rule above)
+    return sorted((n, find(n)) for n in parent)
+
+
 def _changed_probe(d: DataFrame):
     """Full-scan convergence probe: rows whose label decreased this
     round.  A full aggregation (no ``limit``) so the probe action both
@@ -158,10 +198,13 @@ def connected_components(
     ONE hop per round, so a long-diameter graph (semantic-embedding
     chains measured diameter 14 at sf0.1, round 13) would otherwise
     pay O(diameter) driver round-trips.  Past the budget the
-    remaining work is handed to :func:`connected_components_star` on
-    the QUOTIENT graph (edges contracted through the current labels —
-    already much smaller and shallower than the input), whose
-    O(log n) rounds close any diameter; the two label maps compose.
+    remaining work moves to the QUOTIENT graph (edges contracted
+    through the current labels — already much smaller and shallower
+    than the input): quotients within ``QUOTIENT_LOCAL_MAX_EDGES``
+    close driver-side in one bounded collect + union-find (round 14 —
+    the star loop's rounds were docs_semdedup's job storm), larger
+    ones go to :func:`connected_components_star`, whose O(log n)
+    rounds close any diameter; the label maps compose either way.
 
     The budget default is 3 (round 13, measured across all seven CC
     consumers at sf0.1 with result hashes pinned equal): the common
@@ -245,7 +288,32 @@ def connected_components(
             .filter(F.col("qa") != F.col("qb"))
             .distinct()
         )
-        qcomp = connected_components_star(q_edges, "qa", "qb")
+        # bounded driver-side closure first (round 14): ONE CollectLimit
+        # job + a local Arrow table replace the star loop's dozens of
+        # driver round-trips whenever the contracted quotient is small
+        # (the overwhelmingly common case — contraction already
+        # collapsed every ≤budget-radius neighborhood).  The limit is
+        # the loud-overflow sentinel (_collect_matrix pattern): one row
+        # past the bound falls back to the distributed star path.
+        from .iterutils import local_df
+
+        head = q_edges.limit(QUOTIENT_LOCAL_MAX_EDGES + 1).collect()
+        if len(head) <= QUOTIENT_LOCAL_MAX_EDGES:
+            from pyspark.sql.types import StructField, StructType
+
+            dt = q_edges.schema[0].dataType
+            qcomp = local_df(
+                q_edges.sparkSession,
+                _union_find_components(head),
+                StructType(
+                    [
+                        StructField("node", dt),
+                        StructField("component", dt),
+                    ]
+                ),
+            )
+        else:
+            qcomp = connected_components_star(q_edges, "qa", "qb")
         release(sym)
         # fully-converged sub-components are all-self-loop in the
         # quotient and absent from qcomp — their label already IS the

@@ -228,10 +228,15 @@ def pagerank(
     silently wrapped.
 
     Scale shape: per iteration one equi-join of edges with ranks on
-    the source key, one aggregation on the destination key, one
-    node-table left join — all shuffles keyed on (group, node), so a
-    co-partitioned layout (or bucketed edge/node tables) reuses one
-    exchange across all iterations.  ``iterations`` is a fixed small
+    the source key and one aggregation on the destination key — all
+    shuffles keyed on (group, node), so a co-partitioned layout (or
+    bucketed edge/node tables) reuses one exchange across all
+    iterations.  The node-table left join the loop used to pay per
+    iteration is gone (round 14, guide §1.2): it existed only to
+    re-introduce zero-IN-degree nodes, whose rank is the CONSTANT
+    ``base`` from iteration 1 on — so those nodes ride a
+    loop-invariant union leg computed once, and each iteration is
+    join + agg + union (narrow).  ``iterations`` is a fixed small
     constant: lineage stays shallow, no checkpoint needed (contrast
     the until-convergence loop in operators/components.py, which
     checkpoints per round via iterutils)."""
@@ -253,12 +258,6 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = (
-        e.select(*gc, F.col("u").alias("node"))
-        .union(e.select(*gc, F.col("v").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     # e ⋈ outdeg is LOOP-INVARIANT (round 13, guide §1.2 "remove
     # unnecessary passes"): the arc list and its out-degrees never
     # change across iterations, so joining them inside the loop paid
@@ -269,7 +268,34 @@ def pagerank(
         e.groupBy(*gc, "u").agg(F.count("*").alias("_od")), [*gc, "u"]
     ).persist(StorageLevel.MEMORY_AND_DISK)
     base = unit * (1000 - damping_milli) // 1000
-    ranks = nodes.withColumn("rank", F.lit(unit).cast("bigint"))
+    if iterations == 0:
+        # degenerate call: every node at its initial mass — the only
+        # path that still needs the full node table
+        nodes = (
+            e.select(*gc, F.col("u").alias("node"))
+            .union(e.select(*gc, F.col("v").alias("node")))
+            .distinct()
+        )
+        return _finish(
+            nodes.withColumn("rank", F.lit(unit).cast("bigint")), e, e_od
+        )
+    # zero-IN-degree nodes receive no contribution in ANY iteration,
+    # so from iteration 1 on their rank is the constant ``base`` —
+    # the loop-invariant union leg that replaces the per-iteration
+    # node-table left join (round 14).  src \ dst = exactly the
+    # non-isolated nodes with no incoming arc.
+    m_base = (
+        e.select(*gc, F.col("u").alias("node"))
+        .distinct()
+        .join(
+            e.select(*gc, F.col("v").alias("node")).distinct(),
+            [*gc, "node"],
+            "left_anti",
+        )
+        .withColumn("rank", F.lit(base).cast("bigint"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = None
     for it in range(iterations):
         if it == 0:
             # iteration 1 collapses algebraically (round 13, the
@@ -302,18 +328,17 @@ def pagerank(
                 .groupBy(*gc, "node")
                 .agg(F.sum("_sh").alias("_c"))
             )
-        ranks = nodes.join(contrib, [*gc, "node"], "left").select(
+        ranks = contrib.select(
             *gc,
             "node",
             (
-                F.lit(base)
-                + F.expr(f"({damping_milli} * coalesce(_c, 0L)) div 1000")
+                F.lit(base) + F.expr(f"({damping_milli} * _c) div 1000")
             ).cast("bigint").alias("rank"),
-        )
-    # e/nodes/e_od release when the caller drops the result (round-10
+        ).unionByName(m_base)
+    # e/e_od/m_base release when the caller drops the result (round-10
     # ADVICE: without it every call leaks block-manager entries for
     # the session lifetime) — see _finish for why not any earlier
-    return _finish(ranks, nodes, e, e_od)
+    return _finish(ranks, m_base, e, e_od)
 
 
 def label_propagation(

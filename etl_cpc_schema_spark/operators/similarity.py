@@ -588,6 +588,19 @@ def lsh_knn_join_blas(
             {"q_id": out_q, "neighbor_id": out_n, "cos": out_c},
         ).astype({"cos": "Float64"})
 
+    # Pin the scoring stage's parallelism (round 14, guide §2.5): the
+    # per-group BLAS matmuls + top-k prunes run downstream of the
+    # shuffle on gkey, which AQE coalesces by INPUT bytes (sf0.1:
+    # ~18 MB of signature rows → 15 of 32 tasks) while the stage's
+    # cost is the quadratic in-bucket scoring.  Explicit
+    # repartition-by-number on the SAME key replaces the implicit
+    # exchange (applyInPandas reuses it — exchange count unchanged)
+    # with one AQE cannot coalesce, sized by the session's
+    # shuffle-partition conf (cluster-tunable, not a local constant).
+    both = both.repartition(
+        int(embs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "gkey",
+    )
     scored = both.groupBy("gkey").applyInPandas(score_group, out_schema)
     ded = scored.dropDuplicates(["q_id", "neighbor_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

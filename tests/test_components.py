@@ -123,3 +123,43 @@ def test_default_budget_quotient_fallback_long_chain(spark):
     want = {i: 1 for i in range(1, 41)}
     want.update({100: 100, 101: 100, 102: 100})
     assert got == want
+
+
+def test_union_find_min_label_semantics():
+    """Driver-side quotient finisher: exact min-label components,
+    order-independent (round 14)."""
+    from etl_cpc_schema_spark.operators.components import (
+        _union_find_components,
+    )
+
+    rows = [(5, 3), (3, 9), (20, 21), (9, 1), (7, 7)]
+    got = dict(_union_find_components(rows))
+    assert got == {1: 1, 3: 1, 5: 1, 9: 1, 7: 7, 20: 20, 21: 20}
+    # reversed processing order: identical result
+    got_rev = dict(_union_find_components(list(reversed(rows))))
+    assert got_rev == got
+
+
+def test_quotient_local_vs_star_paths_agree(spark, monkeypatch):
+    """The round-14 driver-side quotient closure and the star fallback
+    must label identically; forcing the bound to 0 exercises the star
+    path on the same deep graph the local path closes by default."""
+    from etl_cpc_schema_spark.operators import components as C
+
+    chain = [(i, i + 1) for i in range(1, 30)]
+    clique = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(chain + clique, "d1 bigint, d2 bigint")
+
+    local = {
+        r["node"]: r["component"]
+        for r in C.connected_components(edges).collect()
+    }
+    monkeypatch.setattr(C, "QUOTIENT_LOCAL_MAX_EDGES", 0)
+    star = {
+        r["node"]: r["component"]
+        for r in C.connected_components(edges).collect()
+    }
+    assert local == star
+    want = {i: 1 for i in range(1, 31)}
+    want.update({100: 100, 101: 100, 102: 100})
+    assert local == want
