@@ -6875,7 +6875,7 @@ def docs_dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     sort.
     """
     from .functions.hashing import portable_hash64
-    from .operators.iterutils import fan_out
+    from .operators.iterutils import fan_out, iter_checkpoint
 
     # fan the narrow scan out before tokenize+hash (round 13, guide
     # §2.5): both corpus passes (histogram build and scoring) re-run
@@ -6894,10 +6894,19 @@ def docs_dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     is_tgt = F.col("source") == _DSIR_TARGET_SRC
     raw = bt.filter(~is_tgt)
-    # both histograms from ONE pass: conditional counts per bucket
-    hist = bt.groupBy("b").agg(
-        F.sum(F.when(~is_tgt, 1).otherwise(0)).alias("c_r"),
-        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("c_t"),
+    # both histograms from ONE pass: conditional counts per bucket.
+    # EAGERLY checkpointed (round 14, guide §1.2): the ≤1024-row
+    # histogram feeds the ratio table AND the totals scalar AND the
+    # totals' cross-join — unmaterialized, each reference re-ran the
+    # whole tokenize+hash pass (profiled: FOUR ~6 executor-second
+    # 32-task expansions racing for the same cores, wall 1.7 s).  One
+    # bounded checkpoint makes the corpus cost the documented two
+    # passes (histogram + scoring).
+    hist = iter_checkpoint(
+        bt.groupBy("b").agg(
+            F.sum(F.when(~is_tgt, 1).otherwise(0)).alias("c_r"),
+            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("c_t"),
+        )
     )
     # coalesce the totals: an empty side must give 0 (the oracle's
     # count(*)), not sum-over-empty NULL, or every log ratio nulls out
@@ -7016,9 +7025,17 @@ def docs_corpus_drift_q(spark: SparkSession, sf: str) -> DataFrame:
         "in_a",
         (portable_hash64(F.col("tok"), "dsir") % _DSIR_B).alias("b"),
     )
-    hist = bt.groupBy("source", "b").agg(
-        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("c_a"),
-        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("c_b"),
+    # bounded (source × 1024) histogram, EAGERLY checkpointed (round
+    # 14): it feeds both the totals agg and the p/q join — without
+    # materialization each reference re-ran the tokenize pass, so the
+    # "one tokenize map pass" this docstring promises was actually two
+    from .operators.iterutils import iter_checkpoint
+
+    hist = iter_checkpoint(
+        bt.groupBy("source", "b").agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("c_b"),
+        )
     )
     tot = hist.groupBy("source").agg(
         F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
