@@ -319,6 +319,15 @@ def minhash_lsh_pairs(
     # shared entry point both this wrapper and the index builder use
     sh = shingles if shingles is not None else shingle_table(docs, id_col, text_col, n)
     banded = minhash_band_keys(sh, num_hashes, bands)
+    # NOT pinned to the shuffle-partition count (round 14, measured
+    # and reverted): unlike ngram_jaccard_pairs' pair explosion
+    # (3.5 MB → 20.9 MB quadratic emit), the banded bucket stage here
+    # is LIGHT (~0.6 executor-seconds at sf0.1) — a REPARTITION_BY_NUM
+    # pin on bk read 10-45% SLOWER across dedup_minhash_lsh /
+    # dedup_lsh_jaccard / dedup_components on interleaved quiet arms
+    # (ISOLATES_r14.jsonl minhash_pin_*): 32-task scheduling overhead
+    # plus 32-partition downstream reads exceed the work being spread.
+    # AQE's input-byte coalescing is the right call for this stage.
     return _bucket_pairs(banded, "bk").distinct()
 
 
