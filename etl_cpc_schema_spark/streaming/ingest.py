@@ -845,15 +845,22 @@ def incremental_dedup_stream(
     stage = tempfile.mkdtemp(prefix="spark_sdedup_in_")
     out_stage = tempfile.mkdtemp(prefix="spark_sdedup_out_")
     try:
-        DD.save_dedup_index(corpus, index_path, n=3)
-        batch.filter(F.col("doc_id") % 10 == 0).repartition(1).write.mode(
-            "append"
-        ).parquet(stage)
-        pre = {f for f in os.listdir(stage) if f.endswith(".parquet")}
-        batch.filter(F.col("doc_id") % 10 == 5).repartition(1).write.mode(
-            "append"
-        ).parquet(stage)
-        _force_mtime_after(stage, pre)
+        # the corpus index save and the arrival staging writes are
+        # INDEPENDENT jobs into different directories — overlap them
+        # (round 14, guide §2.6); the stream starts only after both
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(DD.save_dedup_index, corpus, index_path, n=3)
+            batch.filter(F.col("doc_id") % 10 == 0).repartition(1).write.mode(
+                "append"
+            ).parquet(stage)
+            pre = {f for f in os.listdir(stage) if f.endswith(".parquet")}
+            batch.filter(F.col("doc_id") % 10 == 5).repartition(1).write.mode(
+                "append"
+            ).parquet(stage)
+            _force_mtime_after(stage, pre)
+            fut.result()
 
         sink = _incremental_dedup_sink(index_path, out_stage)
 
@@ -1041,20 +1048,28 @@ def ann_probe_stream(
     out_stage = tempfile.mkdtemp(prefix="spark_sann_out_")
     try:
         # the run's OWN mutable index starts as a copy of the pristine
-        # save (one train per process; see _pristine_ann_index)
-        shutil.copytree(
-            _pristine_ann_index(spark, data_dir, split1),
-            index_path,
-            dirs_exist_ok=True,
-        )
-        b1 = batch.filter(
-            (F.col("vec_id") >= split1) & (F.col("vec_id") < split2)
-        )
-        b2 = batch.filter(F.col("vec_id") >= split2)
-        b1.repartition(1).write.mode("append").parquet(stage)
-        pre = {f for f in os.listdir(stage) if f.endswith(".parquet")}
-        b2.repartition(1).write.mode("append").parquet(stage)
-        _force_mtime_after(stage, pre)
+        # save (one train per process; see _pristine_ann_index).  The
+        # copy (and the first call's train) is independent of the
+        # arrival staging writes — overlap them (round 14, guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(
+                lambda: shutil.copytree(
+                    _pristine_ann_index(spark, data_dir, split1),
+                    index_path,
+                    dirs_exist_ok=True,
+                )
+            )
+            b1 = batch.filter(
+                (F.col("vec_id") >= split1) & (F.col("vec_id") < split2)
+            )
+            b2 = batch.filter(F.col("vec_id") >= split2)
+            b1.repartition(1).write.mode("append").parquet(stage)
+            pre = {f for f in os.listdir(stage) if f.endswith(".parquet")}
+            b2.repartition(1).write.mode("append").parquet(stage)
+            _force_mtime_after(stage, pre)
+            fut.result()
 
         sink = _ann_probe_sink(index_path, out_stage)
 
